@@ -8,7 +8,8 @@ is exercised without TPU hardware.
 
 import os
 
-# Must be set before jax initializes its backends.
+# Must be set before jax initializes its backends. The env var alone is not
+# enough when a TPU platform plugin is installed, so pin via jax.config too.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -16,6 +17,10 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["CI"] = "true"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

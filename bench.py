@@ -55,17 +55,27 @@ def main() -> None:
             average_window=3,
         )
 
-    step = jax.jit(jax.vmap(fused, in_axes=(0, None)))
+    def step_with_probe(v, tf):
+        out = jax.vmap(fused, in_axes=(0, None))(v, tf)
+        # The probe scalar forces real device completion when fetched:
+        # block_until_ready is not reliable over remote-attached devices.
+        return out, jnp.sum(out[:, 0, 0, :8])
+
+    import jax.numpy as jnp
+
+    step = jax.jit(step_with_probe)
     vol_d = jax.device_put(vol)
     tf_d = jax.device_put(tf_half)
 
-    # Warm-up compile
-    step(vol_d, tf_d).block_until_ready()
+    # Warm-up compile, then force completion via a host fetch.
+    out, probe = step(vol_d, tf_d)
+    float(probe)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = step(vol_d, tf_d)
-    out.block_until_ready()
+        out, probe = step(vol_d, tf_d)
+    # Device execution is ordered, so fetching the last probe waits for all.
+    float(probe)
     elapsed = time.perf_counter() - t0
 
     n_volumes = args.iters * args.batch

@@ -86,12 +86,21 @@ def sbatch_to_overrides(filepath: str | Path) -> dict:
 
 @dataclass(frozen=True)
 class WorkUnit:
-    """One ZYX (or CZYX) volume to process: a (position, t, c) coordinate."""
+    """One ZYX (or CZYX) volume to process: a (position, t, c) coordinate.
+
+    ``t_out`` lets verbs that select a subset of timepoints write them
+    contiguously (output time = enumeration index); None means t_out == t.
+    """
 
     pos_idx: int
     t: int
     c_in: int | tuple[int, ...]
     c_out: int | tuple[int, ...]
+    t_out: int | None = None
+
+    @property
+    def out_t(self) -> int:
+        return self.t if self.t_out is None else self.t_out
 
 
 @dataclass
@@ -188,7 +197,7 @@ class BatchRunner:
             remaining = [
                 u
                 for u in units
-                if not progress[u.pos_idx].is_done(u.t, _c_key(u.c_out))
+                if not progress[u.pos_idx].is_done(u.out_t, _c_key(u.c_out))
             ]
             skipped = len(units) - len(remaining)
             if skipped:
@@ -254,7 +263,7 @@ class BatchRunner:
                         data = data.astype(out_dtype)
                     else:
                         data = data.astype(out_arr.dtype)
-                    future = out_arr.write_async((u.t, _c_index(u.c_out)), data)
+                    future = out_arr.write_async((u.out_t, _c_index(u.c_out)), data)
                     pending_writes.append((future, u))
                 n_done += len(chunk)
 
@@ -268,7 +277,7 @@ class BatchRunner:
         for future, u in pending:
             future.result()
             if resume and u.pos_idx in progress:
-                progress[u.pos_idx].mark_done(u.t, _c_key(u.c_out))
+                progress[u.pos_idx].mark_done(u.out_t, _c_key(u.c_out))
         return []
 
     # -- conveniences ----------------------------------------------------------
@@ -288,9 +297,9 @@ class BatchRunner:
             T, C = in_pos.data.shape[:2]
             ts = range(T) if time_indices == "all" else time_indices
             pairs = channel_pairs if channel_pairs is not None else [(c, c) for c in range(C)]
-            for t in ts:
+            for t_out, t in enumerate(ts):
                 for c_in, c_out in pairs:
-                    units.append(WorkUnit(p_idx, int(t), int(c_in), int(c_out)))
+                    units.append(WorkUnit(p_idx, int(t), int(c_in), int(c_out), int(t_out)))
         return self.run_units(kernel, units, input_positions, output_positions, **kwargs)
 
     def copy_channels(

@@ -1,0 +1,205 @@
+"""``biahub stabilize``: apply per-timepoint 4x4 transforms across a plate.
+
+Semantics follow the reference (reference: biahub/stabilize.py:96-327):
+per-FOV config files are matched by position name, the first transform's
+rotation decides whether the output YX axes swap, and every channel is
+warped. The per-timepoint ANTs resample becomes ONE jitted batched warp whose
+matrix is a traced per-unit parameter — all timepoints share a single
+compiled kernel.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import click
+import numpy as np
+from scipy.linalg import svd
+from scipy.spatial.transform import Rotation as R  # noqa: N817
+
+from biahub_tpu.cli.disk import check_disk_space_with_du
+from biahub_tpu.cli.parsing import (
+    config_filepaths,
+    input_position_dirpaths,
+    local,
+    monitor,
+    output_dirpath,
+    sbatch_filepath,
+)
+from biahub_tpu.cli.utils import yaml_to_model
+from biahub_tpu.io.ngff import create_empty_plate, get_ome_zarr_version, open_ome_zarr
+from biahub_tpu.kernels.affine import affine_warp_zyx
+from biahub_tpu.runtime import BatchRunner, estimate_resources, resolve_cluster
+from biahub_tpu.runtime.executor import WorkUnit
+from biahub_tpu.settings import StabilizationSettings
+
+__all__ = ["stabilize", "stabilize_cli", "apply_stabilization_transform"]
+
+
+def apply_stabilization_transform(
+    zyx_data: np.ndarray,
+    list_of_shifts: list[np.ndarray],
+    input_time_index: int,
+    output_shape: tuple[int, int, int] | None = None,
+) -> np.ndarray:
+    """Warp one 3D/4D volume by the transform for its time index (host API)."""
+    if output_shape is None:
+        output_shape = zyx_data.shape[-3:]
+    matrix = np.asarray(list_of_shifts[input_time_index], dtype=np.float64)
+    if zyx_data.ndim == 4:
+        return np.stack(
+            [
+                apply_stabilization_transform(c, list_of_shifts, input_time_index, output_shape)
+                for c in zyx_data
+            ]
+        )
+    zyx_data = np.nan_to_num(zyx_data, nan=0).astype(np.float32)
+    # The stabilization matrices are forward ANTs-style (output->input index
+    # map), matching the reference's apply path.
+    return np.asarray(affine_warp_zyx(zyx_data, matrix, tuple(output_shape)))
+
+
+def _output_yx(settings: StabilizationSettings, Y: int, X: int) -> tuple[int, int]:
+    """Swap YX when the first transform is a ~90deg rotation.
+
+    Mirrors the rotation-angle-aware output shape of the reference
+    (reference: biahub/stabilize.py:167-185).
+    """
+    r_matrix = np.array(settings.affine_transform_zyx_list[0])[:3, :3]
+    u, _, vt = svd(r_matrix)
+    euler = R.from_matrix(u @ vt).as_euler("xyz", degrees=True)
+    if np.isclose(euler[0], 90, atol=10):
+        return X, Y
+    return Y, X
+
+
+def stabilize(
+    input_position_dirpaths: list[Path],
+    output_dirpath: Path,
+    config_filepaths: list[Path],
+    sbatch_filepath: str | None = None,
+    local: bool = False,
+    monitor: bool = True,
+):
+    settings = yaml_to_model(config_filepaths[0], StabilizationSettings)
+    output_dirpath = Path(output_dirpath)
+
+    dataset = open_ome_zarr(input_position_dirpaths[0])
+    T, C, Z, Y, X = dataset.data.shape
+    channel_names = dataset.channel_names
+
+    out_y, out_x = _output_yx(settings, Y, X)
+    out_shape_zyx = (Z, out_y, out_x)
+
+    if settings.time_indices == "all":
+        time_indices = list(range(T))
+    elif isinstance(settings.time_indices, list):
+        time_indices = settings.time_indices
+    else:
+        time_indices = [settings.time_indices]
+
+    version = settings.output_ome_zarr_version or get_ome_zarr_version(
+        Path(input_position_dirpaths[0]).parents[2]
+    )
+    create_empty_plate(
+        store_path=output_dirpath,
+        position_keys=[Path(p).parts[-3:] for p in input_position_dirpaths],
+        channel_names=channel_names,
+        shape=(len(time_indices), len(channel_names)) + out_shape_zyx,
+        scale=settings.output_voxel_size,
+        dtype=np.float32,
+        version=version,
+    )
+
+    if not check_disk_space_with_du(
+        input_path=input_position_dirpaths[0],
+        output_path=output_dirpath,
+        margin=1.1,
+        verbose=True,
+    ):
+        raise RuntimeError(f"Not enough disk space to store the output at {output_dirpath}")
+
+    estimate_resources(shape=(T, C, Z, Y, X), ram_multiplier=16, max_num_cpus=16)
+    resolved = resolve_cluster(None, local)
+    click.echo(f"Running on-device batches (mode='{resolved}')")
+
+    # Per-FOV configs: matched by "<row>_<col>_<fov>" in the filename
+    # (reference: biahub/stabilize.py:275-283).
+    def config_for(path: Path) -> StabilizationSettings:
+        if len(config_filepaths) > 1:
+            fov = "_".join(Path(path).parts[-3:])
+            matches = [p for p in config_filepaths if fov in Path(p).name]
+            if not matches:
+                raise click.ClickException(f"No config file matches position {fov}")
+            return yaml_to_model(matches[0], StabilizationSettings)
+        return settings
+
+    input_positions = [open_ome_zarr(p, mode="r") for p in input_position_dirpaths]
+    output_positions = [
+        open_ome_zarr(output_dirpath / Path(*Path(p).parts[-3:]), mode="r+")
+        for p in input_position_dirpaths
+    ]
+    per_position_mats = []
+    for path, out_pos in zip(input_position_dirpaths, output_positions):
+        fov_settings = config_for(path)
+        per_position_mats.append(
+            np.asarray(fov_settings.affine_transform_zyx_list, dtype=np.float32)
+        )
+        out_pos.update_zattrs({"biahub-stabilize": fov_settings.model_dump()})
+
+    units = [
+        WorkUnit(p_idx, int(t), c, c, int(t_out))
+        for p_idx in range(len(input_positions))
+        for t_out, t in enumerate(time_indices)
+        for c in range(C)
+    ]
+
+    def kernel(zyx, matrix):
+        return affine_warp_zyx(zyx, matrix, out_shape_zyx)
+
+    runner = BatchRunner(cluster=resolved)
+    n = runner.run_units(
+        kernel,
+        units,
+        input_positions,
+        output_positions,
+        per_unit_params=lambda u: {"matrix": per_position_mats[u.pos_idx][u.t]},
+    )
+    click.echo(f"Stabilized {n} (t, c) volumes")
+
+
+@click.command("stabilize")
+@input_position_dirpaths()
+@output_dirpath()
+@config_filepaths()
+@sbatch_filepath()
+@local()
+@monitor()
+def stabilize_cli(
+    input_position_dirpaths: list[Path],
+    output_dirpath: Path,
+    config_filepaths: list[Path],
+    sbatch_filepath: str,
+    local: bool,
+    monitor: bool,
+):
+    """Stabilize a timelapse dataset by applying spatial transformations estimated by estimate-stabilization.
+
+    >>> biahub stabilize \\
+        -i ./timelapse.zarr/0/0/0 \\
+        -o ./stabilized_timelapse.zarr \\
+        -c ./file_w_matrices.yml \\
+        --local
+    """
+    stabilize(
+        input_position_dirpaths=input_position_dirpaths,
+        output_dirpath=output_dirpath,
+        config_filepaths=config_filepaths,
+        sbatch_filepath=sbatch_filepath,
+        local=local,
+        monitor=monitor,
+    )
+
+
+if __name__ == "__main__":
+    stabilize_cli()

@@ -240,7 +240,7 @@ class PhaseCrossCorrSettings(MyBaseModel):
     function_type: Literal["custom_padding", "custom"] = "custom"
     t_reference: Literal["first", "previous"] = "first"
     skip_beads_fov: str = "0"
-    center_crop_xy: list[int] = None
+    center_crop_xy: list[int] | None = None
     X_slice: SliceSpec = "all"
     Y_slice: SliceSpec = "all"
     Z_slice: SliceSpec = "all"

@@ -1,0 +1,189 @@
+"""Round-trip tests: estimate drift → apply stabilization → frames align.
+
+This is the strongest correctness check for sign/axis conventions: a
+synthetic timelapse with known integer drifts must come back aligned.
+"""
+
+import numpy as np
+import yaml
+from click.testing import CliRunner
+from scipy.ndimage import shift as nd_shift
+
+from biahub_tpu.cli.main import cli
+from biahub_tpu.io.ngff import TransformationMeta, open_ome_zarr
+from biahub_tpu.kernels.fft import phase_cross_corr, subpixel_shift_2d
+from biahub_tpu.kernels.focus import focus_from_transverse_band
+from biahub_tpu.registration.utils import evaluate_transforms
+
+
+def _blob_volume(shape=(12, 48, 48), seed=0):
+    rng = np.random.default_rng(seed)
+    vol = np.zeros(shape, np.float32)
+    pts = np.stack(
+        [rng.integers(min(3, s // 2), max(s - 3, s // 2 + 1), size=12) for s in shape],
+        axis=1,
+    )
+    vol[pts[:, 0], pts[:, 1], pts[:, 2]] = 100.0
+    # Blur so subpixel interpolation is well-behaved
+    from scipy.ndimage import gaussian_filter
+
+    return gaussian_filter(vol, 1.2).astype(np.float32)
+
+
+def test_phase_cross_corr_recovers_known_shift():
+    # Convention: phase_cross_corr(ref, mov) returns MINUS the content motion
+    # of mov relative to ref (mov(x) == ref(x + shift)).
+    vol = _blob_volume()
+    moved = np.roll(vol, (2, -3, 4), axis=(0, 1, 2))
+    shift, _ = phase_cross_corr(vol, moved)
+    np.testing.assert_array_equal(shift, [-2, 3, -4])
+
+
+def test_subpixel_shift_2d():
+    img = _blob_volume((1, 64, 64))[0]
+    moved = nd_shift(img, (1.5, -2.25), order=1)
+    est = subpixel_shift_2d(img, moved)
+    assert abs(est[0] + 1.5) < 0.3
+    assert abs(est[1] - 2.25) < 0.3
+
+
+def test_focus_from_transverse_band():
+    # Sharpest slice (high-frequency content) is the focus
+    rng = np.random.default_rng(1)
+    Z = 9
+    focus_z = 4
+    vol = np.zeros((Z, 64, 64), np.float32)
+    sharp = rng.random((64, 64)).astype(np.float32)
+    from scipy.ndimage import gaussian_filter
+
+    for z in range(Z):
+        blur = abs(z - focus_z) * 1.2 + 0.1
+        vol[z] = gaussian_filter(sharp, blur)
+    assert focus_from_transverse_band(vol, pixel_size=0.1) == focus_z
+    # Degenerate volume -> 0
+    assert focus_from_transverse_band(np.zeros((5, 16, 16)), pixel_size=0.1) == 0
+
+
+def test_evaluate_transforms_interpolates_outlier():
+    transforms = [np.eye(4).tolist() for _ in range(12)]
+    bad = np.eye(4)
+    bad[0, 3] = 500.0
+    transforms[7] = bad.tolist()
+    out = evaluate_transforms(
+        transforms,
+        shape_zyx=(10, 50, 50),
+        validation_window_size=4,
+        validation_tolerance=10.0,
+        interpolation_window_size=3,
+    )
+    assert abs(np.asarray(out[7])[0, 3]) < 1.0
+
+
+def _drifting_plate(tmp_path, drifts):
+    """Plate with one position whose frames drift by known integer offsets."""
+    base = _blob_volume()
+    T = len(drifts)
+    data = np.stack(
+        [np.roll(base, tuple(d), axis=(0, 1, 2)) for d in drifts]
+    )[:, None]  # (T, 1, Z, Y, X)
+    plate_path = tmp_path / "drift.zarr"
+    plate = open_ome_zarr(plate_path, layout="hcs", mode="w", channel_names=["GFP"])
+    pos = plate.create_position("A", "1", "0")
+    pos.create_image(
+        "0", data, transform=[TransformationMeta(type="scale", scale=(1, 1, 1, 0.1, 0.1))]
+    )
+    return plate_path
+
+
+def test_estimate_then_stabilize_roundtrip_pcc(tmp_path):
+    drifts = [(0, 0, 0), (1, 2, -1), (2, -2, 3), (0, 4, 2)]
+    plate_path = _drifting_plate(tmp_path, drifts)
+
+    config = {
+        "stabilization_estimation_channel": "GFP",
+        "stabilization_channels": ["GFP"],
+        "stabilization_type": "xyz",
+        "stabilization_method": "phase-cross-corr",
+        "phase_cross_corr_settings": {
+            "t_reference": "first",
+            "center_crop_xy": None,
+        },
+    }
+    config_path = tmp_path / "est.yml"
+    with open(config_path, "w") as f:
+        yaml.dump(config, f)
+
+    est_dir = tmp_path / "stab_est"
+    result = CliRunner().invoke(
+        cli,
+        [
+            "estimate-stabilization",
+            "-i", str(plate_path / "A" / "1" / "0"),
+            "-o", str(est_dir),
+            "-c", str(config_path),
+            "--local",
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    settings_yml = est_dir / "xyz_stabilization_settings" / "A_1_0.yml"
+    assert settings_yml.exists()
+    with open(settings_yml) as f:
+        stab = yaml.safe_load(f)
+    mats = np.asarray(stab["affine_transform_zyx_list"])
+    assert mats.shape == (4, 4, 4)
+
+    # Apply and verify alignment to t=0
+    out_path = tmp_path / "stabilized.zarr"
+    result = CliRunner().invoke(
+        cli,
+        [
+            "stabilize",
+            "-i", str(plate_path / "A" / "1" / "0"),
+            "-o", str(out_path),
+            "-c", str(settings_yml),
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    out = open_ome_zarr(out_path)["A/1/0"].data[...]
+    ref = out[0, 0]
+    for t in range(1, 4):
+        # Interior comparison (edges are fill)
+        interior = (slice(3, -3), slice(5, -5), slice(5, -5))
+        err = np.abs(out[t, 0][interior] - ref[interior]).mean()
+        base_err = np.abs(
+            open_ome_zarr(plate_path)["A/1/0"].data[t, 0][interior] - ref[interior]
+        ).mean()
+        assert err < 0.25 * base_err, f"t={t}: {err} !< 0.25*{base_err}"
+
+
+def test_estimate_stabilization_focus_finding_z(tmp_path):
+    # Frames drift only in z; focus-finding should recover the z offsets
+    base = _blob_volume((14, 48, 48))
+    drifts = [(0, 0, 0), (2, 0, 0), (3, 0, 0)]
+    plate_path = _drifting_plate(tmp_path, drifts)
+
+    config = {
+        "stabilization_estimation_channel": "GFP",
+        "stabilization_channels": ["GFP"],
+        "stabilization_type": "z",
+        "stabilization_method": "focus-finding",
+        "focus_finding_settings": {"center_crop_xy": [40, 40]},
+    }
+    config_path = tmp_path / "est_z.yml"
+    with open(config_path, "w") as f:
+        yaml.dump(config, f)
+
+    est_dir = tmp_path / "z_est"
+    result = CliRunner().invoke(
+        cli,
+        [
+            "estimate-stabilization",
+            "-i", str(plate_path / "A" / "1" / "0"),
+            "-o", str(est_dir),
+            "-c", str(config_path),
+            "--local",
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    assert (est_dir / "positions_focus.csv").exists()
+    assert (est_dir / "z_stabilization_settings" / "A_1_0.yml").exists()

@@ -1,0 +1,166 @@
+"""Bead/peak detection: blur + block-max on device, selection logic on host.
+
+Re-derivation of the reference's torch peak detector (reference:
+biahub/characterize_psf.py:562-710, an approximate peak_local_max): uniform
+blur (hot-pixel suppression), strided block max-pool for candidates, top-k by
+brightness, absolute threshold, pairwise NMS, min-distance rejection, border
+exclusion. The dense image work runs as one XLA program; the candidate
+filtering operates on <= max_num_peaks points in NumPy.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["detect_peaks", "block_max_candidates"]
+
+
+@partial(jax.jit, static_argnames=("block_size", "blur_kernel_size"))
+def block_max_candidates(
+    zyx: jax.Array,
+    block_size: tuple[int, int, int] = (8, 8, 8),
+    blur_kernel_size: int = 3,
+):
+    """Blur, then per-block max value and flat argmax index.
+
+    Matches torch ``max_pool3d(stride=block, padding=block//2)`` block
+    geometry. Returns (values, flat_indices) of one candidate per block.
+    """
+    zyx = zyx.astype(jnp.float32)
+    shape = zyx.shape
+
+    if blur_kernel_size:
+        k = blur_kernel_size
+        window = (k, k, k)
+        sums = jax.lax.reduce_window(
+            zyx, 0.0, jax.lax.add, window, (1, 1, 1), "SAME"
+        )
+        counts = jax.lax.reduce_window(
+            jnp.ones_like(zyx), 0.0, jax.lax.add, window, (1, 1, 1), "SAME"
+        )
+        smooth = sums / counts  # count_include_pad=False semantics
+    else:
+        smooth = zyx
+
+    bz, by, bx = block_size
+    pads = (bz // 2, by // 2, bx // 2)
+    # torch output size: floor((size + 2*pad - block) / block) + 1
+    out_sizes = [
+        (s + 2 * p - b) // b + 1 for s, p, b in zip(shape, pads, block_size)
+    ]
+    # Pad so the pooled region is fully covered, then reshape into blocks.
+    padded_sizes = [o * b for o, b in zip(out_sizes, block_size)]
+    pad_cfg = [(p, ps - s - p, 0) for s, p, ps in zip(shape, pads, padded_sizes)]
+    neg = jnp.finfo(jnp.float32).min
+    padded = jax.lax.pad(smooth, neg, pad_cfg)
+
+    oz, oy, ox = out_sizes
+    blocks = padded.reshape(oz, bz, oy, by, ox, bx).transpose(0, 2, 4, 1, 3, 5)
+    blocks = blocks.reshape(oz, oy, ox, bz * by * bx)
+    values = jnp.max(blocks, axis=-1)
+    arg = jnp.argmax(blocks, axis=-1)
+
+    # Convert block-local argmax to global (z, y, x), clipping coordinates
+    # that fall in the -inf padding (they never win unless the block is all
+    # padding, in which case the value is -inf and filtered out later).
+    lz = arg // (by * bx)
+    ly = (arg // bx) % by
+    lx = arg % bx
+    gz = jnp.arange(oz)[:, None, None] * bz + lz - pads[0]
+    gy = jnp.arange(oy)[None, :, None] * by + ly - pads[1]
+    gx = jnp.arange(ox)[None, None, :] * bx + lx - pads[2]
+    gz = jnp.clip(gz, 0, shape[0] - 1)
+    gy = jnp.clip(gy, 0, shape[1] - 1)
+    gx = jnp.clip(gx, 0, shape[2] - 1)
+    flat = (gz * shape[1] + gy) * shape[2] + gx
+    return values.ravel(), flat.ravel()
+
+
+def detect_peaks(
+    zyx_data: np.ndarray,
+    block_size: int | tuple[int, int, int] = (8, 8, 8),
+    nms_distance: int = 3,
+    min_distance: int = 40,
+    threshold_abs: float = 200.0,
+    max_num_peaks: int = 500,
+    exclude_border: tuple[int, int, int] | None = None,
+    blur_kernel_size: int = 3,
+    device: str = "cpu",
+    verbose: bool = False,
+) -> np.ndarray:
+    """Detect local-maximum peaks; returns (N, 3) ZYX coordinates."""
+    if isinstance(block_size, int):
+        block_size = (block_size,) * 3
+    zyx_shape = zyx_data.shape[-3:]
+
+    values, flat_idx = block_max_candidates(
+        jnp.asarray(np.asarray(zyx_data, dtype=np.float32)),
+        block_size=tuple(int(b) for b in block_size),
+        blur_kernel_size=int(blur_kernel_size),
+    )
+    peak_value = np.asarray(values)
+    peak_idx = np.asarray(flat_idx)
+    num_peaks = len(peak_idx)
+
+    # Top max_num_peaks brightest candidates, sorted by brightness
+    order = np.argsort(peak_value)[::-1][: min(max_num_peaks, num_peaks)]
+    peak_value = peak_value[order]
+    peak_idx = peak_idx[order]
+    num_rejected_max_num_peaks = num_peaks - len(order)
+
+    num_rejected_threshold_abs = 0
+    if threshold_abs:
+        abs_mask = peak_value > threshold_abs
+        peak_value = peak_value[abs_mask]
+        peak_idx = peak_idx[abs_mask]
+        num_rejected_threshold_abs = int(np.sum(~abs_mask))
+
+    coords = np.stack(np.unravel_index(peak_idx, zyx_shape), -1)
+    fcoords = coords.astype(np.float64)
+    if len(coords):
+        dist = np.linalg.norm(fcoords[:, None] - fcoords[None, :], axis=-1)
+    else:
+        dist = np.zeros((0, 0))
+    dist_mask = np.ones(len(coords), dtype=bool)
+
+    # NMS: of any candidate pair closer than nms_distance, drop the dimmer
+    # (the one later in the brightness ordering).
+    close = np.triu(dist < nms_distance, k=1)
+    nearby_peaks = np.argwhere(close)
+    dist_mask[nearby_peaks[:, 1]] = False
+    num_rejected_nms_distance = int(np.sum(~dist_mask))
+
+    num_rejected_min_distance = 0
+    if min_distance:
+        _dist_mask = dist < min_distance
+        if len(nearby_peaks):
+            _dist_mask[nearby_peaks[:, 0], nearby_peaks[:, 1]] = False
+        dist_mask &= _dist_mask.sum(1) < 2
+        num_rejected_min_distance = int(np.sum(~dist_mask)) - num_rejected_nms_distance
+    coords = coords[dist_mask]
+
+    num_rejected_exclude_border = 0
+    if exclude_border is not None:
+        if not (isinstance(exclude_border, (tuple, list)) and len(exclude_border) == 3):
+            raise ValueError(f"invalid argument exclude_border={exclude_border}")
+        for dim, size in enumerate(exclude_border):
+            border_mask = (size < coords[:, dim]) & (
+                coords[:, dim] < zyx_shape[dim] - size
+            )
+            num_rejected_exclude_border += int(np.sum(~border_mask))
+            coords = coords[border_mask]
+
+    if verbose:
+        print(f"Number of peaks detected: {num_peaks}")
+        print(f"Number of peaks rejected by max_num_peaks: {num_rejected_max_num_peaks}")
+        print(f"Number of peaks rejected by threshold_abs: {num_rejected_threshold_abs}")
+        print(f"Number of peaks rejected by nms_distance: {num_rejected_nms_distance}")
+        print(f"Number of peaks rejected by min_distance: {num_rejected_min_distance}")
+        print(f"Number of peaks rejected by exclude_border: {num_rejected_exclude_border}")
+        print(f"Number of peaks returned: {len(coords)}")
+
+    return coords

@@ -1,0 +1,86 @@
+"""Tests of the registration pipelines: beads, intensity, fitting."""
+
+import numpy as np
+from scipy.ndimage import affine_transform as sp_affine
+from scipy.ndimage import gaussian_filter, shift as nd_shift
+
+from biahub_tpu.registration.beads import estimate as beads_estimate
+from biahub_tpu.registration.intensity import estimate as intensity_estimate
+from biahub_tpu.settings import (
+    AffineTransformSettings,
+    BeadsMatchSettings,
+    DetectPeaksSettings,
+)
+from biahub_tpu.transforms.fitting import fit_euclidean, fit_similarity
+
+
+def _bead_volume(shape=(24, 96, 96), n=40, seed=0, sigma=1.0):
+    rng = np.random.default_rng(seed)
+    vol = np.zeros(shape, np.float32)
+    pts = np.stack([rng.integers(4, s - 4, n) for s in shape], 1)
+    vol[pts[:, 0], pts[:, 1], pts[:, 2]] = 1000.0
+    return gaussian_filter(vol, sigma)
+
+
+def test_fit_euclidean_and_similarity():
+    rng = np.random.default_rng(1)
+    src = rng.random((20, 3)) * 50
+    theta = np.deg2rad(10)
+    rot = np.array(
+        [
+            [1, 0, 0],
+            [0, np.cos(theta), -np.sin(theta)],
+            [0, np.sin(theta), np.cos(theta)],
+        ]
+    )
+    dst = (1.1 * rot @ src.T).T + np.array([2.0, -1.0, 3.0])
+    m = fit_similarity(src, dst)
+    np.testing.assert_allclose(m[:3, :3], 1.1 * rot, atol=1e-8)
+    np.testing.assert_allclose(m[:3, 3], [2, -1, 3], atol=1e-8)
+
+    dst_rigid = (rot @ src.T).T + np.array([2.0, -1.0, 3.0])
+    m = fit_euclidean(src, dst_rigid)
+    np.testing.assert_allclose(m[:3, :3], rot, atol=1e-8)
+
+
+def test_beads_estimate_recovers_translation():
+    ref = _bead_volume()
+    s = np.array([2.0, -4.0, 3.0])
+    mov = nd_shift(ref, s, order=1)
+    bms = BeadsMatchSettings(
+        source_peaks_settings=DetectPeaksSettings(
+            threshold_abs=20, block_size=[8, 8, 8], nms_distance=3, min_distance=0
+        ),
+        target_peaks_settings=DetectPeaksSettings(
+            threshold_abs=20, block_size=[8, 8, 8], nms_distance=3, min_distance=0
+        ),
+    )
+    ats = AffineTransformSettings(transform_type="euclidean")
+    w = beads_estimate(mov, ref, bms, ats)
+    np.testing.assert_allclose(w[:3, 3], s, atol=0.5)
+    np.testing.assert_allclose(w[:3, :3], np.eye(3), atol=0.05)
+
+
+def test_intensity_estimate_recovers_similarity():
+    ref = _bead_volume((24, 64, 64), n=30, sigma=2.5)
+    theta = np.deg2rad(4.0)
+    c, s = np.cos(theta), np.sin(theta)
+    lin = 1.03 * np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+    center = (np.array(ref.shape) - 1) / 2
+    w_true = np.eye(4)
+    w_true[:3, :3] = lin
+    w_true[:3, 3] = center - lin @ center + np.array([1.0, -2.0, 1.5])
+    w_inv = np.linalg.inv(w_true)
+    mov = sp_affine(ref, w_inv[:3, :3], w_inv[:3, 3], order=1)
+
+    fwd, inv = intensity_estimate(
+        ref,
+        mov,
+        ants_kwargs={
+            "aff_shrink_factors": (4, 2, 1),
+            "aff_iterations": (300, 200, 150),
+            "aff_smoothing_sigmas": (2, 1, 0),
+        },
+    )
+    assert np.abs(fwd[:3, :3] - w_true[:3, :3]).max() < 0.01
+    assert np.abs(fwd[:3, 3] - w_true[:3, 3]).max() < 0.3

@@ -1,0 +1,245 @@
+"""``biahub virtual-stain``: virtual staining inference across a plate.
+
+The reference wraps VisCy/cytoland's VSUNet prediction (reference:
+biahub/virtual_stain.py:36-495). Here the inference harness is framework-
+native: per-timepoint normalization from precomputed statistics stored in the
+position metadata, z-sliding-window inference with linear feather blending,
+and optional rotation test-time augmentation. The model is pluggable:
+
+- a TorchScript checkpoint (``ckpt_path`` ending in ``.pt``/``.pts``) runs on
+  the bundled CPU torch runtime,
+- VisCy Lightning checkpoints require the optional viscy/cytoland packages
+  and raise a clear error when absent.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import click
+import numpy as np
+import yaml
+
+from biahub_tpu.cli.parsing import (
+    config_filepath,
+    input_position_dirpaths,
+    local,
+    monitor,
+    output_dirpath,
+    sbatch_filepath,
+)
+from biahub_tpu.cli.utils import get_output_paths
+from biahub_tpu.io.ngff import create_empty_plate, get_ome_zarr_version, open_ome_zarr
+from biahub_tpu.runtime import estimate_resources, resolve_cluster
+
+__all__ = [
+    "virtual_stain_cli",
+    "virtual_stain_position",
+    "sliding_window_predict",
+    "normalize_with_stats",
+]
+
+
+def normalize_with_stats(zyx: np.ndarray, norm_meta: dict | None) -> np.ndarray:
+    """Normalize with the store's precomputed statistics (viscy NormalizeSampled).
+
+    ``norm_meta`` is the per-position ``normalization`` zattr written by the
+    preprocessing step: {channel: {"fov_statistics": {"median": m, "iqr": i}}}.
+    Falls back to per-volume median/IQR when absent.
+    """
+    zyx = np.asarray(zyx, dtype=np.float32)
+    if norm_meta and "median" in norm_meta and "iqr" in norm_meta:
+        median, iqr = norm_meta["median"], norm_meta["iqr"]
+    else:
+        median = float(np.median(zyx))
+        q75, q25 = np.percentile(zyx, [75, 25])
+        iqr = float(q75 - q25) or 1.0
+    return (zyx - median) / iqr
+
+
+def sliding_window_predict(
+    predict_fn,
+    czyx: np.ndarray,
+    window_z: int,
+    step: int = 1,
+    rotation_tta: bool = False,
+) -> np.ndarray:
+    """Sliding z-window inference with linear feather blending.
+
+    ``predict_fn`` maps a (C, window_z, Y, X) window to (C_out, z_out, Y, X)
+    with z_out == window_z (2.5D models output the center or full window; the
+    blend is agnostic). Matches the behavior of viscy's
+    ``predict_sliding_windows`` blending.
+    """
+    C, Z, Y, X = czyx.shape
+    window_z = min(window_z, Z)
+
+    starts = list(range(0, max(Z - window_z, 0) + 1, step))
+    if starts[-1] != Z - window_z:
+        starts.append(Z - window_z)
+
+    probe = predict_fn(czyx[:, starts[0] : starts[0] + window_z])
+    c_out = probe.shape[0]
+    out = np.zeros((c_out, Z, Y, X), np.float32)
+    weight = np.zeros((1, Z, 1, 1), np.float32)
+
+    # Linear feather along z inside each window
+    feather = np.ones(window_z, np.float32)
+    if window_z > 2:
+        ramp = np.linspace(0.1, 1.0, window_z // 2, endpoint=False)
+        feather[: len(ramp)] = ramp
+        feather[-len(ramp):] = ramp[::-1]
+
+    for start in starts:
+        window = czyx[:, start : start + window_z]
+        preds = [predict_fn(window)]
+        if rotation_tta:
+            for k in (1, 2, 3):
+                rotated = np.rot90(window, k, axes=(-2, -1)).copy()
+                pred = predict_fn(rotated)
+                preds.append(np.rot90(pred, -k, axes=(-2, -1)))
+        pred = np.mean(preds, axis=0)
+        out[:, start : start + window_z] += pred * feather[None, :, None, None]
+        weight[0, start : start + window_z, 0, 0] += feather
+
+    return out / np.maximum(weight, 1e-6)
+
+
+def _load_model(cfg: dict):
+    """Resolve the configured model into a (predict_fn, window_z, n_out) triple."""
+    ckpt_path = cfg.get("ckpt_path")
+    if ckpt_path is None:
+        raise click.ClickException("Config must provide ckpt_path")
+    window_z = int(cfg.get("sliding_window_z", cfg.get("window_z", 5)))
+    n_out = int(cfg.get("n_output_channels", 1))
+
+    if str(ckpt_path).endswith((".pt", ".pts", ".torchscript")):
+        import torch
+
+        model = torch.jit.load(ckpt_path, map_location="cpu")
+        model.eval()
+
+        def predict_fn(window):
+            with torch.no_grad():
+                t = torch.from_numpy(np.ascontiguousarray(window[None]))
+                out = model(t)
+            return np.asarray(out[0])
+
+        return predict_fn, window_z, n_out
+
+    try:
+        from cytoland.engine import AugmentedPredictionVSUNet  # type: ignore # noqa
+    except ImportError:
+        raise click.ClickException(
+            "VisCy/cytoland is not installed; provide a TorchScript checkpoint "
+            "(.pt) in ckpt_path to run virtual staining with the bundled torch "
+            "runtime, or install the viscy extra."
+        ) from None
+    raise click.ClickException(
+        "Lightning-checkpoint loading requires the viscy extra in this build."
+    )
+
+
+def virtual_stain_position(
+    config_filepath: Path,
+    input_position_path: Path,
+    output_position_path: Path,
+) -> None:
+    """Run virtual staining on a single position, looping over time."""
+    with open(config_filepath) as f:
+        cfg = yaml.safe_load(f)
+
+    predict_fn, window_z, _ = _load_model(cfg)
+    source_channel = cfg.get("source_channel")
+    rotation_tta = bool(cfg.get("rotation_tta", False))
+    step = int(cfg.get("sliding_window_step", 1))
+
+    in_pos = open_ome_zarr(input_position_path, mode="r")
+    out_pos = open_ome_zarr(output_position_path, mode="r+")
+    names = in_pos.channel_names
+    if source_channel is None:
+        source_indices = [0]
+    elif isinstance(source_channel, str):
+        source_indices = [names.index(source_channel)]
+    else:
+        source_indices = [names.index(c) for c in source_channel]
+
+    norm_meta = in_pos.zattrs.get("normalization", {})
+    T = in_pos.data.shape[0]
+    out_arr = out_pos["0"]
+    for t in range(T):
+        t0 = time.perf_counter()
+        czyx = np.stack([in_pos.data[t, c] for c in source_indices])
+        czyx = np.stack(
+            [
+                normalize_with_stats(
+                    zyx,
+                    norm_meta.get(names[c], {}).get("fov_statistics")
+                    if isinstance(norm_meta, dict)
+                    else None,
+                )
+                for zyx, c in zip(czyx, source_indices)
+            ]
+        )
+        pred = sliding_window_predict(
+            predict_fn, czyx, window_z, step=step, rotation_tta=rotation_tta
+        )
+        out_arr[t] = pred.astype(np.float32)
+        click.echo(f"t={t}: {time.perf_counter() - t0:.2f}s")
+
+
+@click.command("virtual-stain")
+@input_position_dirpaths()
+@config_filepath()
+@output_dirpath()
+@sbatch_filepath()
+@local()
+@monitor()
+def virtual_stain_cli(
+    input_position_dirpaths: list[Path],
+    config_filepath: Path,
+    output_dirpath: Path,
+    sbatch_filepath: str | None = None,
+    local: bool = False,
+    monitor: bool = True,
+):
+    """Run virtual staining inference across a plate.
+
+    The config provides ckpt_path (TorchScript for the bundled runtime),
+    source_channel(s), output_channels, and sliding-window parameters.
+
+    >>> biahub virtual-stain -i ./input.zarr/*/*/* -c ./vs_config.yml -o ./output.zarr
+    """
+    output_dirpath = Path(output_dirpath)
+    with open(config_filepath) as f:
+        cfg = yaml.safe_load(f)
+    output_channels = cfg.get("output_channels", ["virtual_stain"])
+
+    input_dataset = open_ome_zarr(input_position_dirpaths[0])
+    T, C, Z, Y, X = input_dataset.data.shape
+    scale = input_dataset.scale
+
+    create_empty_plate(
+        store_path=output_dirpath,
+        position_keys=[Path(p).parts[-3:] for p in input_position_dirpaths],
+        channel_names=list(output_channels),
+        shape=(T, len(output_channels), Z, Y, X),
+        scale=scale,
+        dtype=np.float32,
+        version=get_ome_zarr_version(Path(input_position_dirpaths[0]).parents[2]),
+    )
+
+    estimate_resources(shape=(T, C, Z, Y, X), ram_multiplier=8, max_num_cpus=16)
+    resolve_cluster(None, local)
+
+    output_position_paths = get_output_paths(input_position_dirpaths, output_dirpath)
+    for in_path, out_path in zip(input_position_dirpaths, output_position_paths):
+        out_pos = open_ome_zarr(out_path, mode="r+")
+        out_pos.update_zattrs({"biahub-virtual_stain": cfg})
+        virtual_stain_position(config_filepath, in_path, out_path)
+        click.echo(f"Virtual staining complete: {in_path}")
+
+
+if __name__ == "__main__":
+    virtual_stain_cli()

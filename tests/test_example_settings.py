@@ -1,0 +1,76 @@
+"""Every example settings YAML must validate against its model.
+
+Mirrors the reference's schema-coverage test (reference:
+tests/test_example_settings.py:79-183): a file in settings/ without a mapping
+here is a test failure, so new examples can't ship unvalidated.
+"""
+
+from pathlib import Path
+
+import pytest
+import yaml
+
+from biahub_tpu.recon.settings import ReconstructionSettings
+from biahub_tpu.settings import (
+    CharacterizeSettings,
+    ConcatenateSettings,
+    DeconvolveSettings,
+    DeskewSettings,
+    EstimateRegistrationSettings,
+    EstimateStabilizationSettings,
+    FlatFieldCorrectionSettings,
+    ProcessingImportFuncSettings,
+    RegistrationSettings,
+    SegmentationSettings,
+    StabilizationSettings,
+    StitchSettings,
+    TrackingSettings,
+)
+
+SETTINGS_DIR = Path("settings")
+
+# filename -> model (None = free-form config validated by its own verb)
+SETTINGS_MODELS = {
+    "example_deskew_settings.yml": DeskewSettings,
+    "example_registration_settings.yml": RegistrationSettings,
+    "example_stabilize_timelapse_settings.yml": StabilizationSettings,
+    "example_concatenate_settings.yml": ConcatenateSettings,
+    "example_concatenate_multi_position.yml": ConcatenateSettings,
+    "example_flat_field_settings.yml": FlatFieldCorrectionSettings,
+    "example_deconvolve_settings.yml": DeconvolveSettings,
+    "example_stitch_settings.yml": StitchSettings,
+    "example_characterize_settings.yml": CharacterizeSettings,
+    "example_segmentation_settings.yml": SegmentationSettings,
+    "example_track_settings.yml": TrackingSettings,
+    "example_process_with_config_settings.yml": ProcessingImportFuncSettings,
+    "example_estimate_registration_settings.yml": EstimateRegistrationSettings,
+    "example_estimate_registration_settings_manual.yml": EstimateRegistrationSettings,
+    "example_estimate_registration_settings_beads.yml": EstimateRegistrationSettings,
+    "example_estimate_stabilization_settings_xyz_pcc.yml": EstimateStabilizationSettings,
+    "example_estimate_stabilization_settings_xyz_focus-finding.yml": EstimateStabilizationSettings,
+    "example_estimate_stabilization_settings_xyz_beads.yml": EstimateStabilizationSettings,
+    "example_estimate_stabilization_settings_xy_focus-finding.yml": EstimateStabilizationSettings,
+    "example_estimate_stabilization_settings_z_focus-finding.yml": EstimateStabilizationSettings,
+    "example_reconstruct_settings.yml": ReconstructionSettings,
+    "example_virtual_stain_settings.yml": None,  # free-form (model-specific keys)
+}
+
+
+def test_all_example_settings_tested():
+    """Fail when a settings/ YAML has no model mapping."""
+    example_files = {p.name for p in SETTINGS_DIR.glob("*.yml")}
+    unmapped = example_files - set(SETTINGS_MODELS)
+    assert not unmapped, f"Example settings without a schema test: {sorted(unmapped)}"
+    missing = set(SETTINGS_MODELS) - example_files
+    assert not missing, f"Mapped example settings missing from settings/: {sorted(missing)}"
+
+
+@pytest.mark.parametrize("filename,model", sorted(SETTINGS_MODELS.items(), key=lambda x: x[0]))
+def test_example_settings_validate(filename, model):
+    with open(SETTINGS_DIR / filename) as f:
+        raw = yaml.safe_load(f)
+    if model is None:
+        assert isinstance(raw, dict)
+        return
+    instance = model(**raw)
+    assert instance is not None

@@ -19,7 +19,11 @@ import numpy as np
 
 __all__ = [
     "affine_warp_zyx",
+    "affine_warp_auto",
+    "inplane_affine_warp_zyx",
     "translation_warp_zyx",
+    "is_translation_matrix",
+    "is_inplane_matrix",
     "matrix_4x4",
     "rotation_matrix_zyx",
     "scale_matrix_zyx",
@@ -180,6 +184,139 @@ def affine_warp_zyx(
         )
         out = jnp.where(in_domain, out, fillv)
     return out
+
+
+def is_translation_matrix(matrix, atol: float = 1e-9) -> bool:
+    """True when the (concrete) matrix is identity-linear: a pure translation."""
+    m = np.asarray(matrix, dtype=np.float64)
+    return bool(np.allclose(m[:3, :3], np.eye(3), atol=atol))
+
+
+def is_inplane_matrix(matrix, atol: float = 1e-9) -> bool:
+    """True when z decouples from (y, x) and the in-plane map is factorable.
+
+    Structure: z row (mzz, 0, 0); y/x rows have no z coefficient; the in-plane
+    2x2 has a nonzero xx entry (the x-pass pivot).
+    """
+    m = np.asarray(matrix, dtype=np.float64)
+    return bool(
+        np.allclose([m[0, 1], m[0, 2], m[1, 0], m[2, 0]], 0.0, atol=atol)
+        and abs(m[2, 2]) > atol
+        and abs(m[0, 0]) > atol
+    )
+
+
+def _lerp_axis0(data: jax.Array, coords: jax.Array, fill: float) -> jax.Array:
+    """Resample axis 0 of ``data`` at fractional ``coords``.
+
+    ``coords`` has the output shape of the leading axes being gathered over;
+    it must be broadcastable to data.shape with the gather axis replaced, and
+    crucially must be CONSTANT along the lane (last) axis — that keeps the
+    take_along_axis a fast row gather on TPU (see kernels/deskew.py).
+    """
+    size_in = data.shape[0]
+    i0 = jnp.floor(coords)
+    frac = coords - i0
+    i0 = i0.astype(jnp.int32)
+    in_domain = (coords >= 0) & (coords <= size_in - 1)
+    idx0 = jnp.clip(i0, 0, size_in - 1)
+    idx1 = jnp.clip(i0 + 1, 0, size_in - 1)
+
+    v0 = jnp.take_along_axis(data, idx0, axis=0)
+    v1 = jnp.take_along_axis(data, idx1, axis=0)
+    out = v0 * (1 - frac).astype(data.dtype) + v1 * frac.astype(data.dtype)
+    return jnp.where(in_domain, out, jnp.asarray(fill, data.dtype))
+
+
+@partial(jax.jit, static_argnames=("output_shape",))
+def inplane_affine_warp_zyx(
+    volume: jax.Array,
+    matrix: jax.Array,
+    output_shape: tuple[int, int, int],
+    fill: float = 0.0,
+) -> jax.Array:
+    """Warp by a z-decoupled affine as three fast-pattern 1D resamples.
+
+    Requires the structure checked by :func:`is_inplane_matrix` (the caller
+    dispatches). Factorization: the in-plane 2x2 [[myy, myx], [mxy, mxx]]
+    splits into a y-pass (yi = b0*yo + b1*x + b2) followed by an x-pass
+    (xi = mxx*xo + mxy*yo + tx); each pass gathers along the leading axis of
+    a layout whose lane axis the index does not depend on, avoiding TPU's
+    slow elementwise lane gathers (~7.7 s vs ~40 ms per mantis volume).
+
+    The multi-pass composition applies linear interpolation per pass, which
+    smooths slightly more than a single-pass trilinear sample; parity with
+    scipy is to interpolation tolerance rather than float epsilon.
+    """
+    Zo, Yo, Xo = output_shape
+    matrix = jnp.asarray(matrix, dtype=jnp.float32)
+    volume = volume.astype(jnp.float32)
+
+    # z-pass: zi = mzz * zo + tz, broadcast over (Y, X)
+    zo = jnp.arange(Zo, dtype=jnp.float32)[:, None, None]
+    zi = matrix[0, 0] * zo + matrix[0, 3]
+    a = _lerp_axis0(volume, zi, fill)  # (Zo, Yi, Xi)
+
+    # In-plane factorization (see docstring); traced-safe arithmetic.
+    myy, myx, ty = matrix[1, 1], matrix[1, 2], matrix[1, 3]
+    mxy, mxx, tx = matrix[2, 1], matrix[2, 2], matrix[2, 3]
+    b1 = myx / mxx
+    b0 = myy - b1 * mxy
+    b2 = ty - b1 * tx
+
+    # y-pass in (Y, X, Z) layout: idx varies over (yo, x), constant over lanes z
+    a_t = jnp.transpose(a, (1, 2, 0))  # (Yi, Xi, Zo)
+    yo_idx = jnp.arange(Yo, dtype=jnp.float32)[:, None, None]
+    x_idx = jnp.arange(a_t.shape[1], dtype=jnp.float32)[None, :, None]
+    yi = b0 * yo_idx + b1 * x_idx + b2
+    yi = jnp.broadcast_to(yi, (Yo, a_t.shape[1], 1))
+    b = _lerp_axis0(a_t, yi, fill)  # (Yo, Xi, Zo)
+
+    # x-pass in (X, Y, Z) layout: idx varies over (xo, yo), constant over lanes z
+    b_t = jnp.transpose(b, (1, 0, 2))  # (Xi, Yo, Zo)
+    xo_idx = jnp.arange(Xo, dtype=jnp.float32)[:, None, None]
+    yo2 = jnp.arange(Yo, dtype=jnp.float32)[None, :, None]
+    xi = mxx * xo_idx + mxy * yo2 + tx
+    xi = jnp.broadcast_to(xi, (Xo, Yo, 1))
+    c = _lerp_axis0(b_t, xi, fill)  # (Xo, Yo, Zo)
+
+    return jnp.transpose(c, (2, 1, 0))
+
+
+def affine_warp_auto(
+    volume: jax.Array,
+    matrix,
+    output_shape: tuple[int, int, int],
+    fill: float = 0.0,
+    order: int = 1,
+) -> jax.Array:
+    """Warp with the fastest TPU-safe kernel for the (concrete) matrix.
+
+    Dispatch: pure translation → separable translation warp; z-decoupled
+    in-plane affine → three-pass warp; anything else → the exact 8-corner
+    gather (slow on TPU; emit a hint). ``matrix`` must be a concrete array.
+    """
+    matrix = np.asarray(matrix, dtype=np.float64)
+    if order == 1 and is_translation_matrix(matrix):
+        return translation_warp_zyx(
+            volume, jnp.asarray(matrix[:3, 3], dtype=jnp.float32), tuple(output_shape),
+            fill=fill,
+        )
+    if order == 1 and is_inplane_matrix(matrix):
+        return inplane_affine_warp_zyx(
+            volume, jnp.asarray(matrix, dtype=jnp.float32), tuple(output_shape),
+            fill=fill,
+        )
+    if jax.default_backend() == "tpu":
+        import warnings
+
+        warnings.warn(
+            "affine_warp_auto: matrix couples z with (y, x); falling back to "
+            "the exact elementwise gather, which is slow on TPU.",
+            stacklevel=2,
+        )
+    return affine_warp_zyx(volume, jnp.asarray(matrix, dtype=jnp.float32),
+                           tuple(output_shape), fill=fill, order=order)
 
 
 @partial(jax.jit, static_argnames=("output_shape",))

@@ -27,7 +27,7 @@ from biahub_tpu.cli.parsing import (
 )
 from biahub_tpu.cli.utils import yaml_to_model
 from biahub_tpu.io.ngff import create_empty_plate, get_ome_zarr_version, open_ome_zarr
-from biahub_tpu.kernels.affine import affine_warp_zyx
+from biahub_tpu.kernels.affine import affine_warp_auto, affine_warp_zyx
 from biahub_tpu.runtime import BatchRunner, estimate_resources, resolve_cluster
 from biahub_tpu.settings import RegistrationSettings
 from biahub_tpu.transforms.lir import largest_interior_rectangle
@@ -132,7 +132,7 @@ def apply_affine_transform(
         matrix = shifted
     order = 0 if interpolation in ("nearest", "nearestNeighbor", "genericLabel") else 1
     zyx_data = np.nan_to_num(np.asarray(zyx_data, dtype=np.float32), nan=0)
-    return np.asarray(affine_warp_zyx(zyx_data, matrix, out_shape, order=order))
+    return np.asarray(affine_warp_auto(zyx_data, matrix, out_shape, order=order))
 
 
 def find_lir(registered_zyx: np.ndarray, plot: bool = False) -> tuple:
@@ -291,11 +291,8 @@ def register_cli(
         warp_matrix[:3, 3] += warp_matrix[:3, :3] @ start
     order = 0 if settings.interpolation in ("nearest", "nearestNeighbor") else 1
 
-    kernel = partial(
-        _register_kernel,
-        matrix=warp_matrix.astype(np.float32),
-        output_shape=tuple(cropped_shape_zyx),
-        order=order,
+    kernel = _make_register_kernel(
+        warp_matrix, tuple(cropped_shape_zyx), order
     )
 
     source_positions = [open_ome_zarr(p, mode="r") for p in source_position_dirpaths]
@@ -342,8 +339,15 @@ def register_cli(
     click.echo(f"Registered {n} (t, c) volumes")
 
 
-def _register_kernel(zyx, matrix, output_shape, order):
-    return affine_warp_zyx(zyx, matrix, output_shape, order=order)
+def _make_register_kernel(matrix, output_shape, order):
+    """Jittable per-volume kernel, dispatched on the static matrix structure
+    (translation / in-plane / general; see kernels.affine.affine_warp_auto)."""
+    matrix = np.asarray(matrix, dtype=np.float64)
+
+    def kernel(zyx):
+        return affine_warp_auto(zyx, matrix, output_shape, order=order)
+
+    return kernel
 
 
 def _copy_cropped(target_positions, output_positions, pairs, time_indices, slices):

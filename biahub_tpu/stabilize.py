@@ -28,7 +28,14 @@ from biahub_tpu.cli.parsing import (
 )
 from biahub_tpu.cli.utils import yaml_to_model
 from biahub_tpu.io.ngff import create_empty_plate, get_ome_zarr_version, open_ome_zarr
-from biahub_tpu.kernels.affine import affine_warp_zyx
+from biahub_tpu.kernels.affine import (
+    affine_warp_auto,
+    affine_warp_zyx,
+    inplane_affine_warp_zyx,
+    is_inplane_matrix,
+    is_translation_matrix,
+    translation_warp_zyx,
+)
 from biahub_tpu.runtime import BatchRunner, estimate_resources, resolve_cluster
 from biahub_tpu.runtime.executor import WorkUnit
 from biahub_tpu.settings import StabilizationSettings
@@ -56,7 +63,7 @@ def apply_stabilization_transform(
     zyx_data = np.nan_to_num(zyx_data, nan=0).astype(np.float32)
     # The stabilization matrices are forward ANTs-style (output->input index
     # map), matching the reference's apply path.
-    return np.asarray(affine_warp_zyx(zyx_data, matrix, tuple(output_shape)))
+    return np.asarray(affine_warp_auto(zyx_data, matrix, tuple(output_shape)))
 
 
 def _output_yx(settings: StabilizationSettings, Y: int, X: int) -> tuple[int, int]:
@@ -154,8 +161,20 @@ def stabilize(
         for c in range(C)
     ]
 
-    def kernel(zyx, matrix):
-        return affine_warp_zyx(zyx, matrix, out_shape_zyx)
+    # One compiled kernel serves every timepoint; the matrix is a traced
+    # per-unit parameter, so the kernel STRUCTURE is chosen host-side from the
+    # whole matrix list (translations and z-decoupled affines avoid TPU's
+    # slow elementwise gather; see kernels.affine).
+    all_mats = np.concatenate(per_position_mats)
+    if all(is_translation_matrix(m) for m in all_mats):
+        def kernel(zyx, matrix):
+            return translation_warp_zyx(zyx, matrix[:3, 3], out_shape_zyx)
+    elif all(is_inplane_matrix(m) for m in all_mats):
+        def kernel(zyx, matrix):
+            return inplane_affine_warp_zyx(zyx, matrix, out_shape_zyx)
+    else:
+        def kernel(zyx, matrix):
+            return affine_warp_zyx(zyx, matrix, out_shape_zyx)
 
     runner = BatchRunner(cluster=resolved)
     n = runner.run_units(

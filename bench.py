@@ -45,6 +45,18 @@ def main() -> None:
 
     ls_angle_deg, px_to_scan_ratio = 36.17, 0.371
 
+    from biahub_tpu.kernels.affine import inplane_affine_warp_zyx
+
+    # register + stabilize compose into ONE in-plane warp: small in-plane
+    # rotation/scale (registration) times a per-timepoint translation.
+    theta = np.deg2rad(2.0)
+    reg_stab = np.eye(4, dtype=np.float32)
+    reg_stab[1:3, 1:3] = 1.01 * np.array(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]],
+        np.float32,
+    )
+    reg_stab[:3, 3] = [0.5, -1.25, 2.0]
+
     def fused(v, tf):
         decon = deconvolve_zyx(v, tf, regularization_strength=1e-3)
         return deskew_zyx(
@@ -54,6 +66,10 @@ def main() -> None:
             keep_overhang=False,
             average_window=3,
         )
+
+    def full_chain(v, tf):
+        deskewed = fused(v, tf)
+        return inplane_affine_warp_zyx(deskewed, reg_stab, deskewed.shape)
 
     def step_with_probe(v, tf):
         out = jax.vmap(fused, in_axes=(0, None))(v, tf)
@@ -78,8 +94,23 @@ def main() -> None:
     float(probe)
     elapsed = time.perf_counter() - t0
 
+    # End-to-end chain (deconvolve + deskew + register∘stabilize warp)
+    def chain_with_probe(v, tf):
+        out = jax.vmap(full_chain, in_axes=(0, None))(v, tf)
+        return out, jnp.sum(out[:, 0, 0, :8])
+
+    chain = jax.jit(chain_with_probe)
+    out, probe = chain(vol_d, tf_d)
+    float(probe)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out, probe = chain(vol_d, tf_d)
+    float(probe)
+    chain_elapsed = time.perf_counter() - t0
+
     n_volumes = args.iters * args.batch
     sec_per_volume = elapsed / n_volumes
+    chain_sec_per_volume = chain_elapsed / n_volumes
     voxels = int(np.prod(shape))
     voxels_per_sec = voxels / sec_per_volume
 
@@ -87,6 +118,9 @@ def main() -> None:
     # Normalize the baseline to this FOV's voxel count: the reference's
     # calibration volumes are of the same class (mantis light-sheet FOV).
     vs_baseline = baseline_sec_per_volume / sec_per_volume
+    # Full chain baseline: ~2 min/volume per BASELINE.md's derived
+    # deconvolve+deskew+register+stabilize estimate (1-3 min/volume).
+    chain_vs_baseline = 120.0 / chain_sec_per_volume
 
     print(
         json.dumps(
@@ -98,8 +132,11 @@ def main() -> None:
                 "detail": {
                     "fov_zyx": list(shape),
                     "sec_per_volume": round(sec_per_volume, 4),
+                    "e2e_chain_sec_per_volume": round(chain_sec_per_volume, 4),
+                    "e2e_chain_vs_baseline": round(chain_vs_baseline, 2),
                     "device": str(jax.devices()[0]),
-                    "baseline": "16-CPU Slurm node @ ~60 s/volume for deskew+deconvolve",
+                    "baseline": "16-CPU Slurm node @ ~60 s/volume for deskew+deconvolve; "
+                    "~120 s/volume for the 4-step chain",
                 },
             }
         )

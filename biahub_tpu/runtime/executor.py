@@ -38,6 +38,32 @@ __all__ = ["resolve_cluster", "sbatch_to_overrides", "BatchRunner", "WorkUnit"]
 DEFAULT_MAX_BATCH_BYTES = 2 * 2**30
 
 
+_CACHE_ENABLED = False
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across CLI invocations.
+
+    Every biahub verb is a separate process; without this, each run repays the
+    full TPU compile (tens of seconds to minutes for large batched programs).
+    Opt out with BIAHUB_TPU_NO_COMPILE_CACHE=1.
+    """
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED or os.environ.get("BIAHUB_TPU_NO_COMPILE_CACHE") == "1":
+        return
+    cache_dir = os.environ.get(
+        "BIAHUB_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "biahub_tpu", "jax_cache"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+    _CACHE_ENABLED = True
+
+
 def resolve_cluster(cluster: str | None = None, local: bool = False) -> str:
     """Resolve the execution mode. CI forces 'debug'; explicit value wins.
 
@@ -134,6 +160,7 @@ class BatchRunner:
         self.max_batch_bytes = max_batch_bytes
         self.mesh = mesh if mesh is not None else get_mesh()
         self._jit_cache: dict[int, Callable] = {}
+        _enable_compilation_cache()
 
     # -- planning ------------------------------------------------------------
 
@@ -236,9 +263,12 @@ class BatchRunner:
                     for name in per_unit[0]:
                         params[name] = np.stack([p[name] for p in per_unit])
 
-                pad = -len(chunk) % min(B, self.n_devices) if sharding else 0
+                # Pad EVERY chunk to the full batch size so one compiled
+                # program serves the whole group (ragged tail batches would
+                # otherwise trigger a fresh XLA compile each).
+                pad = B - len(chunk) if len(chunks) > 1 else 0
                 if sharding and (len(chunk) + pad) % self.n_devices:
-                    pad = -len(chunk) % self.n_devices
+                    pad += -(len(chunk) + pad) % self.n_devices
                 if pad:
                     volumes = np.concatenate([volumes, volumes[-1:].repeat(pad, 0)])
                     for name in params:

@@ -378,6 +378,12 @@ class DeskewSettings(MyBaseModel):
     keep_overhang: bool = False
     overhang_fill: Literal["mean"] | float = 0
     average_n_slices: PositiveInt = 3
+
+    @field_validator("overhang_fill")
+    @classmethod
+    def _coerce_fill(cls, v):
+        # ints serialize cleanly as floats (0 vs 0.0 would warn on dump)
+        return float(v) if not isinstance(v, str) else v
     device: str = "cpu"
     output_ome_zarr_version: OmeZarrVersion | None = None
 

@@ -29,6 +29,7 @@ import numpy as np
 
 from biahub_tpu.io.ngff import Position
 from biahub_tpu.io.progress import ProgressStore
+from biahub_tpu.runtime.profiling import batch_timer
 from biahub_tpu.parallel.mesh import batch_sharding, get_mesh
 
 __all__ = ["resolve_cluster", "sbatch_to_overrides", "BatchRunner", "WorkUnit"]
@@ -250,6 +251,7 @@ class BatchRunner:
             ]
             # Prefetch: start reads for the next chunk before computing this one.
             read_futures = _start_reads(chunks[0], input_positions)
+            unit_bytes = int(np.prod(group.shape)) * 4
             for ci, chunk in enumerate(chunks):
                 volumes = np.stack(
                     [np.asarray(f.result(), dtype=np.float32) for f in read_futures]
@@ -278,10 +280,11 @@ class BatchRunner:
 
                 fn = self._jitted(kernel, tuple(sorted(params)))
                 args = [params[k] for k in sorted(params)]
-                if sharding is not None:
-                    volumes = jax.device_put(volumes, sharding)
-                result = fn(volumes, *args)
-                result_np = np.asarray(result)
+                with batch_timer(f"batch {ci + 1}/{len(chunks)}", len(chunk), unit_bytes):
+                    if sharding is not None:
+                        volumes = jax.device_put(volumes, sharding)
+                    result = fn(volumes, *args)
+                    result_np = np.asarray(result)
                 if pad:
                     result_np = result_np[: len(chunk)]
 

@@ -103,6 +103,30 @@ def copy_n_paste_czyx(czyx_data: np.ndarray, czyx_slicing_params: list) -> np.nd
     ]
 
 
+def append_channels(input_data_path: Path, target_data_path: Path) -> None:
+    """Append every channel of one store to the positions of another.
+
+    Mirrors the reference helper (reference: biahub/cli/utils.py:242-267).
+    """
+    from biahub_tpu.io.ngff import open_ome_zarr
+
+    appending = open_ome_zarr(input_data_path, mode="r")
+    appending_names = appending.channel_names
+    target = open_ome_zarr(target_data_path, mode="r+")
+    for name, position in target.positions():
+        target_names = position.channel_names
+        num_existing = len(target_names)
+        src_pos = appending[name]
+        old = position.data[...]
+        T, C, Z, Y, X = old.shape
+        new = np.zeros((T, C + len(appending_names), Z, Y, X), old.dtype)
+        new[:, :C] = old
+        for i in range(len(appending_names)):
+            position.append_channel(appending_names[i])
+            new[:, num_existing + i] = src_pos.data[:, i]
+        position.create_image("0", new)
+
+
 def _is_empty(frame: np.ndarray) -> bool:
     return bool(np.all(np.isnan(frame)) or np.all(frame == 0))
 

@@ -315,6 +315,12 @@ class GraphMatcher:
             for j in range(m)
         ]
 
+        from biahub_tpu._native import edge_consistency_costs as native_costs
+
+        native = native_costs(mov_lists, ref_lists, default_cost)
+        if native is not None:
+            return native.astype(np.float32)
+
         for i in range(n):
             a = mov_lists[i]
             if len(a) == 0:

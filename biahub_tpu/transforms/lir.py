@@ -20,6 +20,13 @@ def largest_interior_rectangle(mask: np.ndarray) -> tuple[int, int, int, int]:
     """
     mask = np.asarray(mask, dtype=bool)
     h, w = mask.shape
+
+    from biahub_tpu._native import lir_2d as native_lir
+
+    native = native_lir(mask)
+    if native is not None:
+        return native
+
     best_area = 0
     best = (0, 0, 0, 0)
     heights = np.zeros(w, dtype=np.int64)

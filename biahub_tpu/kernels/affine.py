@@ -11,6 +11,7 @@ to INPUT index coordinates, matching ``scipy.ndimage.affine_transform``'s
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -206,26 +207,54 @@ def is_inplane_matrix(matrix, atol: float = 1e-9) -> bool:
     )
 
 
-def _lerp_axis0(data: jax.Array, coords: jax.Array, fill: float) -> jax.Array:
+def _lerp_axis0(
+    data: jax.Array, coords: jax.Array, fill: float, clamp: bool = False
+) -> jax.Array:
     """Resample axis 0 of ``data`` at fractional ``coords``.
 
     ``coords`` has the output shape of the leading axes being gathered over;
     it must be broadcastable to data.shape with the gather axis replaced, and
     crucially must be CONSTANT along the lane (last) axis — that keeps the
     take_along_axis a fast row gather on TPU (see kernels/deskew.py).
+
+    clamp=True extends edge values instead of filling out-of-range samples —
+    used by multi-pass warps whose intermediate stages must not inject fill
+    near the boundary (the caller applies the exact domain mask at the end).
     """
     size_in = data.shape[0]
     i0 = jnp.floor(coords)
     frac = coords - i0
     i0 = i0.astype(jnp.int32)
-    in_domain = (coords >= 0) & (coords <= size_in - 1)
     idx0 = jnp.clip(i0, 0, size_in - 1)
     idx1 = jnp.clip(i0 + 1, 0, size_in - 1)
 
     v0 = jnp.take_along_axis(data, idx0, axis=0)
     v1 = jnp.take_along_axis(data, idx1, axis=0)
     out = v0 * (1 - frac).astype(data.dtype) + v1 * frac.astype(data.dtype)
+    if clamp:
+        return out
+    in_domain = (coords >= 0) & (coords <= size_in - 1)
     return jnp.where(in_domain, out, jnp.asarray(fill, data.dtype))
+
+
+def _exact_domain_mask(out, matrix, in_shape, out_shape, fill):
+    """Enforce scipy's whole-sample constant fill from the ORIGINAL matrix.
+
+    Pure broadcast arithmetic (no gather): an output voxel whose exact input
+    coordinate falls outside the input domain becomes ``fill``, exactly as
+    scipy.ndimage.affine_transform(mode="constant") does. Multi-pass warps
+    call this once at the end instead of filling per pass, which would carve
+    a staircase into the boundary.
+    """
+    zo = jnp.arange(out_shape[0], dtype=jnp.float32)[:, None, None]
+    yo = jnp.arange(out_shape[1], dtype=jnp.float32)[None, :, None]
+    xo = jnp.arange(out_shape[2], dtype=jnp.float32)[None, None, :]
+    inside = None
+    for ax in range(3):
+        c = matrix[ax, 0] * zo + matrix[ax, 1] * yo + matrix[ax, 2] * xo + matrix[ax, 3]
+        ok = (c >= 0) & (c <= in_shape[ax] - 1)
+        inside = ok if inside is None else inside & ok
+    return jnp.where(inside, out, jnp.asarray(fill, out.dtype))
 
 
 @partial(jax.jit, static_argnames=("output_shape",))
@@ -252,10 +281,11 @@ def inplane_affine_warp_zyx(
     matrix = jnp.asarray(matrix, dtype=jnp.float32)
     volume = volume.astype(jnp.float32)
 
-    # z-pass: zi = mzz * zo + tz, broadcast over (Y, X)
+    # z-pass: zi = mzz * zo + tz, broadcast over (Y, X). All passes clamp to
+    # edge values; the exact domain mask at the end restores constant fill.
     zo = jnp.arange(Zo, dtype=jnp.float32)[:, None, None]
     zi = matrix[0, 0] * zo + matrix[0, 3]
-    a = _lerp_axis0(volume, zi, fill)  # (Zo, Yi, Xi)
+    a = _lerp_axis0(volume, zi, fill, clamp=True)  # (Zo, Yi, Xi)
 
     # In-plane factorization (see docstring); traced-safe arithmetic.
     myy, myx, ty = matrix[1, 1], matrix[1, 2], matrix[1, 3]
@@ -270,7 +300,7 @@ def inplane_affine_warp_zyx(
     x_idx = jnp.arange(a_t.shape[1], dtype=jnp.float32)[None, :, None]
     yi = b0 * yo_idx + b1 * x_idx + b2
     yi = jnp.broadcast_to(yi, (Yo, a_t.shape[1], 1))
-    b = _lerp_axis0(a_t, yi, fill)  # (Yo, Xi, Zo)
+    b = _lerp_axis0(a_t, yi, fill, clamp=True)  # (Yo, Xi, Zo)
 
     # x-pass in (X, Y, Z) layout: idx varies over (xo, yo), constant over lanes z
     b_t = jnp.transpose(b, (1, 0, 2))  # (Xi, Yo, Zo)
@@ -278,9 +308,10 @@ def inplane_affine_warp_zyx(
     yo2 = jnp.arange(Yo, dtype=jnp.float32)[None, :, None]
     xi = mxx * xo_idx + mxy * yo2 + tx
     xi = jnp.broadcast_to(xi, (Xo, Yo, 1))
-    c = _lerp_axis0(b_t, xi, fill)  # (Xo, Yo, Zo)
+    c = _lerp_axis0(b_t, xi, fill, clamp=True)  # (Xo, Yo, Zo)
 
-    return jnp.transpose(c, (2, 1, 0))
+    out = jnp.transpose(c, (2, 1, 0))
+    return _exact_domain_mask(out, matrix, volume.shape, output_shape, fill)
 
 
 def affine_warp_auto(
@@ -307,14 +338,21 @@ def affine_warp_auto(
             volume, jnp.asarray(matrix, dtype=jnp.float32), tuple(output_shape),
             fill=fill,
         )
-    if jax.default_backend() == "tpu":
-        import warnings
+    if (
+        order == 1
+        and jax.default_backend() == "tpu"
+        and os.environ.get("BIAHUB_TPU_EXACT_WARP") != "1"
+    ):
+        # General 3D affine: factored elementary passes (~80x faster than the
+        # exact elementwise gather on TPU; interpolation-tolerance parity).
+        from biahub_tpu.kernels.multipass_warp import multipass_affine_warp_zyx
 
-        warnings.warn(
-            "affine_warp_auto: matrix couples z with (y, x); falling back to "
-            "the exact elementwise gather, which is slow on TPU.",
-            stacklevel=2,
-        )
+        try:
+            return multipass_affine_warp_zyx(
+                volume, matrix, tuple(output_shape), fill=fill
+            )
+        except ValueError:
+            pass  # singular/zero-pivot matrices fall through to the gather
     return affine_warp_zyx(volume, jnp.asarray(matrix, dtype=jnp.float32),
                            tuple(output_shape), fill=fill, order=order)
 

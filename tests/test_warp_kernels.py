@@ -1,0 +1,155 @@
+"""Parity tests for the warp kernel family against scipy.ndimage.
+
+Covers the exact 8-corner gather, the translation / in-plane factored fast
+paths, and the general multipass warp (reference resamplers these replace:
+biahub/deskew.py:430-544, biahub/core/transform.py:374-396).
+"""
+
+import numpy as np
+import pytest
+from scipy.ndimage import affine_transform, gaussian_filter
+from scipy.spatial.transform import Rotation
+
+from biahub_tpu.kernels.affine import (
+    affine_warp_auto,
+    affine_warp_zyx,
+    inplane_affine_warp_zyx,
+    translation_warp_zyx,
+)
+from biahub_tpu.kernels.multipass_warp import (
+    _pass_matrix,
+    factor_affine,
+    multipass_affine_warp_zyx,
+)
+
+
+@pytest.fixture(scope="module")
+def smooth_volume():
+    rng = np.random.default_rng(7)
+    return gaussian_filter(rng.random((40, 56, 48)), 2.0).astype(np.float32)
+
+
+def _scipy_warp(vol, M, output_shape=None, fill=0.0):
+    return affine_transform(
+        vol,
+        M[:3, :3],
+        M[:3, 3],
+        output_shape=output_shape or vol.shape,
+        order=1,
+        mode="constant",
+        cval=fill,
+    )
+
+
+def test_exact_warp_matches_scipy(smooth_volume):
+    R3 = Rotation.from_euler("xyz", [8, -5, 12], degrees=True).as_matrix()
+    M = np.eye(4)
+    M[:3, :3] = 1.04 * R3
+    M[:3, 3] = [1.0, -2.0, 1.5]
+    ref = _scipy_warp(smooth_volume, M)
+    out = np.asarray(affine_warp_zyx(smooth_volume, M, smooth_volume.shape))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_translation_warp_matches_scipy(smooth_volume):
+    M = np.eye(4)
+    M[:3, 3] = [2.3, -4.1, 1.7]
+    ref = _scipy_warp(smooth_volume, M)
+    out = np.asarray(
+        translation_warp_zyx(smooth_volume, M[:3, 3], smooth_volume.shape)
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_inplane_warp_matches_scipy(smooth_volume):
+    M = np.eye(4)
+    theta = np.deg2rad(9.0)
+    M[1:3, 1:3] = 1.03 * np.array(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+    )
+    M[0, 0] = 0.97
+    M[:3, 3] = [0.4, 3.2, -1.1]
+    ref = _scipy_warp(smooth_volume, M)
+    out = np.asarray(inplane_affine_warp_zyx(smooth_volume, M, smooth_volume.shape))
+    interior = (slice(2, -2),) * 3
+    assert np.abs(out[interior] - ref[interior]).max() < 5e-3
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_factor_affine_self_check(seed):
+    rng = np.random.default_rng(seed)
+    M = np.eye(4)
+    M[:3, :3] = np.eye(3) + 0.3 * rng.standard_normal((3, 3))
+    if abs(np.linalg.det(M[:3, :3])) < 0.1:
+        pytest.skip("near-singular draw")
+    M[:3, 3] = 5.0 * rng.standard_normal(3)
+    product = np.eye(4)
+    for p in factor_affine(M):
+        product = product @ _pass_matrix(*p)
+    np.testing.assert_allclose(product, M, atol=1e-6)
+
+
+def test_factor_affine_rejects_singular():
+    M = np.eye(4)
+    M[0, 0] = 0.0
+    M[0, 1] = 1.0
+    M[1, 0] = 1.0
+    M[1, 1] = 0.0  # 90-degree permutation: zero pivot
+    with pytest.raises(ValueError):
+        factor_affine(M)
+
+
+def test_multipass_translation_exact(smooth_volume):
+    M = np.eye(4)
+    M[:3, 3] = [2.3, -4.1, 1.7]
+    ref = _scipy_warp(smooth_volume, M)
+    out = np.asarray(multipass_affine_warp_zyx(smooth_volume, M, smooth_volume.shape))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_multipass_rotation_parity(smooth_volume):
+    """Full 3D rotation + scale: interpolation-tolerance parity everywhere,
+    exact scipy constant fill outside the input domain."""
+    R3 = Rotation.from_euler("xyz", [8, -5, 12], degrees=True).as_matrix()
+    M = np.eye(4)
+    M[:3, :3] = 1.04 * R3
+    M[:3, 3] = [1.0, -2.0, 1.5]
+    ref = _scipy_warp(smooth_volume, M)
+    out = np.asarray(multipass_affine_warp_zyx(smooth_volume, M, smooth_volume.shape))
+
+    # Outside-domain voxels are exactly fill, as in scipy mode="constant"
+    g = np.stack(
+        np.meshgrid(*[np.arange(s) for s in smooth_volume.shape], indexing="ij"), -1
+    ).astype(float)
+    ci = g @ M[:3, :3].T + M[:3, 3]
+    outside = (
+        (ci < 0) | (ci > np.asarray(smooth_volume.shape) - 1.0)
+    ).any(axis=-1)
+    assert np.abs(out[outside]).max() == 0.0
+
+    d = np.abs(out - ref)
+    scale = np.abs(ref).max()
+    assert d.max() / scale < 0.02  # multi-pass interpolation smoothing
+    assert d.mean() / scale < 1e-3
+
+
+def test_multipass_output_shape_change(smooth_volume):
+    M = np.eye(4)
+    M[:3, :3] = np.diag([0.9, 1.1, 0.95])
+    M[:3, 3] = [1.0, -3.0, 2.0]
+    out_shape = (48, 50, 52)
+    ref = _scipy_warp(smooth_volume, M, output_shape=out_shape)
+    out = np.asarray(multipass_affine_warp_zyx(smooth_volume, M, out_shape))
+    assert out.shape == out_shape
+    d = np.abs(out - ref)
+    assert d.max() / np.abs(ref).max() < 0.02
+
+
+def test_auto_dispatch_general_matches_exact_on_cpu(smooth_volume):
+    # On CPU the auto path keeps the exact gather for general matrices
+    R3 = Rotation.from_euler("xyz", [4, 3, -6], degrees=True).as_matrix()
+    M = np.eye(4)
+    M[:3, :3] = R3
+    ref = _scipy_warp(smooth_volume, M)
+    out = np.asarray(affine_warp_auto(smooth_volume, M, smooth_volume.shape))
+    np.testing.assert_allclose(out, ref, atol=2e-5)

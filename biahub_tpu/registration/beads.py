@@ -24,7 +24,7 @@ import click
 import numpy as np
 from scipy.spatial import cKDTree
 
-from biahub_tpu.kernels.affine import affine_warp_zyx
+from biahub_tpu.kernels.affine import affine_warp_auto
 from biahub_tpu.kernels.peaks import detect_peaks
 from biahub_tpu.settings import (
     AffineTransformSettings,
@@ -48,10 +48,11 @@ __all__ = [
 
 
 def _warp(mov: np.ndarray, warp_matrix: np.ndarray, out_shape) -> np.ndarray:
+    # Concrete matrix: auto dispatch picks the fast factored kernel on TPU.
     return np.asarray(
-        affine_warp_zyx(
+        affine_warp_auto(
             np.nan_to_num(np.asarray(mov, dtype=np.float32), nan=0),
-            np.asarray(warp_matrix, dtype=np.float32),
+            np.asarray(warp_matrix, dtype=np.float64),
             tuple(out_shape),
         )
     )

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from biahub_tpu.kernels.affine import affine_warp_zyx
+from biahub_tpu.kernels.affine import affine_warp_auto, affine_warp_zyx
 from biahub_tpu.settings import AffineTransformSettings, AntsRegistrationSettings
 
 __all__ = [
@@ -223,10 +223,10 @@ def preprocess_czyx(
     for idx in mov_channel_index:
         if verbose:
             click.echo(f"Applying initial transform to moving channel {idx}...")
+        # Concrete matrix: the auto dispatch picks the fast multipass /
+        # factored kernel on TPU instead of the elementwise gather.
         warped = np.asarray(
-            affine_warp_zyx(
-                np.nan_to_num(mov_czyx[idx]), initial.astype(np.float32), ref_zyx.shape
-            )
+            affine_warp_auto(np.nan_to_num(mov_czyx[idx]), initial, ref_zyx.shape)
         )
         mov_channels.append(warped)
 

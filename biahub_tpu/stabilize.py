@@ -36,6 +36,7 @@ from biahub_tpu.kernels.affine import (
     is_translation_matrix,
     translation_warp_zyx,
 )
+from biahub_tpu.kernels.multipass_warp import make_batched_multipass_kernel
 from biahub_tpu.runtime import BatchRunner, estimate_resources, resolve_cluster
 from biahub_tpu.runtime.executor import WorkUnit
 from biahub_tpu.settings import StabilizationSettings
@@ -164,8 +165,11 @@ def stabilize(
     # One compiled kernel serves every timepoint; the matrix is a traced
     # per-unit parameter, so the kernel STRUCTURE is chosen host-side from the
     # whole matrix list (translations and z-decoupled affines avoid TPU's
-    # slow elementwise gather; see kernels.affine).
+    # slow elementwise gather; see kernels.affine). Fully general matrices run
+    # the batched multipass program: per-matrix LU coefficients ride along as
+    # a traced (7, 3) parameter through one fixed pass sequence.
     all_mats = np.concatenate(per_position_mats)
+    param_fn = lambda u: {"matrix": per_position_mats[u.pos_idx][u.t]}  # noqa: E731
     if all(is_translation_matrix(m) for m in all_mats):
         def kernel(zyx, matrix):
             return translation_warp_zyx(zyx, matrix[:3, 3], out_shape_zyx)
@@ -173,8 +177,21 @@ def stabilize(
         def kernel(zyx, matrix):
             return inplane_affine_warp_zyx(zyx, matrix, out_shape_zyx)
     else:
-        def kernel(zyx, matrix):
-            return affine_warp_zyx(zyx, matrix, out_shape_zyx)
+        try:
+            kernel, mp_params = make_batched_multipass_kernel(
+                all_mats, (Z, Y, X), out_shape_zyx
+            )
+            offsets = np.cumsum([0] + [len(m) for m in per_position_mats])
+
+            def param_fn(u):
+                flat = offsets[u.pos_idx] + u.t
+                return {
+                    "matrix": per_position_mats[u.pos_idx][u.t],
+                    "mp": mp_params[flat],
+                }
+        except ValueError:  # vanishing pivot (e.g. 90-degree permutation)
+            def kernel(zyx, matrix):
+                return affine_warp_zyx(zyx, matrix, out_shape_zyx)
 
     runner = BatchRunner(cluster=resolved)
     n = runner.run_units(
@@ -182,7 +199,7 @@ def stabilize(
         units,
         input_positions,
         output_positions,
-        per_unit_params=lambda u: {"matrix": per_position_mats[u.pos_idx][u.t]},
+        per_unit_params=param_fn,
     )
     click.echo(f"Stabilized {n} (t, c) volumes")
 

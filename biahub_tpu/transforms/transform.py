@@ -131,13 +131,13 @@ class Transform:
         fill: float = 0.0,
     ):
         """Resample a volume: out[o] = volume[inverse(matrix) @ o], on device."""
-        from biahub_tpu.kernels.affine import affine_warp_zyx
+        from biahub_tpu.kernels.affine import affine_warp_auto
 
         if self.ndim != 3:
             raise NotImplementedError("Image application is 3D-only")
         out_shape = tuple(output_shape or volume.shape)
         inv = np.linalg.inv(self._matrix)
-        return affine_warp_zyx(volume, inv, out_shape, fill=fill, order=order)
+        return affine_warp_auto(volume, inv, out_shape, fill=fill, order=order)
 
     # -- serialization ----------------------------------------------------------
 

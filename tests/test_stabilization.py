@@ -187,3 +187,58 @@ def test_estimate_stabilization_focus_finding_z(tmp_path):
     assert result.exit_code == 0, result.output
     assert (est_dir / "positions_focus.csv").exists()
     assert (est_dir / "z_stabilization_settings" / "A_1_0.yml").exists()
+
+
+def test_stabilize_general_3d_matrices(tmp_path):
+    """General (z-coupled) per-timepoint affines run the batched multipass
+    kernel; the output must match scipy's affine_transform per frame."""
+    from scipy.ndimage import affine_transform
+    from scipy.spatial.transform import Rotation
+
+    base = _blob_volume(shape=(16, 40, 40))
+    data = np.stack([base, base])[:, None]  # (T=2, C=1, Z, Y, X)
+    plate_path = tmp_path / "general.zarr"
+    plate = open_ome_zarr(plate_path, layout="hcs", mode="w", channel_names=["GFP"])
+    pos = plate.create_position("A", "1", "0")
+    pos.create_image(
+        "0", data, transform=[TransformationMeta(type="scale", scale=(1, 1, 1, 0.1, 0.1))]
+    )
+
+    mats = [np.eye(4), np.eye(4)]
+    R3 = Rotation.from_euler("xyz", [5, -3, 7], degrees=True).as_matrix()
+    mats[1][:3, :3] = R3
+    mats[1][:3, 3] = [0.5, -1.0, 1.5]
+
+    config = {
+        "affine_transform_zyx_list": [m.tolist() for m in mats],
+        "time_indices": "all",
+        "stabilization_estimation_channel": "GFP",
+        "stabilization_channels": ["GFP"],
+        "stabilization_type": "xyz",
+        "stabilization_method": "phase-cross-corr",
+    }
+    config_path = tmp_path / "stab.yml"
+    with open(config_path, "w") as f:
+        yaml.dump(config, f)
+
+    out_path = tmp_path / "stabilized.zarr"
+    result = CliRunner().invoke(
+        cli,
+        [
+            "stabilize",
+            "-i", str(plate_path / "A" / "1" / "0"),
+            "-o", str(out_path),
+            "-c", str(config_path),
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    out = open_ome_zarr(out_path)["A/1/0"].data[...]
+    for t, M in enumerate(mats):
+        r1 = affine_transform(base, M[:3, :3], M[:3, 3], order=1, mode="constant")
+        r3 = affine_transform(base, M[:3, :3], M[:3, 3], order=3, mode="constant")
+        # On bead-like data every interpolator disagrees; the multipass warp
+        # must stay within the order-1 <-> order-3 interpolator spread.
+        band = max(np.abs(r1 - r3).max(), 1e-6)
+        d = np.abs(out[t, 0] - r1)
+        assert d.max() <= 1.1 * band, f"t={t}: {d.max()} vs band {band}"
+        assert d.mean() <= np.abs(r1).max() * 2e-3

@@ -19,6 +19,7 @@ from biahub_tpu.kernels.affine import (
 from biahub_tpu.kernels.multipass_warp import (
     _pass_matrix,
     factor_affine,
+    make_batched_multipass_kernel,
     multipass_affine_warp_zyx,
 )
 
@@ -99,9 +100,17 @@ def test_factor_affine_rejects_singular():
         factor_affine(M)
 
 
-def test_multipass_translation_exact(smooth_volume):
+def test_multipass_translation(smooth_volume):
+    # Catmull-Rom passes vs scipy's linear: interpolation-tolerance parity on
+    # fractional shifts (integer shifts are exact: cubic weights collapse to a
+    # copy at t=0).
     M = np.eye(4)
     M[:3, 3] = [2.3, -4.1, 1.7]
+    ref = _scipy_warp(smooth_volume, M)
+    out = np.asarray(multipass_affine_warp_zyx(smooth_volume, M, smooth_volume.shape))
+    assert np.abs(out - ref).max() < 5e-3
+
+    M[:3, 3] = [2.0, -4.0, 1.0]
     ref = _scipy_warp(smooth_volume, M)
     out = np.asarray(multipass_affine_warp_zyx(smooth_volume, M, smooth_volume.shape))
     np.testing.assert_allclose(out, ref, atol=1e-5)
@@ -143,6 +152,38 @@ def test_multipass_output_shape_change(smooth_volume):
     assert out.shape == out_shape
     d = np.abs(out - ref)
     assert d.max() / np.abs(ref).max() < 0.02
+
+
+def test_batched_multipass_kernel(smooth_volume):
+    """One compiled program, per-matrix traced coefficients: each batch entry
+    matches its scipy warp, including pure translations (identity slots)."""
+    import jax
+
+    mats = []
+    M = np.eye(4)
+    M[:3, 3] = [1.5, -2.5, 0.5]
+    mats.append(M.copy())
+    R3 = Rotation.from_euler("xyz", [6, -4, 9], degrees=True).as_matrix()
+    M = np.eye(4)
+    M[:3, :3] = 0.98 * R3
+    M[:3, 3] = [0.5, 1.0, -1.5]
+    mats.append(M.copy())
+
+    kernel, params = make_batched_multipass_kernel(
+        mats, smooth_volume.shape, smooth_volume.shape
+    )
+    jit_kernel = jax.jit(kernel)
+    for M, mp in zip(mats, params):
+        ref = _scipy_warp(smooth_volume, M)
+        out = np.asarray(jit_kernel(smooth_volume, M.astype(np.float32), mp))
+        d = np.abs(out - ref)
+        assert d.max() / np.abs(ref).max() < 0.02
+
+    with pytest.raises(ValueError):
+        bad = np.eye(4)
+        bad[0, 0] = bad[1, 1] = 0.0
+        bad[0, 1] = bad[1, 0] = 1.0
+        make_batched_multipass_kernel([bad], smooth_volume.shape, smooth_volume.shape)
 
 
 def test_auto_dispatch_general_matches_exact_on_cpu(smooth_volume):

@@ -242,3 +242,77 @@ def test_stabilize_general_3d_matrices(tmp_path):
         d = np.abs(out[t, 0] - r1)
         assert d.max() <= 1.1 * band, f"t={t}: {d.max()} vs band {band}"
         assert d.mean() <= np.abs(r1).max() * 2e-3
+
+
+def test_estimate_stabilization_beads_roundtrip(tmp_path):
+    """Beads method: frames with drifting bead fields → per-t matrices that
+    realign them (reference: biahub/estimate_stabilization.py:1393-1443)."""
+    rng = np.random.default_rng(3)
+    shape = (16, 64, 64)
+    n_beads = 25
+    pts = np.stack([rng.integers(4, s - 4, size=n_beads) for s in shape], axis=1)
+    base = np.zeros(shape, np.float32)
+    base[pts[:, 0], pts[:, 1], pts[:, 2]] = 5000.0
+    from scipy.ndimage import gaussian_filter
+
+    base = gaussian_filter(base, 1.0).astype(np.float32)
+
+    drifts = [(0, 0, 0), (1, 3, -2), (2, -2, 4)]
+    data = np.stack(
+        [np.roll(base, tuple(d), axis=(0, 1, 2)) for d in drifts]
+    )[:, None]
+    plate_path = tmp_path / "beads.zarr"
+    plate = open_ome_zarr(plate_path, layout="hcs", mode="w", channel_names=["GFP"])
+    pos = plate.create_position("A", "1", "0")
+    pos.create_image(
+        "0", data, transform=[TransformationMeta(type="scale", scale=(1, 1, 1, 0.1, 0.1))]
+    )
+
+    config = {
+        "stabilization_estimation_channel": "GFP",
+        "stabilization_channels": ["GFP"],
+        "stabilization_type": "xyz",
+        "stabilization_method": "beads",
+        "beads_match_settings": {
+            "algorithm": "hungarian",
+            # nms_distance default (16) is tuned for 2048-px FOVs; the test
+            # image is 64 px with ~10 px bead spacing.
+            "source_peaks_settings": {
+                "threshold_abs": 50.0, "block_size": [8, 8, 8], "nms_distance": 4,
+            },
+            "target_peaks_settings": {
+                "threshold_abs": 50.0, "block_size": [8, 8, 8], "nms_distance": 4,
+            },
+        },
+        "affine_transform_settings": {
+            "transform_type": "euclidean",
+            "t_reference": "first",
+        },
+    }
+    config_path = tmp_path / "est_beads.yml"
+    with open(config_path, "w") as f:
+        yaml.dump(config, f)
+
+    est_dir = tmp_path / "beads_est"
+    result = CliRunner().invoke(
+        cli,
+        [
+            "estimate-stabilization",
+            "-i", str(plate_path / "A" / "1" / "0"),
+            "-o", str(est_dir),
+            "-c", str(config_path),
+            "--local",
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    settings_yml = est_dir / "xyz_stabilization_settings.yml"
+    assert settings_yml.exists()
+    with open(settings_yml) as f:
+        stab = yaml.safe_load(f)
+    mats = np.asarray(stab["affine_transform_zyx_list"])
+    assert mats.shape == (3, 4, 4)
+    # Warping frame t by mats[t] must realign it to t=0: the translation part
+    # equals the drift (output->input coords; frame t content moved by +d).
+    for t, d in enumerate(drifts):
+        np.testing.assert_allclose(mats[t][:3, :3], np.eye(3), atol=0.05)
+        np.testing.assert_allclose(mats[t][:3, 3], d, atol=0.35, err_msg=f"t={t}")

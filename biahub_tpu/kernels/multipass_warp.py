@@ -33,6 +33,7 @@ __all__ = [
     "multipass_affine_warp_zyx",
     "factor_affine",
     "make_batched_multipass_kernel",
+    "make_traced_multipass_warp",
 ]
 
 
@@ -341,3 +342,87 @@ def make_batched_multipass_kernel(
         return _exact_domain_mask(out, matrix, in_shape_t, out_shape_t, float(fill))
 
     return kernel, params
+
+
+def make_traced_multipass_warp(
+    in_shape: tuple[int, int, int],
+    out_shape: tuple[int, int, int],
+    fill: float = 0.0,
+    margin: float = 0.25,
+):
+    """Differentiable multipass warp for TRACED matrices.
+
+    Gradient-based registration (registration/intensity.py) evaluates the
+    warp inside a jitted optimizer where the matrix is a function of traced
+    parameters, so host-side factorization is impossible. The LU coefficients
+    of the canonical pass program and the translation back-substitution have
+    closed forms, so they are computed with traced arithmetic instead; the
+    common frame becomes a static conservative box (each axis padded by
+    ``margin`` of its extent). Passes sampling beyond the frame clamp to edge
+    values — keep the optimized transform's excursion within the margin.
+
+    Returns ``warp(volume, matrix) -> warped`` differentiable in both
+    arguments. Not protected against vanishing pivots: matrices must stay
+    away from 90-degree permutations (true for similarity refinement around
+    an initial alignment).
+    """
+    in_shape = tuple(int(s) for s in in_shape)
+    out_shape = tuple(int(s) for s in out_shape)
+    ext = np.maximum(np.asarray(in_shape), np.asarray(out_shape))
+    pad_n = np.ceil(margin * ext).astype(int) + 2
+    off = -pad_n
+    size = ext + 2 * pad_n + 2
+    frame_shape = tuple(int(s) for s in size)
+    pad = [(int(-off[ax]), int(size[ax] - in_shape[ax] + off[ax])) for ax in range(3)]
+    start = (-off).astype(int)
+
+    def warp(volume, matrix):
+        from biahub_tpu.kernels.affine import _exact_domain_mask
+
+        matrix = jnp.asarray(matrix, jnp.float32)
+        a = matrix[:3, :3]
+        t = matrix[:3, 3]
+        # Doolittle LU of the 3x3 (no pivoting), then the U row-pass
+        # coefficients — identical math to _factor_canonical, traced.
+        l10 = a[1, 0] / a[0, 0]
+        l20 = a[2, 0] / a[0, 0]
+        u11 = a[1, 1] - l10 * a[0, 1]
+        u12 = a[1, 2] - l10 * a[0, 2]
+        l21 = (a[2, 1] - l20 * a[0, 1]) / u11
+        u22 = a[2, 2] - l20 * a[0, 2] - l21 * u12
+        u00, u01, u02 = a[0, 0], a[0, 1], a[0, 2]
+        alpha = u01 / u11
+        gamma = u12 / u22
+        beta = (u02 / u22 - alpha * gamma) / u00
+        # Translations: slots (1,0), (2,0), (0,1) carry the unknowns; the
+        # prefix products are I, E(1,0), and L respectively, so the 3x3
+        # system back-substitutes in closed form.
+        tau_0 = t[0]
+        tau_1 = t[1] - t[0] * l10
+        tau_2 = t[2] - t[0] * (l20 + l21 * l10)
+        one = jnp.ones(())
+        zero = jnp.zeros(())
+        coeffs = (
+            (one, l10, tau_1),
+            (one, l20, tau_2),
+            (one, l21, zero),
+            (u00, alpha, tau_0),
+            (one, beta, zero),
+            (u11, gamma, zero),
+            (u22, zero, zero),
+        )
+
+        data = jnp.pad(volume.astype(jnp.float32), pad, mode="edge")
+        for (r, o), (cr, co, tau) in zip(CANONICAL_SLOTS, coeffs):
+            tau_eff = cr * off[r] + (co * off[o] if o != r else 0.0) + tau - off[r]
+            data = _apply_pass(
+                data, r, o, cr, co, tau_eff, frame_shape, float(fill), r == o
+            )
+        out = data[
+            start[0] : start[0] + out_shape[0],
+            start[1] : start[1] + out_shape[1],
+            start[2] : start[2] + out_shape[2],
+        ]
+        return _exact_domain_mask(out, matrix, in_shape, out_shape, float(fill))
+
+    return warp

@@ -13,6 +13,7 @@ reference (reference: biahub/registration/ants.py:124-407).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from pathlib import Path
 
@@ -106,16 +107,25 @@ def _ncc_loss(a: jax.Array, b: jax.Array) -> jax.Array:
     return 1.0 - jnp.sum(a * b) / denom
 
 
-@partial(jax.jit, static_argnames=("n_iters", "out_shape"))
-def _optimize_level(mov, ref, params0, center, n_iters: int, out_shape):
-    """Adam over the similarity params at one resolution level."""
+@partial(jax.jit, static_argnames=("n_iters", "out_shape", "warp_fn"))
+def _optimize_level(mov, ref, params0, center, n_iters: int, out_shape,
+                    warp_fn=None):
+    """Adam over the similarity params at one resolution level.
+
+    ``warp_fn(volume, matrix)`` overrides the warp inside the loss; on TPU the
+    caller passes the traced multipass warp (the exact elementwise gather is
+    ~30-50x slower per iteration there).
+    """
     import optax
 
     opt = optax.adam(LEARNING_RATE)
 
     def loss_fn(params):
         matrix = _similarity_matrix(params, center)
-        warped = affine_warp_zyx(mov, matrix, out_shape)
+        if warp_fn is not None:
+            warped = warp_fn(mov, matrix)
+        else:
+            warped = affine_warp_zyx(mov, matrix, out_shape)
         return _ncc_loss(warped, ref)
 
     def step(carry, _):
@@ -161,8 +171,22 @@ def estimate(
         # Translation transfers across levels as t_level = t_full / shrink
         level_params = params.at[4:7].set(params[4:7] / shrink)
         n_iters = int(min(n, MAX_ITERS_PER_LEVEL))
+        warp_fn = None
+        if (
+            jax.default_backend() == "tpu"
+            and os.environ.get("BIAHUB_TPU_EXACT_WARP") != "1"
+        ):
+            from biahub_tpu.kernels.multipass_warp import make_traced_multipass_warp
+
+            # The pairs are pre-aligned by the initial transform, so the
+            # optimized residual stays small; a 15% frame margin keeps the
+            # static common frame (and per-iteration cost) tight.
+            warp_fn = make_traced_multipass_warp(
+                mov_l.shape, tuple(ref_l.shape), margin=0.15
+            )
         level_params, losses = _optimize_level(
-            mov_l, ref_l, level_params, center, n_iters, tuple(ref_l.shape)
+            mov_l, ref_l, level_params, center, n_iters, tuple(ref_l.shape),
+            warp_fn=warp_fn,
         )
         params = level_params.at[4:7].set(level_params[4:7] * shrink)
         if verbose:

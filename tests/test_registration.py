@@ -84,3 +84,76 @@ def test_intensity_estimate_recovers_similarity():
     )
     assert np.abs(fwd[:3, :3] - w_true[:3, :3]).max() < 0.01
     assert np.abs(fwd[:3, 3] - w_true[:3, 3]).max() < 0.3
+
+
+def test_traced_multipass_matches_concrete():
+    """make_traced_multipass_warp (used inside the TPU optimizer loss) agrees
+    with the concrete-matrix multipass warp and is differentiable."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.ndimage import gaussian_filter
+    from scipy.spatial.transform import Rotation
+
+    from biahub_tpu.kernels.multipass_warp import (
+        make_traced_multipass_warp,
+        multipass_affine_warp_zyx,
+    )
+
+    rng = np.random.default_rng(1)
+    vol = gaussian_filter(rng.random((20, 32, 28)), 2.0).astype(np.float32)
+    M = np.eye(4)
+    M[:3, :3] = 1.03 * Rotation.from_euler("xyz", [7, -4, 10], degrees=True).as_matrix()
+    M[:3, 3] = [1.0, -2.0, 1.5]
+
+    warp = make_traced_multipass_warp(vol.shape, vol.shape)
+    out_t = np.asarray(jax.jit(warp)(vol, M.astype(np.float32)))
+    out_c = np.asarray(multipass_affine_warp_zyx(vol, M, vol.shape))
+    assert np.abs(out_t - out_c).max() < 2e-3
+
+    target = jnp.asarray(out_c)
+
+    def loss(p):
+        m = jnp.eye(4).at[:3, 3].set(p)
+        return jnp.sum((warp(vol, m) - target) ** 2)
+
+    g = np.asarray(jax.grad(loss)(jnp.zeros(3)))
+    assert np.all(np.isfinite(g)) and np.any(g != 0)
+
+
+def test_optimize_level_with_traced_warp():
+    """Multi-res optimization with the traced multipass warp in the loss (the
+    TPU path) recovers the same similarity the exact-gather path does."""
+    import jax.numpy as jnp
+
+    from biahub_tpu.kernels.multipass_warp import make_traced_multipass_warp
+    from biahub_tpu.registration.intensity import (
+        _downsample,
+        _gaussian_blur_zyx,
+        _optimize_level,
+        _similarity_matrix,
+    )
+
+    ref = _bead_volume((24, 64, 64), n=30, sigma=2.5)
+    w_true = np.eye(4)
+    w_true[:3, 3] = [1.0, -2.0, 1.5]
+    w_inv = np.linalg.inv(w_true)
+    mov = sp_affine(ref, w_inv[:3, :3], w_inv[:3, 3], order=1)
+
+    params = jnp.zeros(7)
+    for shrink, sigma, n in zip((4, 2, 1), (2, 1, 0), (300, 200, 150)):
+        ref_l = _downsample(_gaussian_blur_zyx(jnp.asarray(ref), sigma), shrink)
+        mov_l = _downsample(_gaussian_blur_zyx(jnp.asarray(mov), sigma), shrink)
+        center = (jnp.asarray(ref_l.shape, dtype=jnp.float32) - 1) / 2
+        warp_fn = make_traced_multipass_warp(
+            mov_l.shape, tuple(ref_l.shape), margin=0.25
+        )
+        params = params.at[4:7].set(params[4:7] / shrink)
+        params, losses = _optimize_level(
+            mov_l, ref_l, params, center, n, tuple(ref_l.shape), warp_fn=warp_fn
+        )
+        params = params.at[4:7].set(params[4:7] * shrink)
+
+    center_full = (jnp.asarray(ref.shape, dtype=jnp.float32) - 1) / 2
+    est = np.asarray(_similarity_matrix(params, center_full))
+    np.testing.assert_allclose(est[:3, 3], w_true[:3, 3], atol=0.3)
+    np.testing.assert_allclose(est[:3, :3], np.eye(3), atol=0.01)

@@ -9,7 +9,9 @@ materialize in memory.
 
 from __future__ import annotations
 
+import os
 from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
 from itertools import product
 from pathlib import Path
 
@@ -90,6 +92,17 @@ def get_output_shape(shifts: dict, tile_shape) -> tuple[int, int, int]:
     )
 
 
+def fov_edge_distance(fov_extent) -> np.ndarray:
+    """Distance-from-XY-edge map shared by every FOV (all share one shape)."""
+    fov_extent = np.asarray(fov_extent)
+    mask_2d = np.zeros(tuple(fov_extent[1:]), dtype=bool)
+    mask_2d[1:-1, 1:-1] = True
+    distance_2d = scipy.ndimage.distance_transform_edt(mask_2d)
+    return np.broadcast_to(
+        distance_2d[None], (int(fov_extent[0]),) + distance_2d.shape
+    )
+
+
 def write_output_chunk(
     output_chunk_slices,
     fov_shifts: dict,
@@ -99,6 +112,7 @@ def write_output_chunk(
     output_position,
     verbose: bool,
     blending_exponent: float = 1.0,
+    centered_distance: np.ndarray | None = None,
 ) -> None:
     """Blend all contributing FOVs into one output chunk and write it."""
     contributing = find_contributing_fovs(
@@ -124,13 +138,8 @@ def write_output_chunk(
         moving_slices.append(moving)
         kept.append(name)
 
-    # One distance-from-XY-edge map serves every FOV (they share the shape)
-    fov_mask = np.zeros(fov_extent, dtype=bool)
-    fov_mask[:, 1:-1, 1:-1] = True
-    distance_2d = scipy.ndimage.distance_transform_edt(fov_mask[0])
-    centered_distance = np.broadcast_to(
-        distance_2d[None], (int(fov_extent[0]),) + distance_2d.shape
-    )
+    if centered_distance is None:
+        centered_distance = fov_edge_distance(fov_extent)
 
     distance_maps = np.zeros((len(kept),) + tuple(chunk_extent), dtype=np.float32)
     for i, (fixed, moving) in enumerate(zip(fixed_slices, moving_slices)):
@@ -251,17 +260,33 @@ def stitch_cli(
 
         estimate_resources(shape=input_fov_shape, ram_multiplier=25, max_num_cpus=16)
 
-        for chunk in list_of_nd_slices_from_array_shape(output_shape_zyx, output_chunk_zyx):
-            write_output_chunk(
-                chunk,
-                fov_shifts,
-                channel_idx,
-                input_plate,
-                input_fov_shape,
-                output_position,
-                verbose,
-                blending_exponent,
-            )
+        # Owner-computes: every chunk writes a disjoint output region, so the
+        # reference's one-Slurm-job-per-chunk fan-out (biahub/stitch.py:482-489)
+        # becomes a thread pool — chunk work is zarr-I/O bound and tensorstore
+        # releases the GIL.
+        chunks = list(
+            list_of_nd_slices_from_array_shape(output_shape_zyx, output_chunk_zyx)
+        )
+        n_workers = int(os.environ.get("BIAHUB_TPU_STITCH_WORKERS", "8"))
+        centered_distance = fov_edge_distance(input_fov_shape[-3:])
+        with ThreadPoolExecutor(max_workers=max(1, n_workers)) as pool:
+            futures = [
+                pool.submit(
+                    write_output_chunk,
+                    chunk,
+                    fov_shifts,
+                    channel_idx,
+                    input_plate,
+                    input_fov_shape,
+                    output_position,
+                    verbose,
+                    blending_exponent,
+                    centered_distance,
+                )
+                for chunk in chunks
+            ]
+            for f in futures:
+                f.result()
         click.echo(f"Stitched well {well_name} -> {output_shape_zyx}")
 
 

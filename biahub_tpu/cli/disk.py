@@ -48,12 +48,29 @@ def check_disk_space_with_du(
 
 
 @click.command("check-disk-space")
-@click.argument("input_path", type=click.Path(exists=True))
-@click.argument("output_path", type=click.Path())
-@click.option("--margin", default=1.1, show_default=True, type=float)
-def check_disk_space_cli(input_path, output_path, margin):
-    """Check there is enough free space to derive OUTPUT_PATH from INPUT_PATH."""
-    ok = check_disk_space_with_du(input_path, output_path, margin=margin, verbose=True)
-    if not ok:
-        raise click.ClickException("Not enough disk space")
-    click.echo("OK")
+@click.option(
+    "--input-path", "-i", type=str, required=True,
+    help="Path whose size determines the space the output will need.",
+)
+@click.option(
+    "--output-path", "-o", type=str, required=True,
+    help="Destination whose filesystem is checked for free space.",
+)
+@click.option(
+    "--margin", type=float, default=1.1, show_default=True,
+    help="Safety margin for the disk space check (1.1 = 10% extra).",
+)
+@click.option("--verbose", is_flag=True, default=True,
+              help="Print detailed diagnostics.")
+def check_disk_space_cli(input_path: str, output_path: str, margin: float, verbose: bool):
+    """Check disk space using `du -sb` (reference: biahub/cli/disk.py:93-134).
+
+    >>> biahub check-disk-space -i ./input.zarr -o ./output.zarr
+    """
+    ok = check_disk_space_with_du(
+        input_path=input_path, output_path=output_path, margin=margin, verbose=verbose
+    )
+    if ok:
+        click.echo("Disk space check passed. Good to go!")
+    else:
+        click.echo("Disk space check failed. Not enough space available.")

@@ -107,6 +107,10 @@ COMMANDS = [
      "Process data with YAML-defined functions"),
     ("track", "biahub_tpu.track.track_cli",
      "Track objects in 2D/3D time-lapse microscopy"),
+    ("check-disk-space", "biahub_tpu.cli.disk.check_disk_space_cli",
+     "Check disk space using du -sb"),
+    ("crop-background", "biahub_tpu.visualize.crop_background.main",
+     "Crop video backgrounds with ffmpeg"),
 ]
 
 

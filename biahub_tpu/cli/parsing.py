@@ -254,6 +254,23 @@ def sbatch_filepath() -> Callable:
     return decorator
 
 
+def num_processes() -> Callable:
+    def decorator(f: Callable) -> Callable:
+        return click.option(
+            "--num-processes",
+            "-j",
+            default=1,
+            required=False,
+            type=int,
+            help=(
+                "Number of parallel host I/O workers (the reference's "
+                "process-pool size; compute itself is batched on device)."
+            ),
+        )(f)
+
+    return decorator
+
+
 def local() -> Callable:
     def decorator(f: Callable) -> Callable:
         return click.option(

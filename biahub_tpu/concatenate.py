@@ -26,6 +26,7 @@ from biahub_tpu.cli.parsing import (
     output_dirpath,
     resume,
     sbatch_filepath,
+    num_processes,
 )
 from biahub_tpu.cli.utils import (
     PROVENANCE_METADATA_KEYS,
@@ -375,6 +376,7 @@ def concatenate(
 @monitor()
 @init_only()
 @resume()
+@num_processes()
 @click.option(
     "--concat-data-paths",
     multiple=True,
@@ -394,6 +396,7 @@ def concatenate_cli(
     init_only: bool = False,
     resume: bool = False,
     concat_data_paths: tuple[str, ...] = (),
+    num_processes: int = 1,
 ):
     r"""Concatenate datasets (with optional cropping).
 

@@ -25,6 +25,7 @@ from biahub_tpu.cli.parsing import (
     output_dirpath,
     resume,
     sbatch_filepath,
+    num_processes,
 )
 from biahub_tpu.cli.utils import (
     PROVENANCE_METADATA_KEYS,
@@ -171,6 +172,7 @@ def deskew(
 @monitor()
 @init_only()
 @resume()
+@num_processes()
 def deskew_cli(
     input_position_dirpaths: list[Path],
     config_filepath: Path,
@@ -180,6 +182,7 @@ def deskew_cli(
     monitor: bool = False,
     init_only: bool = False,
     resume: bool = False,
+    num_processes: int = 1,
 ):
     """Deskew oblique plane light-sheet dataset. Deskew parameters can be estimated with estimate-deskew.
 

@@ -21,6 +21,7 @@ from biahub_tpu.cli.parsing import (
     output_dirpath,
     resume,
     sbatch_filepath,
+    num_processes,
 )
 from biahub_tpu.cli.utils import (
     PROVENANCE_METADATA_KEYS,
@@ -149,6 +150,7 @@ def flat_field(
 @monitor()
 @init_only()
 @resume()
+@num_processes()
 def flat_field_cli(
     input_position_dirpaths: list[Path],
     config_filepath: Path,
@@ -158,6 +160,7 @@ def flat_field_cli(
     monitor: bool = False,
     init_only: bool = False,
     resume: bool = False,
+    num_processes: int = 1,
 ):
     """Apply flat field correction across T and selected C axes.
 

@@ -22,7 +22,9 @@ import numpy as np
 import yaml
 
 from biahub_tpu.cli.parsing import (
+    cluster,
     config_filepath,
+    init_only,
     input_position_dirpaths,
     local,
     monitor,
@@ -194,15 +196,19 @@ def virtual_stain_position(
 @config_filepath()
 @output_dirpath()
 @sbatch_filepath()
+@cluster()
 @local()
 @monitor()
+@init_only()
 def virtual_stain_cli(
     input_position_dirpaths: list[Path],
     config_filepath: Path,
     output_dirpath: Path,
     sbatch_filepath: str | None = None,
+    cluster: str | None = None,
     local: bool = False,
     monitor: bool = True,
+    init_only: bool = False,
 ):
     """Run virtual staining inference across a plate.
 
@@ -231,7 +237,9 @@ def virtual_stain_cli(
     )
 
     estimate_resources(shape=(T, C, Z, Y, X), ram_multiplier=8, max_num_cpus=16)
-    resolve_cluster(None, local)
+    if init_only:
+        return
+    resolve_cluster(cluster, local)
 
     output_position_paths = get_output_paths(input_position_dirpaths, output_dirpath)
     for in_path, out_path in zip(input_position_dirpaths, output_position_paths):

@@ -38,11 +38,12 @@ def process_video(file_path, output_dir) -> Path | None:
     return output_path
 
 
-@click.command()
-@click.argument("input_dir", type=click.Path(exists=True))
-@click.argument("output_dir", type=click.Path())
+@click.command("crop-background")
+@click.argument("input-dir", type=click.Path(exists=True, file_okay=False))
+@click.argument("output-dir", type=click.Path())
 def main(input_dir, output_dir):
-    """Crop the background from every video in INPUT_DIR into OUTPUT_DIR."""
+    """Batch process videos in INPUT-DIR and save the output to OUTPUT-DIR
+    (reference: biahub/visualize/crop_background.py:71-84)."""
     Path(output_dir).mkdir(parents=True, exist_ok=True)
     for file_path in sorted(Path(input_dir).glob("*.mp4")):
         click.echo(f"Processing {file_path}")

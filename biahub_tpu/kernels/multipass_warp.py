@@ -23,6 +23,7 @@ interpolation-error level on smooth data, not float epsilon.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -196,6 +197,29 @@ def _apply_pass(data, r: int, o: int, cr, co, tau, shape, fill, no_off_diag: boo
     return jnp.transpose(out, inv_perm)
 
 
+def _apply_pass_pallas(data, r: int, o: int, cr, co, tau):
+    """One elementary pass via the fused MXU shear-resample kernel.
+
+    Same math as :func:`_apply_pass` (Catmull-Rom), but the banded
+    interpolation runs as one-hot matmuls on the MXU instead of four
+    take_along_axis gathers (see kernels/pallas_resample.py).
+    """
+    from biahub_tpu.kernels.pallas_resample import shear_resample_pallas
+
+    if o == r or co == 0.0:
+        others = [ax for ax in range(3) if ax != r]
+        o_ax, third = others[0], others[1]
+        co = 0.0
+    else:
+        o_ax = o
+        third = next(ax for ax in range(3) if ax not in (r, o))
+    d = jnp.transpose(data, (o_ax, r, third))  # (O, R_in, T)
+    out = shear_resample_pallas(d, d.shape[1], float(cr), float(co), float(tau))
+    # Kernel emits (O, T, R): restore the natural axis order
+    inv_perm = tuple(int(i) for i in np.argsort((o_ax, third, r)))
+    return jnp.transpose(out, inv_perm)
+
+
 def _coord_bounds(passes, in_shape, out_shape) -> tuple[np.ndarray, np.ndarray]:
     """Float (lo, hi) coordinate bounds any stage touches, plus the input extent.
 
@@ -225,8 +249,11 @@ def _coord_bounds(passes, in_shape, out_shape) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _frame_from_bounds(lo: np.ndarray, hi: np.ndarray):
-    off = np.floor(lo).astype(int)  # common index = coord - off
-    size = (np.ceil(hi).astype(int) - off) + 2
+    # 2 margin voxels per side: Catmull-Rom reads i0-1..i0+2 around in-box
+    # coords, and the Pallas path drops (rather than edge-clamps) bands that
+    # fall outside the frame.
+    off = np.floor(lo).astype(int) - 2  # common index = coord - off
+    size = (np.ceil(hi).astype(int) - off) + 4
     return off, tuple(int(s) for s in size)
 
 
@@ -252,13 +279,22 @@ def multipass_affine_warp_zyx(
     pad = [(int(-off[ax]), int(size[ax] - in_shape[ax] + off[ax])) for ax in range(3)]
     data = jnp.pad(volume.astype(jnp.float32), pad, mode="edge")
 
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        or os.environ.get("BIAHUB_TPU_FORCE_PALLAS") == "1"
+    ) and os.environ.get("BIAHUB_TPU_NO_PALLAS") != "1"
     for r, o, cr, co, tau in passes:
         # True coords: c_in[r] = cr*p[r] + co*p[o] + tau; common indices add off
         tau_eff = cr * off[r] + (co * off[o] if o != r else 0.0) + tau - off[r]
-        data = _apply_pass(
-            data, int(r), int(o), float(cr), float(co), float(tau_eff),
-            frame_shape, float(fill), bool(o == r or co == 0.0),
-        )
+        if use_pallas:
+            data = _apply_pass_pallas(
+                data, int(r), int(o), float(cr), float(co), float(tau_eff)
+            )
+        else:
+            data = _apply_pass(
+                data, int(r), int(o), float(cr), float(co), float(tau_eff),
+                frame_shape, float(fill), bool(o == r or co == 0.0),
+            )
 
     start = (-off).astype(int)
     out = data[

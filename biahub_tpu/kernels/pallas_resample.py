@@ -1,0 +1,126 @@
+"""Fused Pallas shear-resample: one elementary warp pass as banded MXU matmuls.
+
+Generalizes the deskew kernel (kernels/pallas_deskew.py): an elementary
+multipass-warp pass resamples axis ``r`` at coords = cr*i_r + co*i_o + tau —
+the same "fractional coordinate affine in the output position" structure as
+deskew's scan-axis lerp. For a 128-wide tile of output r positions the coords
+span at most ceil(128*|cr|) + interp-support input rows, so the tile is one
+(K, T) x (K, 128) contraction whose weight matrix holds the banded
+interpolation weights (2 bands linear, 4 bands Catmull-Rom), built on the fly
+from iota comparisons.
+
+Layout: the caller provides data in (O, R_in, T) layout (o axis major, the
+resampled axis in the middle, any third axis as lanes); the kernel emits
+(O, T, R_out) — the resampled axis lands on lanes. XLA handles the
+transposes between chained passes and fuses them with neighbors.
+
+Used by kernels/multipass_warp.py for concrete-matrix warps on TPU; the XLA
+take_along_axis formulation remains the fallback (CPU, traced coefficients).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["shear_resample_pallas"]
+
+TILE_R = 128
+
+
+def _resample_kernel(data_ref, out_ref, *, params):
+    R_in, T, R_out, K, n_tiles, cr, co, tau, order = params
+    o_idx = pl.program_id(0).astype(jnp.float32)
+
+    for tile in range(n_tiles):
+        tile_w = min(TILE_R, R_out - tile * TILE_R)
+        ro = (
+            tile * TILE_R
+            + jax.lax.broadcasted_iota(jnp.int32, (tile_w, 1), 0)
+        ).astype(jnp.float32)
+        coords = cr * ro + co * o_idx + tau  # (tile_w, 1)
+        i0 = jnp.floor(coords)
+        frac = coords - i0
+        i0 = i0.astype(jnp.int32)
+
+        # Slab window covering every band the tile touches. coords is
+        # monotonic in ro (sign of cr), so the extremes sit at the tile ends.
+        lo = jnp.minimum(i0[0, 0], i0[tile_w - 1, 0]) - 1
+        start = jnp.clip(lo, 0, max(R_in - K, 0))
+        start = pl.multiple_of((start // 8) * 8, 8)
+        offs = i0 - start  # (tile_w, 1)
+
+        # Bands clamp to the window edge (edge-value extension, matching the
+        # XLA formulation's index clip); the window only abuts the frame edge
+        # when the coords do, so this equals clamping at the frame bounds.
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tile_w, K), 1)
+
+        def band(k, wk):
+            return wk * (cols == jnp.clip(offs + k, 0, K - 1))
+
+        if order == 1:
+            w = band(0, 1.0 - frac) + band(1, frac)
+        else:  # Catmull-Rom
+            t2 = frac * frac
+            t3 = t2 * frac
+            w = (
+                band(-1, -0.5 * t3 + t2 - 0.5 * frac)
+                + band(0, 1.5 * t3 - 2.5 * t2 + 1.0)
+                + band(1, -1.5 * t3 + 2.0 * t2 + 0.5 * frac)
+                + band(2, 0.5 * t3 - 0.5 * t2)
+            )
+
+        slab = data_ref[0, pl.ds(start, K), :]  # (K, T)
+        out_ref[0, :, pl.ds(tile * TILE_R, tile_w)] = jax.lax.dot_general(
+            slab,
+            w.astype(jnp.float32),
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
+@partial(jax.jit, static_argnames=("r_out", "cr", "co", "tau", "order"))
+def shear_resample_pallas(
+    data_ort: jax.Array,
+    r_out: int,
+    cr: float,
+    co: float,
+    tau: float,
+    order: int = 3,
+) -> jax.Array:
+    """Resample axis 1 of (O, R_in, T) data at coords cr*r + co*o + tau.
+
+    Returns (O, T, r_out) — the resampled axis moves to lanes. Out-of-window
+    samples contribute zero weight (the caller's frame padding guarantees
+    interior coords never reach the frame edge).
+    """
+    O, R_in, T = data_ort.shape
+    support = 2 if order == 1 else 4
+    K = int(np.ceil(TILE_R * abs(cr))) + support + 8
+    K = min(-(-K // 8) * 8, R_in)
+    n_tiles = -(-r_out // TILE_R)
+
+    kernel = partial(
+        _resample_kernel,
+        params=(R_in, T, r_out, K, n_tiles, float(cr), float(co), float(tau),
+                int(order)),
+    )
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(O,),
+        in_specs=[
+            pl.BlockSpec((1, R_in, T), lambda o: (o, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, r_out), lambda o: (o, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((O, T, r_out), jnp.float32),
+    )(data_ort.astype(jnp.float32))

@@ -194,3 +194,31 @@ def test_auto_dispatch_general_matches_exact_on_cpu(smooth_volume):
     ref = _scipy_warp(smooth_volume, M)
     out = np.asarray(affine_warp_auto(smooth_volume, M, smooth_volume.shape))
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_pallas_multipass_matches_xla(smooth_volume, monkeypatch):
+    """The Pallas shear-resample path (interpret mode on CPU) matches the XLA
+    take_along_axis formulation on the output box."""
+    import importlib
+
+    import biahub_tpu.kernels.multipass_warp as mw
+
+    R3 = Rotation.from_euler("xyz", [8, -5, 12], degrees=True).as_matrix()
+    M = np.eye(4)
+    M[:3, :3] = 1.04 * R3
+    M[:3, 3] = [1.0, -2.0, 1.5]
+
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    out_p = np.asarray(mw.multipass_affine_warp_zyx(smooth_volume, M, smooth_volume.shape))
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "0")
+    monkeypatch.setenv("BIAHUB_TPU_NO_PALLAS", "1")
+    out_x = np.asarray(mw.multipass_affine_warp_zyx(smooth_volume, M, smooth_volume.shape))
+
+    # Exact agreement away from the input-domain boundary; the paths handle
+    # the out-of-range interpolation support differently (fill vs extend)
+    # within a ~2-voxel shell.
+    d = np.abs(out_p - out_x)
+    interior = (slice(3, -3),) * 3
+    assert d[interior].max() < 1e-4
+    assert d.max() < 0.05 * np.abs(out_x).max()
+    importlib.invalidate_caches()

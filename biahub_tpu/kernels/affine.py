@@ -22,6 +22,7 @@ __all__ = [
     "affine_warp_zyx",
     "affine_warp_auto",
     "inplane_affine_warp_zyx",
+    "inplane_affine_warp_zyx_pallas",
     "translation_warp_zyx",
     "is_translation_matrix",
     "is_inplane_matrix",
@@ -314,6 +315,46 @@ def inplane_affine_warp_zyx(
     return _exact_domain_mask(out, matrix, volume.shape, output_shape, fill)
 
 
+def inplane_affine_warp_zyx_pallas(
+    volume: jax.Array,
+    matrix,
+    output_shape: tuple[int, int, int],
+    fill: float = 0.0,
+) -> jax.Array:
+    """In-plane warp via the fused MXU shear-resample kernel (concrete matrix).
+
+    Same three-pass factorization as :func:`inplane_affine_warp_zyx`, with
+    each linear pass running as 2-banded one-hot matmuls
+    (kernels/pallas_resample.py) instead of take_along_axis gathers.
+    """
+    from biahub_tpu.kernels.pallas_resample import shear_resample_pallas
+
+    Zo, Yo, Xo = output_shape
+    m = np.asarray(matrix, dtype=np.float64)
+    mzz, tz = m[0, 0], m[0, 3]
+    myy, myx, ty = m[1, 1], m[1, 2], m[1, 3]
+    mxy, mxx, tx = m[2, 1], m[2, 2], m[2, 3]
+    b1 = myx / mxx
+    b0 = myy - b1 * mxy
+    b2 = ty - b1 * tx
+
+    v = volume.astype(jnp.float32)
+    # z-pass: resample z, coords independent of the o axis
+    d = jnp.transpose(v, (1, 0, 2))  # (Yi, Zi, Xi)
+    d = shear_resample_pallas(d, Zo, float(mzz), 0.0, float(tz), order=1)
+    # y-pass in (Xi, Yi, Zo): yi = b0*yo + b1*x + b2
+    d = jnp.transpose(d, (1, 0, 2))  # (Xi, Yi, Zo)
+    d = shear_resample_pallas(d, Yo, float(b0), float(b1), float(b2), order=1)
+    # x-pass in (Yo, Xi, Zo): xi = mxx*xo + mxy*yo + tx
+    d = jnp.transpose(d, (2, 0, 1))  # (Yo, Xi, Zo)
+    d = shear_resample_pallas(d, Xo, float(mxx), float(mxy), float(tx), order=1)
+    out = jnp.transpose(d, (1, 0, 2))  # (Zo, Yo, Xo)
+    return _exact_domain_mask(
+        out, jnp.asarray(m, jnp.float32), volume.shape, tuple(output_shape),
+        float(fill),
+    )
+
+
 def affine_warp_auto(
     volume: jax.Array,
     matrix,
@@ -334,6 +375,13 @@ def affine_warp_auto(
             fill=fill,
         )
     if order == 1 and is_inplane_matrix(matrix):
+        if (
+            jax.default_backend() == "tpu"
+            or os.environ.get("BIAHUB_TPU_FORCE_PALLAS") == "1"
+        ) and os.environ.get("BIAHUB_TPU_NO_PALLAS") != "1":
+            return inplane_affine_warp_zyx_pallas(
+                volume, matrix, tuple(output_shape), fill=fill
+            )
         return inplane_affine_warp_zyx(
             volume, jnp.asarray(matrix, dtype=jnp.float32), tuple(output_shape),
             fill=fill,

@@ -222,3 +222,29 @@ def test_pallas_multipass_matches_xla(smooth_volume, monkeypatch):
     assert d[interior].max() < 1e-4
     assert d.max() < 0.05 * np.abs(out_x).max()
     importlib.invalidate_caches()
+
+
+def test_pallas_inplane_matches_xla(smooth_volume):
+    """The Pallas in-plane path (interpret mode on CPU) matches the XLA
+    formulation at float epsilon and scipy at interpolation tolerance."""
+    from biahub_tpu.kernels.affine import inplane_affine_warp_zyx_pallas
+
+    M = np.eye(4)
+    theta = np.deg2rad(9.0)
+    M[1:3, 1:3] = 1.03 * np.array(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+    )
+    M[0, 0] = 0.97
+    M[:3, 3] = [0.4, 3.2, -1.1]
+
+    out_x = np.asarray(
+        inplane_affine_warp_zyx(smooth_volume, M.astype(np.float32), smooth_volume.shape)
+    )
+    out_p = np.asarray(
+        inplane_affine_warp_zyx_pallas(smooth_volume, M, smooth_volume.shape)
+    )
+    np.testing.assert_allclose(out_p, out_x, atol=1e-5)
+
+    ref = _scipy_warp(smooth_volume, M)
+    interior = (slice(2, -2),) * 3
+    assert np.abs(out_p[interior] - ref[interior]).max() < 5e-3

@@ -45,7 +45,7 @@ def main() -> None:
 
     ls_angle_deg, px_to_scan_ratio = 36.17, 0.371
 
-    from biahub_tpu.kernels.affine import inplane_affine_warp_zyx
+    from biahub_tpu.kernels.affine import affine_warp_auto
 
     # register + stabilize compose into ONE in-plane warp: small in-plane
     # rotation/scale (registration) times a per-timepoint translation.
@@ -69,7 +69,9 @@ def main() -> None:
 
     def full_chain(v, tf):
         deskewed = fused(v, tf)
-        return inplane_affine_warp_zyx(deskewed, reg_stab, deskewed.shape)
+        # reg_stab is concrete, so the auto dispatch picks the Pallas
+        # in-plane shear-resample kernel on TPU.
+        return affine_warp_auto(deskewed, reg_stab, deskewed.shape)
 
     def step_with_probe(v, tf):
         out = jax.vmap(fused, in_axes=(0, None))(v, tf)

@@ -197,6 +197,23 @@ def _apply_pass(data, r: int, o: int, cr, co, tau, shape, fill, no_off_diag: boo
     return jnp.transpose(out, inv_perm)
 
 
+def _apply_pass_pallas_dyn(data, r: int, o: int, coeffs, k_bound: int):
+    """Elementary pass with TRACED (cr, co, tau_eff) via the SMEM-coefficient
+    Pallas kernel; ``k_bound`` is the static window bound from the batch."""
+    from biahub_tpu.kernels.pallas_resample import shear_resample_pallas_dyn
+
+    if o == r:
+        others = [ax for ax in range(3) if ax != r]
+        o_ax, third = others[0], others[1]
+    else:
+        o_ax = o
+        third = next(ax for ax in range(3) if ax not in (r, o))
+    d = jnp.transpose(data, (o_ax, r, third))
+    out = shear_resample_pallas_dyn(d, d.shape[1], coeffs, k_bound)
+    inv_perm = tuple(int(i) for i in np.argsort((o_ax, third, r)))
+    return jnp.transpose(out, inv_perm)
+
+
 def _apply_pass_pallas(data, r: int, o: int, cr, co, tau):
     """One elementary pass via the fused MXU shear-resample kernel.
 
@@ -361,15 +378,30 @@ def make_batched_multipass_kernel(
     in_shape_t = tuple(int(s) for s in in_shape)
     out_shape_t = tuple(int(s) for s in out_shape)
 
+    # Static per-slot window bounds over the whole batch for the Pallas path
+    from biahub_tpu.kernels.pallas_resample import TILE_R
+
+    k_slots = [
+        int(np.ceil(TILE_R * max(abs(c[k][0]) for c in all_coeffs))) + 4
+        for k in range(len(CANONICAL_SLOTS))
+    ]
+
     def kernel(zyx, matrix, mp):
         from biahub_tpu.kernels.affine import _exact_domain_mask
 
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            or os.environ.get("BIAHUB_TPU_FORCE_PALLAS") == "1"
+        ) and os.environ.get("BIAHUB_TPU_NO_PALLAS") != "1"
         data = jnp.pad(zyx.astype(jnp.float32), pad, mode="edge")
         for k, (r, o) in enumerate(CANONICAL_SLOTS):
-            data = _apply_pass(
-                data, r, o, mp[k, 0], mp[k, 1], mp[k, 2],
-                frame_shape, float(fill), r == o,
-            )
+            if use_pallas:
+                data = _apply_pass_pallas_dyn(data, r, o, mp[k], k_slots[k])
+            else:
+                data = _apply_pass(
+                    data, r, o, mp[k, 0], mp[k, 1], mp[k, 2],
+                    frame_shape, float(fill), r == o,
+                )
         out = data[
             start[0] : start[0] + out_shape_t[0],
             start[1] : start[1] + out_shape_t[1],

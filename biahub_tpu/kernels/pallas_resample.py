@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["shear_resample_pallas"]
+__all__ = ["shear_resample_pallas", "shear_resample_pallas_dyn"]
 
 TILE_R = 128
 
@@ -124,3 +124,92 @@ def shear_resample_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((O, T, r_out), jnp.float32),
     )(data_ort.astype(jnp.float32))
+
+
+def _resample_kernel_dyn(coeffs_ref, data_ref, out_ref, *, params):
+    """Like :func:`_resample_kernel`, with (cr, co, tau) read from SMEM so the
+    coefficients can be traced (per-matrix parameters in batched kernels)."""
+    R_in, T, R_out, K, n_tiles, order = params
+    cr = coeffs_ref[0]
+    co = coeffs_ref[1]
+    tau = coeffs_ref[2]
+    o_idx = pl.program_id(0).astype(jnp.float32)
+
+    for tile in range(n_tiles):
+        tile_w = min(TILE_R, R_out - tile * TILE_R)
+        ro = (
+            tile * TILE_R
+            + jax.lax.broadcasted_iota(jnp.int32, (tile_w, 1), 0)
+        ).astype(jnp.float32)
+        coords = cr * ro + co * o_idx + tau
+        i0 = jnp.floor(coords)
+        frac = coords - i0
+        i0 = i0.astype(jnp.int32)
+
+        lo = jnp.minimum(i0[0, 0], i0[tile_w - 1, 0]) - 1
+        start = jnp.clip(lo, 0, max(R_in - K, 0))
+        start = pl.multiple_of((start // 8) * 8, 8)
+        offs = i0 - start
+
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tile_w, K), 1)
+
+        def band(k, wk):
+            return wk * (cols == jnp.clip(offs + k, 0, K - 1))
+
+        if order == 1:
+            w = band(0, 1.0 - frac) + band(1, frac)
+        else:
+            t2 = frac * frac
+            t3 = t2 * frac
+            w = (
+                band(-1, -0.5 * t3 + t2 - 0.5 * frac)
+                + band(0, 1.5 * t3 - 2.5 * t2 + 1.0)
+                + band(1, -1.5 * t3 + 2.0 * t2 + 0.5 * frac)
+                + band(2, 0.5 * t3 - 0.5 * t2)
+            )
+
+        slab = data_ref[0, pl.ds(start, K), :]
+        out_ref[0, :, pl.ds(tile * TILE_R, tile_w)] = jax.lax.dot_general(
+            slab,
+            w.astype(jnp.float32),
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
+@partial(jax.jit, static_argnames=("r_out", "k_bound", "order"))
+def shear_resample_pallas_dyn(
+    data_ort: jax.Array,
+    r_out: int,
+    coeffs: jax.Array,
+    k_bound: int,
+    order: int = 3,
+) -> jax.Array:
+    """Resample axis 1 of (O, R_in, T) data at traced (cr, co, tau) coeffs.
+
+    ``k_bound`` must statically bound ceil(TILE_R*|cr|) + support over every
+    coefficient set this kernel will see (the batched multipass factory
+    computes it from the concrete matrix batch).
+    """
+    O, R_in, T = data_ort.shape
+    K = min(-(-(k_bound + 8) // 8) * 8, R_in)
+    n_tiles = -(-r_out // TILE_R)
+
+    kernel = partial(
+        _resample_kernel_dyn, params=(R_in, T, r_out, K, n_tiles, int(order))
+    )
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(O,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R_in, T), lambda o: (o, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, r_out), lambda o: (o, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((O, T, r_out), jnp.float32),
+    )(coeffs.astype(jnp.float32), data_ort.astype(jnp.float32))

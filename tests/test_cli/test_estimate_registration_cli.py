@@ -1,0 +1,109 @@
+"""Round-trip: estimate-registration (beads) on two arms related by a known
+translation, then register with the estimated YAML realigns the source
+(reference: biahub/estimate_registration.py:437-453, biahub/register.py)."""
+
+import numpy as np
+import yaml
+from click.testing import CliRunner
+from scipy.ndimage import gaussian_filter
+
+from biahub_tpu.cli.main import cli
+from biahub_tpu.io.ngff import TransformationMeta, open_ome_zarr
+
+
+def _bead_plate(tmp_path, name, data, channel):
+    plate_path = tmp_path / name
+    plate = open_ome_zarr(plate_path, layout="hcs", mode="w", channel_names=[channel])
+    pos = plate.create_position("A", "1", "0")
+    pos.create_image(
+        "0",
+        data[:, None],
+        transform=[TransformationMeta(type="scale", scale=(1, 1, 1, 0.1, 0.1))],
+    )
+    return plate_path
+
+
+def test_estimate_registration_beads_then_register(tmp_path):
+    rng = np.random.default_rng(11)
+    shape = (16, 64, 64)
+    pts = np.stack([rng.integers(6, s - 6, size=25) for s in shape], axis=1)
+    target = np.zeros(shape, np.float32)
+    target[pts[:, 0], pts[:, 1], pts[:, 2]] = 5000.0
+    target = gaussian_filter(target, 1.0).astype(np.float32)
+    drift = (2, -3, 4)
+    source = np.roll(target, drift, axis=(0, 1, 2))
+
+    target_plate = _bead_plate(tmp_path, "target.zarr", target[None], "Phase3D")
+    source_plate = _bead_plate(tmp_path, "source.zarr", source[None], "GFP")
+
+    config = {
+        "target_channel_name": "Phase3D",
+        "source_channel_name": "GFP",
+        "estimation_method": "beads",
+        "beads_match_settings": {
+            "algorithm": "hungarian",
+            "source_peaks_settings": {
+                "threshold_abs": 50.0, "block_size": [8, 8, 8], "nms_distance": 4,
+            },
+            "target_peaks_settings": {
+                "threshold_abs": 50.0, "block_size": [8, 8, 8], "nms_distance": 4,
+            },
+        },
+        "affine_transform_settings": {"transform_type": "euclidean"},
+    }
+    config_path = tmp_path / "est_reg.yml"
+    with open(config_path, "w") as f:
+        yaml.dump(config, f)
+
+    out_yml = tmp_path / "registration.yml"
+    result = CliRunner().invoke(
+        cli,
+        [
+            "estimate-registration",
+            "-s", str(source_plate / "A" / "1" / "0"),
+            "-t", str(target_plate / "A" / "1" / "0"),
+            "-c", str(config_path),
+            "-o", str(out_yml),
+            "--local",
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    assert out_yml.exists()
+    with open(out_yml) as f:
+        reg = yaml.safe_load(f)
+    M = np.asarray(reg["affine_transform_zyx"])
+    assert M.shape == (4, 4)
+    # Warping source by M must realign it onto target: out[q] = source[M q],
+    # and source(q) = target(q - drift), so M's translation is +drift.
+    np.testing.assert_allclose(M[:3, :3], np.eye(3), atol=0.05)
+    np.testing.assert_allclose(M[:3, 3], drift, atol=0.35)
+
+    # Apply with `register` and verify voxel alignment; keep_overhang avoids
+    # the overlap crop so the output grid matches the target grid.
+    reg["keep_overhang"] = True
+    with open(out_yml, "w") as f:
+        yaml.dump(reg, f)
+    out_store = tmp_path / "registered.zarr"
+    result = CliRunner().invoke(
+        cli,
+        [
+            "register",
+            "-s", str(source_plate / "A" / "1" / "0"),
+            "-t", str(target_plate / "A" / "1" / "0"),
+            "-c", str(out_yml),
+            "-o", str(out_store),
+            "--local",
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    out = open_ome_zarr(out_store)["A/1/0"]
+    gfp = out.channel_names.index("GFP")
+    registered = np.asarray(out.data[0, gfp])
+    shp = registered.shape
+    interior = tuple(slice(6, s - 6) for s in shp)
+    tgt_crop = target[: shp[0], : shp[1], : shp[2]]
+    err = np.abs(registered[interior] - tgt_crop[interior]).mean()
+    base = np.abs(
+        source[: shp[0], : shp[1], : shp[2]][interior] - tgt_crop[interior]
+    ).mean()
+    assert err < 0.2 * base, f"{err} !< 0.2*{base}"

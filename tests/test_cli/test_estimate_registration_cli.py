@@ -107,3 +107,56 @@ def test_estimate_registration_beads_then_register(tmp_path):
         source[: shp[0], : shp[1], : shp[2]][interior] - tgt_crop[interior]
     ).mean()
     assert err < 0.2 * base, f"{err} !< 0.2*{base}"
+
+
+def test_optimize_registration_refines_transform(tmp_path):
+    """A deliberately-off initial transform is refined to the true one by the
+    intensity optimizer behind optimize-registration
+    (reference: biahub/optimize_registration.py:24-205)."""
+    rng = np.random.default_rng(5)
+    shape = (16, 48, 48)
+    pts = np.stack([rng.integers(6, s - 6, size=30) for s in shape], axis=1)
+    target = np.zeros(shape, np.float32)
+    target[pts[:, 0], pts[:, 1], pts[:, 2]] = 100.0
+    target = gaussian_filter(target, 2.0).astype(np.float32)
+    drift = np.array([1.0, -2.0, 1.5])
+    true = np.eye(4)
+    true[:3, 3] = drift
+    from scipy.ndimage import affine_transform as sp_affine
+
+    inv = np.linalg.inv(true)
+    source = sp_affine(target, inv[:3, :3], inv[:3, 3], order=1)
+
+    target_plate = _bead_plate(tmp_path, "t.zarr", target[None], "Phase3D")
+    source_plate = _bead_plate(tmp_path, "s.zarr", source[None], "GFP")
+
+    initial = np.eye(4)
+    initial[:3, 3] = drift + [0.6, 0.8, -0.7]  # off by up to 0.8 px
+    config = {
+        "source_channel_names": ["GFP"],
+        "target_channel_name": "Phase3D",
+        "affine_transform_zyx": initial.tolist(),
+    }
+    config_path = tmp_path / "reg_init.yml"
+    with open(config_path, "w") as f:
+        yaml.dump(config, f)
+
+    out_yml = tmp_path / "optimized.yml"
+    result = CliRunner().invoke(
+        cli,
+        [
+            "optimize-registration",
+            "-s", str(source_plate / "A" / "1" / "0"),
+            "-t", str(target_plate / "A" / "1" / "0"),
+            "-c", str(config_path),
+            "-o", str(out_yml),
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    with open(out_yml) as f:
+        opt = yaml.safe_load(f)
+    M = np.asarray(opt["affine_transform_zyx"])
+    init_err = np.abs(initial[:3, 3] - drift).max()
+    opt_err = np.abs(M[:3, 3] - drift).max()
+    assert opt_err < 0.5 * init_err, f"{opt_err} !< 0.5*{init_err}"
+    np.testing.assert_allclose(M[:3, :3], np.eye(3), atol=0.02)

@@ -130,9 +130,9 @@ def _resample_kernel_dyn(coeffs_ref, data_ref, out_ref, *, params):
     """Like :func:`_resample_kernel`, with (cr, co, tau) read from SMEM so the
     coefficients can be traced (per-matrix parameters in batched kernels)."""
     R_in, T, R_out, K, n_tiles, order = params
-    cr = coeffs_ref[0]
-    co = coeffs_ref[1]
-    tau = coeffs_ref[2]
+    cr = coeffs_ref[0, 0]
+    co = coeffs_ref[0, 1]
+    tau = coeffs_ref[0, 2]
     o_idx = pl.program_id(0).astype(jnp.float32)
 
     for tile in range(n_tiles):
@@ -205,11 +205,14 @@ def shear_resample_pallas_dyn(
         interpret=interpret,
         grid=(O,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # Rank-2 (1, 3) so a vmap batch dim lands beyond the last-two-dims
+            # tiling rule (it gets squeezed) — rank-1 SMEM operands fail
+            # Mosaic's block check once batched.
+            pl.BlockSpec((1, 3), lambda o: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, R_in, T), lambda o: (o, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, T, r_out), lambda o: (o, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((O, T, r_out), jnp.float32),
-    )(coeffs.astype(jnp.float32), data_ort.astype(jnp.float32))
+    )(coeffs.astype(jnp.float32).reshape(1, 3), data_ort.astype(jnp.float32))

@@ -63,6 +63,28 @@ def _pcc_core(ref_img: jax.Array, mov_img: jax.Array, normalization: str | None)
     return corr
 
 
+@partial(jax.jit, static_argnames=("normalization",))
+def _pcc_shift_device(ref_img, mov_img, normalization: str | None = None):
+    """Wrap-corrected PCC peak computed entirely on device.
+
+    Returns only the (z, y, x) shift — per-timepoint drift estimation never
+    needs the correlation volume, and pulling it to the host costs a full
+    volume transfer per pair.
+    """
+    corr = _pcc_core(ref_img, mov_img, normalization)
+    a = jnp.abs(corr)
+    flat = jnp.argmax(a)
+    maxima = []
+    rem = flat
+    for s in corr.shape[::-1]:
+        maxima.append(rem % s)
+        rem = rem // s
+    maxima = jnp.stack(maxima[::-1]).astype(jnp.float32)
+    midpoint = jnp.asarray([np.fix(s / 2) for s in corr.shape], jnp.float32)
+    sizes = jnp.asarray(corr.shape, jnp.float32)
+    return jnp.where(maxima > midpoint, maxima - sizes, maxima)
+
+
 def phase_cross_corr(
     ref_img,
     mov_img,
@@ -77,6 +99,14 @@ def phase_cross_corr(
     argmax of irfftn(F_ref * conj(F_mov)) with wrap-around correction, i.e.
     the translation that maps the MOVING image onto the REFERENCE.
     """
+    if output_path is None:
+        # Fast path: peak found on device, only 3 floats cross to the host.
+        shift = np.asarray(
+            _pcc_shift_device(jnp.asarray(ref_img), jnp.asarray(mov_img), normalization)
+        )
+        if verbose:
+            print(f"phase cross corr. peak at {tuple(shift)}")
+        return shift, None
     corr = np.asarray(_pcc_core(jnp.asarray(ref_img), jnp.asarray(mov_img), normalization))
     corr_shifted = np.fft.fftshift(np.abs(corr))
     maxima = np.unravel_index(np.argmax(np.abs(corr)), corr.shape)

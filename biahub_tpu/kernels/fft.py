@@ -64,6 +64,19 @@ def _pcc_core(ref_img: jax.Array, mov_img: jax.Array, normalization: str | None)
 
 
 @partial(jax.jit, static_argnames=("normalization",))
+def _pcc_peak_index_device(ref_img, mov_img, normalization: str | None = None):
+    """Unshifted argmax index of |corr| computed on device (int32 (ndim,))."""
+    corr = _pcc_core(ref_img, mov_img, normalization)
+    flat = jnp.argmax(jnp.abs(corr))
+    idx = []
+    rem = flat
+    for s in corr.shape[::-1]:
+        idx.append(rem % s)
+        rem = rem // s
+    return jnp.stack(idx[::-1]).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("normalization",))
 def _pcc_shift_device(ref_img, mov_img, normalization: str | None = None):
     """Wrap-corrected PCC peak computed entirely on device.
 
@@ -146,6 +159,18 @@ def phase_cross_corr_padding(
         )
     ref_m = match_shape(np.asarray(ref_img), shape)
     mov_m = match_shape(np.asarray(mov_img), shape)
+    if output_path is None:
+        # Device-side peak: fftshifted argmax p maps to the unshifted index
+        # p0 via p = (p0 + s//2) % s, so peak = s//2 - p.
+        p0 = np.asarray(
+            _pcc_peak_index_device(jnp.asarray(ref_m), jnp.asarray(mov_m), normalization)
+        ).astype(np.int64)
+        peak = tuple(
+            int(s // 2 - ((q + s // 2) % s)) for s, q in zip(shape, p0)
+        )
+        if verbose:
+            print(f"phase cross corr. peak at {peak}")
+        return np.asarray(peak, dtype=np.float32), None
     corr = np.asarray(_pcc_core(jnp.asarray(ref_m), jnp.asarray(mov_m), normalization))
     corr = np.fft.fftshift(np.abs(corr))
     argmax = np.argmax(corr)

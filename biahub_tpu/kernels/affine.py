@@ -422,6 +422,35 @@ def translation_warp_zyx(
     out_shape = output_shape or volume.shape
     shift = jnp.asarray(shift_zyx, dtype=jnp.float32)
 
+    if (
+        (
+            jax.default_backend() == "tpu"
+            or os.environ.get("BIAHUB_TPU_FORCE_PALLAS") == "1"
+        )
+        and os.environ.get("BIAHUB_TPU_NO_PALLAS") != "1"
+        and isinstance(fill, (int, float))
+        and float(fill) == 0.0
+    ):
+        # Shifts may be traced (per-timepoint stabilize parameters), so each
+        # pass runs the SMEM-coefficient kernel; mask_oob reproduces the
+        # per-axis whole-sample fill (fill = 0 only).
+        from biahub_tpu.kernels.pallas_resample import shear_resample_pallas_dyn
+
+        def pass_coeffs(ax):
+            return jnp.stack([jnp.float32(1.0), jnp.float32(0.0), shift[ax]])
+
+        kb = 128 + 2
+        d = jnp.transpose(volume.astype(jnp.float32), (1, 0, 2))  # (Yi, Zi, Xi)
+        d = shear_resample_pallas_dyn(d, out_shape[0], pass_coeffs(0), kb,
+                                      order=1, mask_oob=True)  # (Yi, Xi, Zo)
+        d = jnp.transpose(d, (1, 0, 2))  # (Xi, Yi, Zo)
+        d = shear_resample_pallas_dyn(d, out_shape[1], pass_coeffs(1), kb,
+                                      order=1, mask_oob=True)  # (Xi, Zo, Yo)
+        d = jnp.transpose(d, (2, 0, 1))  # (Yo, Xi, Zo)
+        d = shear_resample_pallas_dyn(d, out_shape[2], pass_coeffs(2), kb,
+                                      order=1, mask_oob=True)  # (Yo, Zo, Xo)
+        return jnp.transpose(d, (1, 0, 2))  # (Zo, Yo, Xo)
+
     def resample_axis(data, axis, size_out, delta):
         size_in = data.shape[axis]
         coords = jnp.arange(size_out, dtype=jnp.float32) + delta

@@ -129,7 +129,7 @@ def shear_resample_pallas(
 def _resample_kernel_dyn(coeffs_ref, data_ref, out_ref, *, params):
     """Like :func:`_resample_kernel`, with (cr, co, tau) read from SMEM so the
     coefficients can be traced (per-matrix parameters in batched kernels)."""
-    R_in, T, R_out, K, n_tiles, order = params
+    R_in, T, R_out, K, n_tiles, order, mask_oob = params
     cr = coeffs_ref[0, 0]
     co = coeffs_ref[0, 1]
     tau = coeffs_ref[0, 2]
@@ -168,6 +168,11 @@ def _resample_kernel_dyn(coeffs_ref, data_ref, out_ref, *, params):
                 + band(2, 0.5 * t3 - 0.5 * t2)
             )
 
+        if mask_oob:
+            # scipy-style whole-sample constant fill (fill = 0): zero every
+            # band of samples whose coordinate leaves the input domain.
+            w = w * ((coords >= 0) & (coords <= R_in - 1)).astype(w.dtype)
+
         slab = data_ref[0, pl.ds(start, K), :]
         out_ref[0, :, pl.ds(tile * TILE_R, tile_w)] = jax.lax.dot_general(
             slab,
@@ -178,13 +183,14 @@ def _resample_kernel_dyn(coeffs_ref, data_ref, out_ref, *, params):
         )
 
 
-@partial(jax.jit, static_argnames=("r_out", "k_bound", "order"))
+@partial(jax.jit, static_argnames=("r_out", "k_bound", "order", "mask_oob"))
 def shear_resample_pallas_dyn(
     data_ort: jax.Array,
     r_out: int,
     coeffs: jax.Array,
     k_bound: int,
     order: int = 3,
+    mask_oob: bool = False,
 ) -> jax.Array:
     """Resample axis 1 of (O, R_in, T) data at traced (cr, co, tau) coeffs.
 
@@ -197,7 +203,8 @@ def shear_resample_pallas_dyn(
     n_tiles = -(-r_out // TILE_R)
 
     kernel = partial(
-        _resample_kernel_dyn, params=(R_in, T, r_out, K, n_tiles, int(order))
+        _resample_kernel_dyn,
+        params=(R_in, T, r_out, K, n_tiles, int(order), bool(mask_oob)),
     )
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(

@@ -248,3 +248,22 @@ def test_pallas_inplane_matches_xla(smooth_volume):
     ref = _scipy_warp(smooth_volume, M)
     interior = (slice(2, -2),) * 3
     assert np.abs(out_p[interior] - ref[interior]).max() < 5e-3
+
+
+def test_pallas_translation_matches_scipy(smooth_volume, monkeypatch):
+    """The Pallas translation path (traced shifts, mask_oob fill) is exact
+    against scipy, including under vmap as stabilize uses it."""
+    import jax
+
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    shifts = np.array([[2.3, -4.1, 1.7], [0.0, 0.0, 0.0]], np.float32)
+    outs = np.asarray(
+        jax.vmap(lambda s: translation_warp_zyx(smooth_volume, s, smooth_volume.shape))(
+            shifts
+        )
+    )
+    for i, s in enumerate(shifts):
+        M = np.eye(4)
+        M[:3, 3] = s
+        ref = _scipy_warp(smooth_volume, M)
+        np.testing.assert_allclose(outs[i], ref, atol=2e-5)

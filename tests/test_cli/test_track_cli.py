@@ -166,3 +166,101 @@ def test_sliding_window_predict_blends():
     czyx = np.random.default_rng(0).random((1, 10, 8, 8)).astype(np.float32)
     out = sliding_window_predict(_double, czyx, window_z=4, step=2)
     np.testing.assert_allclose(out, czyx * 2.0, rtol=1e-4)
+
+
+def test_focus_window_edge_shifts():
+    """The focus window keeps its size and shifts (not clips) at z edges
+    (reference: biahub/track.py:296-335)."""
+    from biahub_tpu.track import _focus_window
+
+    sl, size = _focus_window(center=2, window_size=8, z_shape=20, frac_below=0.5)
+    assert (sl.start, sl.stop, size) == (0, 8, 8)  # shifted up from negative
+    sl, size = _focus_window(center=19, window_size=8, z_shape=20, frac_below=0.5)
+    assert (sl.start, sl.stop, size) == (12, 20, 8)  # shifted down from overflow
+    sl, size = _focus_window(center=10, window_size=8, z_shape=20, frac_below=0.5)
+    assert (sl.start, sl.stop, size) == (6, 14, 8)
+    sl, size = _focus_window(center=3, window_size=50, z_shape=20, frac_below=0.5)
+    assert (sl.start, sl.stop, size) == (0, 20, 20)  # window capped at z extent
+
+
+def test_fill_empty_frames_from_csv(tmp_path):
+    """Blank timepoints listed in the CSV are filled from neighbors
+    (reference: biahub/track.py:135-254)."""
+    import pandas as pd
+
+    from biahub_tpu.track import fill_empty_frames, get_empty_frames_idx_from_csv
+
+    # Reference CSV convention: one row per FOV, "t" holds a list literal
+    df = pd.DataFrame({"FOV": ["A/1/0", "B/1/0"], "t": ["[1, 3]", 0]})
+    assert get_empty_frames_idx_from_csv(df, "A/1/0") == [1, 3]
+    assert get_empty_frames_idx_from_csv(df, "B/1/0") is None  # 0 = none blank
+    assert get_empty_frames_idx_from_csv(df, "C/1/0") is None
+
+    data = np.stack([np.full((4, 4), t + 1.0, np.float32) for t in range(5)])
+    data[1] = 0
+    data[3] = 0
+    filled = fill_empty_frames(data.copy(), [1, 3])
+    assert filled[1].mean() == 1.0  # nearest previous valid frame (t=0)
+    assert filled[3].mean() == 3.0  # nearest previous valid frame (t=2)
+
+
+def test_track_cli_init_only(tmp_path):
+    stack, _ = _moving_blobs(T=3, size=32)
+    plate_path = tmp_path / "vs.zarr"
+    plate = open_ome_zarr(
+        plate_path, layout="hcs", mode="w", channel_names=["nuclei_prediction"]
+    )
+    pos = plate.create_position("A", "1", "0")
+    pos.create_image("0", stack[:, None, None])
+
+    config = {
+        "target_channel": "nuclei_prediction",
+        "output_mode": "2D",
+        "z_slicing": {"method": "all"},
+        "input_images": [
+            {"path": None, "channels": {"nuclei_prediction": []}},
+            {
+                "path": None,
+                "channels": {
+                    "foreground": [
+                        {
+                            "function": "ultrack.imgproc.detect_foreground",
+                            "input_channels": ["nuclei_prediction"],
+                            "kwargs": {"sigma": 10.0, "threshold": 0.5},
+                            "per_timepoint": True,
+                        }
+                    ],
+                    "contour": [
+                        {
+                            "function": "ultrack.imgproc.robust_invert",
+                            "input_channels": ["nuclei_prediction"],
+                            "kwargs": {"sigma": 1.0},
+                            "per_timepoint": True,
+                        }
+                    ],
+                },
+            },
+        ],
+        "tracking_config": {"linking_config": {"max_distance": 12}},
+        "segmentation_method": "foreground_contour",
+    }
+    config_path = tmp_path / "track.yml"
+    with open(config_path, "w") as f:
+        yaml.dump(config, f)
+    output_path = tmp_path / "tracks.zarr"
+
+    result = CliRunner().invoke(
+        cli,
+        [
+            "track", "--init",
+            "-i", str(plate_path / "A/1/0"),
+            "-c", str(config_path),
+            "-o", str(output_path),
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    assert "RESOURCES:" in result.output
+    # init creates the output plate but runs no tracking
+    out = open_ome_zarr(output_path)["A/1/0"]
+    assert out.channel_names == ["nuclei_prediction_labels"]
+    assert not (output_path / "A/1/0/tracks_A_1_0.csv").exists()

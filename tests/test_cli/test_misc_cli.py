@@ -137,3 +137,78 @@ def test_all_commands_have_help():
         cmd = line.split()[0]
         sub = runner.invoke(cli, [cmd, "--help"])
         assert sub.exit_code == 0, f"{cmd}: {sub.output}"
+
+
+def test_process_with_config_squaring(example_plate_2, tmp_path):
+    """np.* functions from the allow list run per channel (reference:
+    tests/test_cli/test_process_with_config.py squaring cases)."""
+    plate_path, _ = example_plate_2
+    config = {
+        "processing_functions": [
+            {"function": "np.square", "input_channels": ["GFP"], "kwargs": {}}
+        ]
+    }
+    config_path = tmp_path / "sq.yml"
+    with open(config_path, "w") as f:
+        yaml.dump(config, f)
+    output_path = tmp_path / "sq.zarr"
+    result = CliRunner().invoke(
+        cli,
+        ["process-with-config", "-i", str(plate_path / "A/1/0"),
+         "-c", str(config_path), "-o", str(output_path)],
+    )
+    assert result.exit_code == 0, result.output
+    out = open_ome_zarr(output_path)["A/1/0"]
+    in_pos = open_ome_zarr(plate_path)["A/1/0"]
+    gfp = in_pos.channel_names.index("GFP")
+    np.testing.assert_allclose(
+        out.data[0, gfp], np.square(in_pos.data[0, gfp]), rtol=1e-5
+    )
+
+
+def test_process_with_config_invalid_function(example_plate_2, tmp_path):
+    """Arbitrary import strings are rejected by the allow list."""
+    plate_path, _ = example_plate_2
+    config = {
+        "processing_functions": [
+            {"function": "os.system", "input_channels": ["GFP"], "kwargs": {}}
+        ]
+    }
+    config_path = tmp_path / "bad.yml"
+    with open(config_path, "w") as f:
+        yaml.dump(config, f)
+    result = CliRunner().invoke(
+        cli,
+        ["process-with-config", "-i", str(plate_path / "A/1/0"),
+         "-c", str(config_path), "-o", str(tmp_path / "o.zarr")],
+    )
+    assert result.exit_code != 0
+
+
+def test_process_with_config_invalid_channel(example_plate_2, tmp_path):
+    plate_path, _ = example_plate_2
+    config = {
+        "processing_functions": [
+            {"function": "np.square", "input_channels": ["NotAChannel"], "kwargs": {}}
+        ]
+    }
+    config_path = tmp_path / "badch.yml"
+    with open(config_path, "w") as f:
+        yaml.dump(config, f)
+    result = CliRunner().invoke(
+        cli,
+        ["process-with-config", "-i", str(plate_path / "A/1/0"),
+         "-c", str(config_path), "-o", str(tmp_path / "o.zarr")],
+    )
+    assert result.exit_code != 0
+
+
+def test_binning_sum_mode():
+    from biahub_tpu.process_data import binning_czyx
+
+    data = np.ones((1, 4, 4, 4), np.float32)
+    out = np.asarray(binning_czyx(data, binning_factor_zyx=[2, 2, 2], mode="sum"))
+    assert out.shape == (1, 2, 2, 2)
+    np.testing.assert_allclose(out, 8.0)
+    out = np.asarray(binning_czyx(data, binning_factor_zyx=[2, 2, 2], mode="mean"))
+    np.testing.assert_allclose(out, 1.0)

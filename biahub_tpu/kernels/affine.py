@@ -355,6 +355,58 @@ def inplane_affine_warp_zyx_pallas(
     )
 
 
+def make_batched_inplane_kernel(
+    matrices,
+    in_shape: tuple[int, int, int],
+    out_shape: tuple[int, int, int],
+    fill: float = 0.0,
+):
+    """One compiled in-plane warp serving a batch of z-decoupled affines.
+
+    Mirrors multipass_warp.make_batched_multipass_kernel for the in-plane
+    case: per-matrix pass coefficients ((mzz, 0, tz), (b0, b1, b2),
+    (mxx, mxy, tx)) ride as a traced (3, 3) parameter through the
+    SMEM-coefficient Pallas resample kernel on TPU, with static window bounds
+    from the concrete batch; CPU and BIAHUB_TPU_NO_PALLAS fall back to the
+    XLA formulation. Returns (kernel, params) with kernel(zyx, matrix, ip).
+    """
+    mats = [np.asarray(m, dtype=np.float64) for m in matrices]
+    params = np.zeros((len(mats), 3, 3), dtype=np.float32)
+    for i, m in enumerate(mats):
+        b1 = m[1, 2] / m[2, 2]
+        params[i, 0] = (m[0, 0], 0.0, m[0, 3])
+        params[i, 1] = (m[1, 1] - b1 * m[2, 1], b1, m[1, 3] - b1 * m[2, 3])
+        params[i, 2] = (m[2, 2], m[2, 1], m[2, 3])
+
+    k_bounds = [
+        int(np.ceil(128 * max(abs(p[ax, 0]) for p in params))) + 2
+        for ax in range(3)
+    ]
+    in_shape = tuple(int(s) for s in in_shape)
+    out_shape = tuple(int(s) for s in out_shape)
+
+    def kernel(zyx, matrix, ip):
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            or os.environ.get("BIAHUB_TPU_FORCE_PALLAS") == "1"
+        ) and os.environ.get("BIAHUB_TPU_NO_PALLAS") != "1"
+        if not use_pallas:
+            return inplane_affine_warp_zyx(zyx, matrix, out_shape, fill=fill)
+
+        from biahub_tpu.kernels.pallas_resample import shear_resample_pallas_dyn
+
+        d = jnp.transpose(zyx.astype(jnp.float32), (1, 0, 2))  # (Yi, Zi, Xi)
+        d = shear_resample_pallas_dyn(d, out_shape[0], ip[0], k_bounds[0], order=1)
+        d = jnp.transpose(d, (1, 0, 2))  # (Xi, Yi, Zo)
+        d = shear_resample_pallas_dyn(d, out_shape[1], ip[1], k_bounds[1], order=1)
+        d = jnp.transpose(d, (2, 0, 1))  # (Yo, Xi, Zo)
+        d = shear_resample_pallas_dyn(d, out_shape[2], ip[2], k_bounds[2], order=1)
+        out = jnp.transpose(d, (1, 0, 2))  # (Zo, Yo, Xo)
+        return _exact_domain_mask(out, matrix, in_shape, out_shape, float(fill))
+
+    return kernel, params
+
+
 def affine_warp_auto(
     volume: jax.Array,
     matrix,

@@ -33,6 +33,7 @@ from biahub_tpu.kernels.affine import (
     affine_warp_zyx,
     inplane_affine_warp_zyx,
     is_inplane_matrix,
+    make_batched_inplane_kernel,
     is_translation_matrix,
     translation_warp_zyx,
 )
@@ -174,8 +175,17 @@ def stabilize(
         def kernel(zyx, matrix):
             return translation_warp_zyx(zyx, matrix[:3, 3], out_shape_zyx)
     elif all(is_inplane_matrix(m) for m in all_mats):
-        def kernel(zyx, matrix):
-            return inplane_affine_warp_zyx(zyx, matrix, out_shape_zyx)
+        kernel, ip_params = make_batched_inplane_kernel(
+            all_mats, (Z, Y, X), out_shape_zyx
+        )
+        ip_offsets = np.cumsum([0] + [len(m) for m in per_position_mats])
+
+        def param_fn(u):
+            flat = ip_offsets[u.pos_idx] + u.t
+            return {
+                "matrix": per_position_mats[u.pos_idx][u.t],
+                "ip": ip_params[flat],
+            }
     else:
         try:
             kernel, mp_params = make_batched_multipass_kernel(

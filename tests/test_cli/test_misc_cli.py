@@ -212,3 +212,24 @@ def test_binning_sum_mode():
     np.testing.assert_allclose(out, 8.0)
     out = np.asarray(binning_czyx(data, binning_factor_zyx=[2, 2, 2], mode="mean"))
     np.testing.assert_allclose(out, 1.0)
+
+
+def test_animation_contours_and_contrast():
+    """Headless math beneath the napari animation utilities
+    (reference: biahub/visualize/animation_utils.py:19-438)."""
+    from biahub_tpu.visualize.animation_utils import get_contours, suggest_contrast_limits
+
+    labels = np.zeros((16, 16), np.int32)
+    labels[4:10, 4:10] = 1
+    labels[11:15, 11:15] = 2
+    contours = get_contours(labels, thickness=1)
+    # Contours preserve the label ids and sit on the object borders only
+    assert set(np.unique(contours)) == {0, 1, 2}
+    assert contours[6, 6] == 0  # interior removed
+    assert contours[4, 6] == 1  # border kept
+
+    rng = np.random.default_rng(0)
+    arr = rng.normal(100.0, 10.0, 10000).astype(np.float32)
+    lo, hi = suggest_contrast_limits(arr)
+    assert lo < hi
+    assert 60 < lo < 100 < hi < 140

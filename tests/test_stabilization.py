@@ -378,3 +378,65 @@ def test_stabilize_inplane_matrices(tmp_path, monkeypatch):
         r3 = affine_transform(base, M[:3, :3], M[:3, 3], order=3, mode="constant")
         band = max(np.abs(r1 - r3).max(), 1e-6)
         assert np.abs(out[t, 0] - r1).max() <= 1.1 * band, f"t={t}"
+
+
+def test_estimate_stabilization_xy_roundtrip(tmp_path):
+    """XY method (the reference's pystackreg role): in-plane drifts recovered
+    from focus-slice registration, then stabilize realigns the frames."""
+    from scipy.ndimage import gaussian_filter
+
+    # Volume with one clearly sharpest plane so focus finding is stable
+    rng = np.random.default_rng(6)
+    sharp = gaussian_filter(
+        (rng.random((48, 48)) > 0.995).astype(np.float32) * 100.0, 1.0
+    )
+    base = np.stack(
+        [gaussian_filter(sharp, abs(z - 6) * 1.2 + 0.1) for z in range(12)]
+    ).astype(np.float32)
+    drifts = [(0, 0, 0), (0, 3, -2), (0, -2, 4)]
+    data = np.stack(
+        [np.roll(base, tuple(d), axis=(0, 1, 2)) for d in drifts]
+    )[:, None]
+    plate_path = tmp_path / "xydrift.zarr"
+    plate = open_ome_zarr(plate_path, layout="hcs", mode="w", channel_names=["GFP"])
+    pos = plate.create_position("A", "1", "0")
+    pos.create_image(
+        "0", data, transform=[TransformationMeta(type="scale", scale=(1, 1, 1, 0.1, 0.1))]
+    )
+
+    config = {
+        "stabilization_estimation_channel": "GFP",
+        "stabilization_channels": ["GFP"],
+        "stabilization_type": "xy",
+        "stabilization_method": "focus-finding",
+        "stack_reg_settings": {
+            "center_crop_xy": [40, 40],
+            "t_reference": "first",
+        },
+    }
+    config_path = tmp_path / "est_xy.yml"
+    with open(config_path, "w") as f:
+        yaml.dump(config, f)
+
+    est_dir = tmp_path / "xy_est"
+    result = CliRunner().invoke(
+        cli,
+        [
+            "estimate-stabilization",
+            "-i", str(plate_path / "A" / "1" / "0"),
+            "-o", str(est_dir),
+            "-c", str(config_path),
+            "--local",
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    settings_yml = est_dir / "xy_stabilization_settings" / "A_1_0.yml"
+    assert settings_yml.exists()
+    with open(settings_yml) as f:
+        stab = yaml.safe_load(f)
+    mats = np.asarray(stab["affine_transform_zyx_list"])
+    assert mats.shape == (3, 4, 4)
+    for t, d in enumerate(drifts):
+        np.testing.assert_allclose(
+            mats[t][1:3, 3], d[1:], atol=0.6, err_msg=f"t={t}"
+        )

@@ -105,6 +105,7 @@ def link_labels(
     next_track = 1
     next_node = 1
     prev: dict[int, dict] = {}  # track_id -> {centroid, size, node_id}
+    track_parent: dict[int, int] = {}  # track_id -> parent track (-1 = root)
 
     for t in range(T):
         ids, centroids, sizes = _frame_regions(labels_tzyx[t], scale)
@@ -136,15 +137,43 @@ def link_labels(
                     assignments[j] = tid
                     parents[j] = (tid, prev[tid]["node_id"])
 
+            # Division detection (ultrack convention): an unmatched detection
+            # near an already-matched previous track is a second daughter —
+            # the parent track ends and BOTH daughters start new tracks with
+            # parent_track_id/parent_id pointing at it.
+            division_children: dict[int, list[int]] = {}  # prev idx -> regions
+            for j in range(len(ids)):
+                if j in assignments:
+                    continue
+                nearest = int(np.argmin(dist[:, j]))
+                if dist[nearest, j] <= max_distance and prev_tids[nearest] in (
+                    assignments.get(jj) for jj in assignments
+                ):
+                    division_children.setdefault(nearest, []).append(j)
+            for i, extra in division_children.items():
+                tid = prev_tids[i]
+                matched = [jj for jj, t_ in assignments.items() if t_ == tid]
+                for j in matched + extra:
+                    assignments.pop(j, None)
+                    parents[j] = (tid, prev[tid]["node_id"])
+
         new_prev: dict[int, dict] = {}
         for j, region_id in enumerate(ids):
             if j in assignments:
+                # Continuing node: the track keeps its original parent track
                 tid = assignments[j]
+                parent_tid = track_parent.get(tid, -1)
+                parent_nid = parents[j][1]
+            elif j in parents:  # division daughter: fresh track, parent kept
+                tid = next_track
+                next_track += 1
                 parent_tid, parent_nid = parents[j]
+                track_parent[tid] = parent_tid
             else:
                 tid = next_track
                 next_track += 1
                 parent_tid, parent_nid = -1, -1
+                track_parent[tid] = -1
             nid = next_node
             next_node += 1
             out[t][labels_tzyx[t] == region_id] = tid

@@ -42,8 +42,10 @@ def test_link_labels_follows_objects():
     counts = tracks.groupby("track_id")["t"].count()
     assert len(counts) == 3
     assert (counts == 5).all()
-    # No new ids after t=0
-    assert (tracks[tracks["t"] > 0]["parent_track_id"] != -1).all()
+    # Every non-first node chains to its predecessor; root tracks keep
+    # parent_track_id = -1 (ultrack convention)
+    assert (tracks[tracks["t"] > 0]["parent_id"] != -1).all()
+    assert (tracks["parent_track_id"] == -1).all()
 
 
 def test_track_from_foreground_contour_splits_touching():
@@ -264,3 +266,30 @@ def test_track_cli_init_only(tmp_path):
     out = open_ome_zarr(output_path)["A/1/0"]
     assert out.channel_names == ["nuclei_prediction_labels"]
     assert not (output_path / "A/1/0/tracks_A_1_0.csv").exists()
+
+
+def test_link_labels_division():
+    """A blob splitting in two: the parent track ends and both daughters
+    start new tracks with parent_track_id set (ultrack convention)."""
+    from biahub_tpu.tracking.engine import link_labels
+
+    T, H, W = 4, 40, 40
+    labels = np.zeros((T, H, W), np.int32)
+    labels[0, 18:22, 18:22] = 1
+    labels[1, 18:22, 18:22] = 1
+    labels[2, 14:18, 14:18] = 1
+    labels[2, 22:26, 22:26] = 2
+    labels[3, 12:16, 12:16] = 1
+    labels[3, 24:28, 24:28] = 2
+
+    _, df = link_labels(labels, max_distance=15.0)
+    parent = df[df.t == 0].track_id.iloc[0]
+    assert df[df.t == 1].parent_track_id.iloc[0] == -1  # continuation is root
+    daughters = df[df.t == 2]
+    assert len(daughters) == 2
+    assert set(daughters.parent_track_id) == {parent}
+    assert all(daughters.track_id != parent)
+    # Daughters continue as their own tracks, still flagged as children
+    d3 = df[df.t == 3]
+    assert set(d3.track_id) == set(daughters.track_id)
+    assert set(d3.parent_track_id) == {parent}

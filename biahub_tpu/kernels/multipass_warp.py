@@ -141,8 +141,8 @@ def factor_affine(matrix: np.ndarray) -> list[tuple[int, int, float, float, floa
     return passes or [(0, 0, 1.0, 0.0, 0.0)]
 
 
-@partial(jax.jit, static_argnames=("r", "o", "shape", "no_off_diag"))
-def _apply_pass(data, r: int, o: int, cr, co, tau, shape, fill, no_off_diag: bool):
+@partial(jax.jit, static_argnames=("r", "o", "no_off_diag"))
+def _apply_pass(data, r: int, o: int, cr, co, tau, fill, no_off_diag: bool):
     """One elementary pass in the common frame: same shape in and out.
 
     Interpolation is Catmull-Rom cubic, not linear: chaining k linear
@@ -310,7 +310,7 @@ def multipass_affine_warp_zyx(
         else:
             data = _apply_pass(
                 data, int(r), int(o), float(cr), float(co), float(tau_eff),
-                frame_shape, float(fill), bool(o == r or co == 0.0),
+                float(fill), bool(o == r or co == 0.0),
             )
 
     start = (-off).astype(int)
@@ -400,7 +400,7 @@ def make_batched_multipass_kernel(
             else:
                 data = _apply_pass(
                     data, r, o, mp[k, 0], mp[k, 1], mp[k, 2],
-                    frame_shape, float(fill), r == o,
+                    float(fill), r == o,
                 )
         out = data[
             start[0] : start[0] + out_shape_t[0],
@@ -484,7 +484,7 @@ def make_traced_multipass_warp(
         for (r, o), (cr, co, tau) in zip(CANONICAL_SLOTS, coeffs):
             tau_eff = cr * off[r] + (co * off[o] if o != r else 0.0) + tau - off[r]
             data = _apply_pass(
-                data, r, o, cr, co, tau_eff, frame_shape, float(fill), r == o
+                data, r, o, cr, co, tau_eff, float(fill), r == o
             )
         out = data[
             start[0] : start[0] + out_shape[0],

@@ -33,8 +33,8 @@ from biahub_tpu.kernels.affine import (
     affine_warp_zyx,
     inplane_affine_warp_zyx,
     is_inplane_matrix,
-    make_batched_inplane_kernel,
     is_translation_matrix,
+    make_batched_inplane_kernel,
     translation_warp_zyx,
 )
 from biahub_tpu.kernels.multipass_warp import make_batched_multipass_kernel

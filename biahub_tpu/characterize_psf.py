@@ -252,3 +252,48 @@ def characterize_psf_cli(
 
 if __name__ == "__main__":
     characterize_psf_cli()
+
+
+# Reference-name compatibility (reference: biahub/characterize_psf.py:87-170,
+# 453-559): the plotting helpers live under private names in this module.
+def plot_psf_slices(plots_dir, beads, zyx_scale, axis_labels, bead_numbers=None):
+    return _plot_psf_slices(
+        Path(plots_dir), beads, zyx_scale,
+        bead_numbers if bead_numbers is not None else list(range(len(beads))),
+    )
+
+
+def plot_fwhm_vs_acq_axes(plots_dir, x, y, z, fwhm_x, fwhm_y, fwhm_z, axis_labels):
+    import pandas as pd
+
+    df = pd.DataFrame({"x": x, "y": y, "z": z,
+                       "fwhm_x": fwhm_x, "fwhm_y": fwhm_y, "fwhm_z": fwhm_z})
+    return _plot_fwhm_scatter(
+        Path(plots_dir),
+        df[["x", "y", "z"]],
+        df[["fwhm_x", "fwhm_y", "fwhm_z"]].rename(
+            columns={"fwhm_x": "x", "fwhm_y": "y", "fwhm_z": "z"}
+        ),
+        axis_labels,
+    )
+
+
+def plot_psf_amp(plots_dir, x, y, z, amp, axis_labels=("z", "y", "x")):
+    """Bead amplitude vs position scatter (reference name)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plots_dir = Path(plots_dir)
+    plots_dir.mkdir(parents=True, exist_ok=True)
+    fig, axes = plt.subplots(1, 3, figsize=(12, 3.5))
+    for ax, coord, label in zip(axes, (x, y, z), axis_labels[::-1]):
+        ax.scatter(coord, amp, s=8)
+        ax.set_xlabel(label)
+        ax.set_ylabel("amplitude")
+    fig.tight_layout()
+    out = plots_dir / "psf_amp.png"
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return out

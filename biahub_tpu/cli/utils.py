@@ -136,3 +136,18 @@ def get_empty_frame_indices(input_array: np.ndarray) -> list[int]:
     if input_array.ndim != 3:
         raise ValueError("Input array must be 3D.")
     return [z for z in range(input_array.shape[0]) if _is_empty(input_array[z])]
+
+
+def get_submitit_cluster(local: bool = False) -> str:
+    """Reference-name wrapper (reference: biahub/cli/utils.py:79-92): resolve
+    the execution mode; 'debug' under CI, otherwise local/on-device batching."""
+    from biahub_tpu.runtime import resolve_cluster
+
+    return resolve_cluster(None, local)
+
+
+def resolve_ome_zarr_version(path) -> str:
+    """Reference-name wrapper: OME-Zarr version of an existing store."""
+    from biahub_tpu.io.ngff import get_ome_zarr_version
+
+    return get_ome_zarr_version(path)

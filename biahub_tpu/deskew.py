@@ -212,3 +212,9 @@ def deskew_cli(
 
 if __name__ == "__main__":
     deskew_cli()
+
+
+# Reference-name compatibility: the reference exposes the optimized path as
+# ``fast_deskew_zyx`` (reference: biahub/deskew.py:459-545); here the one
+# deskew entrypoint already dispatches to the fused Pallas kernel on TPU.
+fast_deskew_zyx = deskew_zyx

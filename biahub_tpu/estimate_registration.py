@@ -281,3 +281,18 @@ def estimate_registration_cli(
 
 if __name__ == "__main__":
     estimate_registration_cli()
+
+
+def user_assisted_registration(*args, **kwargs):
+    """Reference-name stub (reference: biahub/estimate_registration.py:60-358).
+
+    Manual registration needs an interactive napari session to click matching
+    point pairs, which is unavailable headless. Pick the pairs externally and
+    call :func:`registration_from_point_pairs` instead, or use the 'beads' /
+    'ants' estimation methods.
+    """
+    raise RuntimeError(
+        "user_assisted_registration requires an interactive napari session; "
+        "use registration_from_point_pairs with externally picked points, or "
+        "the 'beads'/'ants' estimation methods."
+    )

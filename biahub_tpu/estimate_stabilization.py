@@ -634,3 +634,62 @@ def estimate_stabilization_cli(
 
 if __name__ == "__main__":
     estimate_stabilization_cli()
+
+
+# ---------------------------------------------------------------------------
+# Reference-name compatibility helpers
+# (reference: biahub/estimate_stabilization.py:76-125, 258-311, 312-440)
+# ---------------------------------------------------------------------------
+
+
+def get_tform_from_pcc(shift) -> list:
+    """4x4 aligning transform from a PCC shift: out[o] = mov[o - shift]."""
+    transform = np.eye(4)
+    transform[:3, 3] = -np.asarray(shift, dtype=np.float64)
+    return transform.tolist()
+
+
+def plot_cross_correlation(corr, title: str = "Cross-Correlation", output_path=None):
+    """Mid-plane heatmap of a correlation volume (reference name)."""
+    from biahub_tpu.kernels.fft import _plot_corr
+
+    if output_path is None:
+        raise ValueError("output_path is required")
+    _plot_corr(np.asarray(corr), output_path)
+
+
+def plot_pcc_drifts(shifts_df, output_path) -> None:
+    """Per-axis drift curves over time from a shifts dataframe."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(3, 1, sharex=True, figsize=(8, 6))
+    for ax, col in zip(axes, ["ShiftZ", "ShiftY", "ShiftX"]):
+        ax.plot(shifts_df["TimepointID"], shifts_df[col], marker="o", ms=2)
+        ax.set_ylabel(col)
+    axes[-1].set_xlabel("timepoint")
+    fig.tight_layout()
+    Path(output_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(output_path, dpi=120)
+    plt.close(fig)
+
+
+def plot_corr_max_min_sum(corr_stats_df, output_path) -> None:
+    """Correlation max/min/sum curves over time (reference name)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 4))
+    for col in ("corr_max", "corr_min", "corr_sum"):
+        if col in corr_stats_df:
+            ax.plot(corr_stats_df["TimepointID"], corr_stats_df[col], label=col)
+    ax.set_xlabel("timepoint")
+    ax.legend()
+    fig.tight_layout()
+    Path(output_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(output_path, dpi=120)
+    plt.close(fig)

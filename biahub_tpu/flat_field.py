@@ -190,3 +190,7 @@ def flat_field_cli(
 
 if __name__ == "__main__":
     flat_field_cli()
+
+
+# Reference-name compatibility (reference: biahub/flat_field.py).
+flat_field_correction = flat_field_zyx

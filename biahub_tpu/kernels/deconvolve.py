@@ -70,3 +70,8 @@ def deconvolve_czyx(
         deconvolve_zyx, regularization_strength=regularization_strength
     )
     return jax.vmap(fn, in_axes=(0, None))(czyx_data, transfer_function_half)
+
+
+# Reference-name compatibility, including the reference's typo
+# (reference: biahub/deconvolve.py:34 ``compute_tranfser_function``).
+compute_tranfser_function = compute_transfer_function

@@ -560,3 +560,21 @@ def optimize_matches(
     if verbose:
         click.echo(f"Best score: {best_score:.4f}")
     return best_settings
+
+
+def _with_propagation_flag(kwargs, flag: bool):
+    settings = kwargs.get("affine_transform_settings") or AffineTransformSettings()
+    settings = settings.model_copy(update={"use_prev_t_transform": flag})
+    kwargs["affine_transform_settings"] = settings
+    return kwargs
+
+
+def estimate_with_propagation(*args, **kwargs):
+    """Reference-name wrapper: sequential per-timepoint estimation where each
+    result seeds the next (reference: biahub/registration/beads.py:300-560)."""
+    return estimate_tczyx(*args, **_with_propagation_flag(kwargs, True))
+
+
+def estimate_independently(*args, **kwargs):
+    """Reference-name wrapper: per-timepoint estimation from scratch."""
+    return estimate_tczyx(*args, **_with_propagation_flag(kwargs, False))

@@ -268,3 +268,28 @@ def approx_transform_from_scale(
         if flip[-1]:
             out = get_3D_fliplr_matrix(target_shape_zyx or source_shape_zyx or (1, 1, 1)) @ out
     return out
+
+
+# ---------------------------------------------------------------------------
+# Reference-name compatibility re-exports: the reference duplicates these
+# helpers in registration/utils.py (reference: biahub/registration/utils.py:
+# 523-775, 858-960); here they live in their owning modules and are re-exported
+# so scripts written against the reference keep working.
+# ---------------------------------------------------------------------------
+from biahub_tpu.kernels.fft import (  # noqa: E402
+    center_crop,
+    match_shape,
+    pad_to_shape,
+)
+from biahub_tpu.register import (  # noqa: E402
+    apply_affine_transform,
+    find_lir,
+    find_overlapping_volume,
+    get_3D_fliplr_matrix,
+    get_3D_rescaling_matrix,
+    get_3D_rotation_matrix,
+    rescale_voxel_size,
+)
+
+# Reference name for the scale/rotation/flip approximate-transform builder
+get_aprox_transform = approx_transform_from_scale

@@ -527,3 +527,38 @@ def track_cli(
 
 if __name__ == "__main__":
     track_cli()
+
+
+def run_ultrack(tracking_config, foreground, contour, scale, databaset_path=None):
+    """Reference-name API (reference: biahub/track.py:406-477): track from
+    foreground/contour maps. Uses the ultrack solver when the package is
+    installed, otherwise the native engine (seeded instance split + Hungarian
+    linking with divisions)."""
+    try:  # pragma: no cover - optional heavyweight dependency
+        from ultrack import track as _ultrack_track  # type: ignore
+
+        return _ultrack_track(
+            tracking_config, foreground=foreground, contours=contour, scale=scale
+        )
+    except ImportError:
+        max_distance = 50.0
+        if tracking_config is not None:
+            linking = getattr(tracking_config, "linking_config", None) or (
+                tracking_config.get("linking_config", {})
+                if isinstance(tracking_config, dict)
+                else {}
+            )
+            max_distance = float(
+                getattr(linking, "max_distance", None)
+                or (linking.get("max_distance", 50.0) if isinstance(linking, dict) else 50.0)
+            )
+        labels, tracks_df = track_from_foreground_contour(
+            np.asarray(foreground), np.asarray(contour),
+            scale=scale, max_distance=max_distance,
+        )
+        return tracks_df, labels
+
+
+def run_cellpose_per_frame(data_dict, cellpose_config) -> np.ndarray:
+    """Reference-name wrapper for per-frame cellpose segmentation."""
+    return cellpose_segmentation(data_dict, cellpose_config)

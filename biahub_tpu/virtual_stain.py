@@ -251,3 +251,35 @@ def virtual_stain_cli(
 
 if __name__ == "__main__":
     virtual_stain_cli()
+
+
+def virtual_stain(
+    input_position_dirpaths,
+    config_filepath,
+    output_dirpath,
+    sbatch_filepath=None,
+    cluster=None,
+    local=False,
+    monitor=True,
+    init_only=False,
+):
+    """Reference-name host API (reference: biahub/virtual_stain.py): run the
+    virtual-stain CLI flow programmatically."""
+    return virtual_stain_cli.callback(
+        input_position_dirpaths=input_position_dirpaths,
+        config_filepath=config_filepath,
+        output_dirpath=output_dirpath,
+        sbatch_filepath=sbatch_filepath,
+        cluster=cluster,
+        local=local,
+        monitor=monitor,
+        init_only=init_only,
+    )
+
+
+def load_predict_config(config_filepath):
+    """Reference-name helper: load the virtual-stain YAML config dict
+    (the reference parses a viscy jsonargparse file; this runtime uses a
+    plain YAML schema — see the module docstring)."""
+    with open(config_filepath) as f:
+        return yaml.safe_load(f)

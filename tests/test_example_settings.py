@@ -74,3 +74,55 @@ def test_example_settings_validate(filename, model):
         return
     instance = model(**raw)
     assert instance is not None
+
+
+def test_reference_name_compatibility_aliases():
+    """Module-level names from the reference resolve here (PARITY.md)."""
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from biahub_tpu.characterize_psf import (  # noqa: F401
+        plot_fwhm_vs_acq_axes,
+        plot_psf_amp,
+        plot_psf_slices,
+    )
+    from biahub_tpu.cli.utils import (  # noqa: F401
+        get_submitit_cluster,
+        resolve_ome_zarr_version,
+    )
+    from biahub_tpu.deskew import fast_deskew_zyx  # noqa: F401
+    from biahub_tpu.estimate_registration import user_assisted_registration
+    from biahub_tpu.estimate_stabilization import (  # noqa: F401
+        get_tform_from_pcc,
+        plot_corr_max_min_sum,
+        plot_cross_correlation,
+        plot_pcc_drifts,
+    )
+    from biahub_tpu.flat_field import flat_field_correction  # noqa: F401
+    from biahub_tpu.kernels.deconvolve import compute_tranfser_function  # noqa: F401
+    from biahub_tpu.registration.beads import (  # noqa: F401
+        estimate_independently,
+        estimate_with_propagation,
+    )
+    from biahub_tpu.registration.utils import (  # noqa: F401
+        apply_affine_transform,
+        center_crop,
+        find_lir,
+        find_overlapping_volume,
+        get_3D_fliplr_matrix,
+        get_3D_rescaling_matrix,
+        get_3D_rotation_matrix,
+        get_aprox_transform,
+        match_shape,
+        pad_to_shape,
+        rescale_voxel_size,
+    )
+    from biahub_tpu.track import run_cellpose_per_frame, run_ultrack  # noqa: F401
+    from biahub_tpu.virtual_stain import load_predict_config, virtual_stain  # noqa: F401
+
+    import numpy as np
+    import pytest
+
+    assert np.asarray(get_tform_from_pcc([1, 2, 3]))[2][3] == -3
+    with pytest.raises(RuntimeError):
+        user_assisted_registration()

@@ -169,8 +169,13 @@ class BatchRunner:
     def n_devices(self) -> int:
         return self.mesh.devices.size
 
-    def _batch_size(self, unit_shape: tuple[int, ...], n_units: int) -> int:
-        unit_bytes = int(np.prod(unit_shape)) * 4
+    def _batch_size(
+        self, unit_shape: tuple[int, ...], n_units: int, out_bytes: int = 0
+    ) -> int:
+        # Budget the input AND output footprint: outputs can dwarf inputs
+        # (keep-overhang deskew emits ~9x the input voxels), and sizing on
+        # input alone exhausts HBM at production volume sizes.
+        unit_bytes = int(np.prod(unit_shape)) * 4 + int(out_bytes)
         by_mem = max(1, self.max_batch_bytes // max(unit_bytes, 1))
         b = int(min(n_units, by_mem))
         # Round up to a multiple of the device count so sharding stays even;
@@ -179,6 +184,21 @@ class BatchRunner:
         if b % nd:
             b = min(((b + nd - 1) // nd) * nd, ((n_units + nd - 1) // nd) * nd)
         return max(b, 1)
+
+    def _unit_output_bytes(self, kernel, group, per_unit_params) -> int:
+        """Per-unit output footprint via an abstract trace (no compute)."""
+        example = per_unit_params(group.units[0]) if per_unit_params else {}
+        try:
+            out = jax.eval_shape(
+                lambda v: kernel(v, **example),
+                jax.ShapeDtypeStruct(group.shape, np.float32),
+            )
+            return sum(
+                int(np.prod(leaf.shape)) * leaf.dtype.itemsize
+                for leaf in jax.tree_util.tree_leaves(out)
+            )
+        except Exception:  # non-traceable kernel: assume output matches input
+            return int(np.prod(group.shape)) * 4
 
     def _jitted(self, kernel: Callable, param_names: tuple[str, ...]) -> Callable:
         key = (id(kernel), param_names)
@@ -245,7 +265,11 @@ class BatchRunner:
         pending_writes: list[tuple[Any, WorkUnit]] = []
 
         for group in groups.values():
-            B = self._batch_size(group.shape, len(group.units))
+            B = self._batch_size(
+                group.shape,
+                len(group.units),
+                self._unit_output_bytes(kernel, group, per_unit_params),
+            )
             chunks = [
                 group.units[i : i + B] for i in range(0, len(group.units), B)
             ]

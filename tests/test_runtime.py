@@ -114,3 +114,35 @@ def test_sbatch_to_overrides(sbatch_file):
     assert overrides["slurm_array_parallelism"] == 2
     assert overrides["cpus_per_task"] == 1
     assert overrides["timeout_min"] == 1
+
+
+def test_batch_size_accounts_for_output_footprint():
+    """Kernels whose output dwarfs the input (keep-overhang deskew emits ~9x
+    the voxels) must shrink the batch, or production volumes exhaust HBM."""
+    runner = BatchRunner(cluster="debug", max_batch_bytes=10 * 2**20)
+    in_shape = (16, 64, 64)  # 256 KiB per unit
+    # Input-only sizing would allow 40 units; a 16x output should cut it ~17x
+    b_in_only = runner._batch_size(in_shape, 1000, out_bytes=0)
+    b_with_out = runner._batch_size(
+        in_shape, 1000, out_bytes=16 * int(np.prod(in_shape)) * 4
+    )
+    assert b_with_out < b_in_only
+    # Even sharding floors the batch at one unit per device; beyond that the
+    # memory budget rules.
+    assert b_with_out <= max(2, runner.n_devices)
+
+    # eval_shape path: an expanding kernel reports its true output bytes
+    class _FakePos:
+        pass
+
+    from biahub_tpu.runtime.executor import WorkUnit
+
+    class _Group:
+        shape = in_shape
+        units = [WorkUnit(0, 0, 0, 0)]
+
+    import jax.numpy as jnp
+
+    expanding = lambda v: jnp.tile(v, (4, 1, 1))  # noqa: E731
+    out_bytes = runner._unit_output_bytes(expanding, _Group, None)
+    assert out_bytes == 4 * int(np.prod(in_shape)) * 4

@@ -210,7 +210,9 @@ class BatchRunner:
                     volumes, *params
                 )
 
-            self._jit_cache[key] = jax.jit(batched)
+            # Donating the input batch lets XLA reuse its HBM for outputs —
+            # material headroom when outputs are larger than inputs (deskew).
+            self._jit_cache[key] = jax.jit(batched, donate_argnums=(0,))
         return self._jit_cache[key]
 
     # -- execution -----------------------------------------------------------

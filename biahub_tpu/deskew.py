@@ -99,6 +99,46 @@ def _init_output_plate(
     return (T, C, Z, Y, X), channel_names
 
 
+def _fill_overhang_chunked(out_pos, t: int, c: int, overhang_fill, y_chunk: int):
+    """Whole-volume overhang fill applied in output-Y slabs with a halo.
+
+    The dilation reaches 3 voxels, so a 4-voxel halo makes each slab's mask
+    identical to the whole-volume mask; the mean-fill statistics are
+    accumulated globally in a first sweep.
+    """
+    import jax.numpy as jnp
+
+    from biahub_tpu.kernels.deskew import overhang_mask
+
+    halo = 4
+    arr = out_pos["0"]
+    Y = arr.shape[-2]
+
+    if overhang_fill == "mean":
+        total, count = 0.0, 0
+        for y0 in range(0, Y, y_chunk):
+            y1 = min(y0 + y_chunk, Y)
+            lo, hi = max(0, y0 - halo), min(Y, y1 + halo)
+            slab = np.asarray(arr[t, c, :, lo:hi, :], dtype=np.float32)
+            mask = np.asarray(overhang_mask(jnp.asarray(slab)))
+            center = slice(y0 - lo, y0 - lo + (y1 - y0))
+            valid = ~mask[:, center, :]
+            total += float(slab[:, center, :][valid].sum())
+            count += int(valid.sum())
+        fill = total / max(count, 1)
+    else:
+        fill = float(overhang_fill)
+
+    for y0 in range(0, Y, y_chunk):
+        y1 = min(y0 + y_chunk, Y)
+        lo, hi = max(0, y0 - halo), min(Y, y1 + halo)
+        slab = np.asarray(arr[t, c, :, lo:hi, :], dtype=np.float32)
+        mask = np.asarray(overhang_mask(jnp.asarray(slab)))
+        center = slice(y0 - lo, y0 - lo + (y1 - y0))
+        filled = np.where(mask[:, center, :], np.float32(fill), slab[:, center, :])
+        arr[t, c, :, y0:y1, :] = filled
+
+
 def deskew(
     input_position_dirpaths: list[Path],
     config_filepath: Path,
@@ -151,6 +191,62 @@ def deskew(
         out_pos.update_zattrs({"biahub-deskew": settings.model_dump()})
 
     runner = BatchRunner(cluster=resolved)
+    Z, Y, X = input_shape[-3:]
+    out_zyx, _ = get_deskewed_data_shape(
+        (Z, Y, X),
+        settings.ls_angle_deg,
+        settings.px_to_scan_ratio,
+        settings.keep_overhang,
+        settings.average_n_slices,
+    )
+    volume_bytes = 4 * (int(np.prod((Z, Y, X))) + int(np.prod(out_zyx)))
+    if volume_bytes > runner.max_batch_bytes:
+        # A single volume (input + output) exceeds the HBM budget: process
+        # each (t, c) volume in input-X slabs (= output-Y slabs; the scan
+        # resample involves only the scan and tilt axes, so the split is
+        # exact). Mirrors the reference's GPU-memory X-split
+        # (reference: biahub/deskew.py:554-582).
+        n_splits = -(-volume_bytes // runner.max_batch_bytes)
+        x_chunk = max(1, -(-X // int(n_splits)))
+        click.echo(
+            f"Volume exceeds the device batch budget; deskewing in "
+            f"{n_splits} X-slabs of {x_chunk}"
+        )
+        # Slab pass runs WITHOUT overhang fill: the fill mask/mean are
+        # whole-volume quantities, applied by a second chunked pass below.
+        slab_kernel = partial(
+            deskew_zyx,
+            ls_angle_deg=settings.ls_angle_deg,
+            px_to_scan_ratio=settings.px_to_scan_ratio,
+            keep_overhang=settings.keep_overhang,
+            average_window=settings.average_n_slices,
+            overhang_fill=0,
+        )
+        needs_fill = settings.keep_overhang and settings.overhang_fill != 0
+        n = 0
+        for in_pos, out_pos in zip(input_positions, output_positions):
+            T, C = in_pos.data.shape[:2]
+            for t in range(T):
+                for c in range(C):
+                    for x0 in range(0, X, x_chunk):
+                        x1 = min(x0 + x_chunk, X)
+                        slab = np.asarray(
+                            in_pos.data[t, c, :, :, x0:x1], dtype=np.float32
+                        )
+                        out_slab = np.asarray(slab_kernel(slab))
+                        # Input X is flipped into output Y (bit-exact split;
+                        # see tests/test_cli/test_deskew_cli.py)
+                        out_pos["0"][t, c, :, X - x1 : X - x0, :] = out_slab
+                    if needs_fill:
+                        _fill_overhang_chunked(
+                            out_pos, t, c, settings.overhang_fill, x_chunk
+                        )
+                    n += 1
+        click.echo(f"Deskewed {n} (t, c) volumes across {len(input_positions)} positions")
+        for path in input_position_dirpaths:
+            click.echo(f"Deskew complete: {path}")
+        return
+
     n = runner.run_zyx(
         kernel,
         input_positions,

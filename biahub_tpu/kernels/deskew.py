@@ -121,6 +121,22 @@ def average_n_slices(data: jax.Array, window: int = 1) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("dilation_iterations",))
+@partial(jax.jit, static_argnames=("dilation_iterations",))
+def overhang_mask(data: jax.Array, dilation_iterations: int = 3) -> jax.Array:
+    """Dilated zero-mask marking overhang voxels and their blended boundary."""
+    mask = (data == 0).astype(jnp.float32)
+    for _ in range(dilation_iterations):
+        mask = jax.lax.reduce_window(
+            mask,
+            -jnp.inf,
+            jax.lax.max,
+            window_dimensions=(3, 3, 3),
+            window_strides=(1, 1, 1),
+            padding="SAME",
+        )
+    return mask > 0.5
+
+
 def fill_overhang(
     data: jax.Array,
     fill_value: float | None = None,
@@ -132,17 +148,7 @@ def fill_overhang(
     interpolation blended signal toward zero, then filled with ``fill_value``
     or the mean of the remaining valid signal.
     """
-    mask = (data == 0).astype(jnp.float32)
-    for _ in range(dilation_iterations):
-        mask = jax.lax.reduce_window(
-            mask,
-            -jnp.inf,
-            jax.lax.max,
-            window_dimensions=(3, 3, 3),
-            window_strides=(1, 1, 1),
-            padding="SAME",
-        )
-    dilated = mask > 0.5
+    dilated = overhang_mask(data, dilation_iterations)
     if fill_value is None:
         valid = ~dilated
         total = jnp.sum(jnp.where(valid, data, 0.0))

@@ -154,10 +154,14 @@ class BatchRunner:
     def __init__(
         self,
         cluster: str = "local",
-        max_batch_bytes: int = DEFAULT_MAX_BATCH_BYTES,
+        max_batch_bytes: int | None = None,
         mesh=None,
     ):
         self.cluster = cluster
+        if max_batch_bytes is None:
+            max_batch_bytes = int(
+                os.environ.get("BIAHUB_TPU_MAX_BATCH_BYTES", DEFAULT_MAX_BATCH_BYTES)
+            )
         self.max_batch_bytes = max_batch_bytes
         self.mesh = mesh if mesh is not None else get_mesh()
         self._jit_cache: dict[int, Callable] = {}

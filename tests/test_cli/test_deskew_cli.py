@@ -181,3 +181,54 @@ def test_deskew_cli_resume(example_plate, example_deskew_settings, tmp_path):
     assert second.exit_code == 0, second.output
     assert "skipping 18 finished units" in second.output
     assert "Deskewed 0 (t, c) volumes" in second.output
+
+
+def test_deskew_xsplit_exact():
+    """Input-X slabs assemble bit-exactly into the full deskew (the slab maps
+    to a flipped output-Y range; the reference splits X for GPU memory the
+    same way, biahub/deskew.py:554-582)."""
+    from biahub_tpu.kernels.deskew import deskew_zyx
+
+    rng = np.random.default_rng(0)
+    vol = rng.random((12, 32, 48)).astype(np.float32)
+    full = np.asarray(deskew_zyx(vol, 36.0, 0.5, True, average_window=2))
+    out = np.zeros_like(full)
+    X = 48
+    for x0 in range(0, X, 16):
+        x1 = x0 + 16
+        slab = np.asarray(
+            deskew_zyx(vol[:, :, x0:x1], 36.0, 0.5, True, average_window=2)
+        )
+        out[:, X - x1 : X - x0, :] = slab
+    np.testing.assert_array_equal(out, full)
+
+
+def test_deskew_cli_oversized_volume_splits(example_plate, example_deskew_settings,
+                                            tmp_path, monkeypatch):
+    """Volumes over the batch budget run the X-slab path and match the
+    whole-volume result."""
+    plate_path, _ = example_plate
+    config_path, _ = example_deskew_settings
+
+    out_whole = tmp_path / "whole.zarr"
+    r = CliRunner().invoke(
+        cli,
+        ["deskew", "-i", str(plate_path / "A/1/0"), "-c", config_path,
+         "-o", str(out_whole)],
+    )
+    assert r.exit_code == 0, r.output
+
+    monkeypatch.setenv("BIAHUB_TPU_MAX_BATCH_BYTES", "1024")
+    out_split = tmp_path / "split.zarr"
+    r = CliRunner().invoke(
+        cli,
+        ["deskew", "-i", str(plate_path / "A/1/0"), "-c", config_path,
+         "-o", str(out_split)],
+    )
+    assert r.exit_code == 0, r.output
+    assert "X-slabs" in r.output
+    a = open_ome_zarr(out_whole)["A/1/0"].data[...]
+    b = open_ome_zarr(out_split)["A/1/0"].data[...]
+    # The mean-fill value differs at f32 summation-order epsilon between the
+    # whole-volume and chunked accumulations; the geometry is bit-exact.
+    np.testing.assert_allclose(a, b, atol=1e-3)

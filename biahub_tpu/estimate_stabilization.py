@@ -18,6 +18,7 @@ match the reference layout: ``positions_focus.csv``, per-FOV
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import click
@@ -33,8 +34,7 @@ from biahub_tpu.cli.parsing import (
 )
 from biahub_tpu.cli.utils import yaml_to_model
 from biahub_tpu.io.ngff import open_ome_zarr
-from biahub_tpu.kernels.fft import phase_cross_corr, phase_cross_corr_padding, subpixel_shift_2d
-from biahub_tpu.kernels.focus import focus_from_transverse_band
+from biahub_tpu.kernels.fft import subpixel_shift_2d
 from biahub_tpu.registration.utils import evaluate_transforms, save_transforms
 from biahub_tpu.runtime import resolve_cluster
 from biahub_tpu.settings import (
@@ -103,17 +103,30 @@ def estimate_z_focus_per_position(
     y_idx, x_idx = _center_crop_slices(Y, X, center_crop_xy)
     channel_names = position.channel_names
 
+    # All timepoints as ONE batched device sweep (the reference loops a
+    # Slurm job per (t, c); the north-star design vectorizes over T),
+    # chunked to the executor's memory budget.
+    from biahub_tpu.kernels.focus import focus_from_transverse_band_tzyx
+    from biahub_tpu.runtime.executor import DEFAULT_MAX_BATCH_BYTES
+
+    budget = int(os.environ.get("BIAHUB_TPU_MAX_BATCH_BYTES", DEFAULT_MAX_BATCH_BYTES))
+    crop_bytes = 4 * Z * (y_idx.stop - y_idx.start) * (x_idx.stop - x_idx.start)
+    t_chunk = max(1, budget // max(crop_bytes * 2, 1))
+    focus_indices = np.zeros(T, dtype=int)
+    for t0 in range(0, T, t_chunk):
+        t1 = min(t0 + t_chunk, T)
+        stack = np.asarray(
+            position.data[t0:t1, channel_index, :, y_idx, x_idx], dtype=np.float32
+        )
+        focus_indices[t0:t1] = focus_from_transverse_band_tzyx(
+            stack, NA_det=NA_DET, lambda_ill=LAMBDA_ILL, pixel_size=pixel_size
+        )
+
     rows = []
     for t in range(T):
-        data_zyx = position.data[t, channel_index, :, y_idx, x_idx]
-        if np.sum(data_zyx) == 0:
-            z_idx = 0
-        else:
-            z_idx = focus_from_transverse_band(
-                data_zyx, NA_det=NA_DET, lambda_ill=LAMBDA_ILL, pixel_size=pixel_size
-            )
-            if verbose:
-                click.echo(f"Estimating focus for timepoint {t}: {z_idx}")
+        z_idx = int(focus_indices[t])
+        if verbose:
+            click.echo(f"Estimating focus for timepoint {t}: {z_idx}")
         rows.append(
             {
                 "position": fov.replace("_", "/"),
@@ -352,36 +365,92 @@ def estimate_xyz_stabilization_pcc_per_position(
     )
 
     settings = phase_cross_corr_settings
+
+    # All timepoint pairs run as BATCHED device programs (the north-star
+    # design: PCC vectorized over timepoints instead of one Slurm job per
+    # pair), chunked to the memory budget. With t_reference="first" the
+    # reference FFT is hoisted out of the vmap, so a chunk of K pairs costs
+    # K+1 forward FFTs.
+    from biahub_tpu.kernels.fft import (
+        _pcc_peak_indices_pairwise,
+        _pcc_peak_indices_vs_first,
+        match_shape,
+        pcc_shifts_pairwise,
+        pcc_shifts_vs_first,
+    )
+    from biahub_tpu.runtime.executor import DEFAULT_MAX_BATCH_BYTES
+    from scipy.fft import next_fast_len
+
+    def load(t0, t1):
+        return np.asarray(
+            position.data[t0:t1, channel_index, z_idx, y_idx, x_idx], dtype=np.float32
+        )
+
+    crop_shape = load(0, 1).shape[1:]
+    if settings.function_type == "custom_padding":
+        fft_shape = tuple(
+            int(next_fast_len(int(s * settings.maximum_shift))) for s in crop_shape
+        )
+    else:
+        fft_shape = crop_shape
+    budget = int(os.environ.get("BIAHUB_TPU_MAX_BATCH_BYTES", DEFAULT_MAX_BATCH_BYTES))
+    vol_bytes = 4 * int(np.prod(fft_shape))
+    t_chunk = max(1, budget // max(vol_bytes * 8, 1))
+
+    def prep(stack):
+        if settings.function_type == "custom_padding":
+            return np.stack([match_shape(v, fft_shape) for v in stack])
+        return stack
+
+    ref_stack = prep(load(0, 1))
+    all_shifts = np.zeros((T, 3))
+    for t0 in range(1, T, t_chunk):
+        t1 = min(t0 + t_chunk, T)
+        movs = prep(load(t0, t1))
+        if settings.t_reference == "first":
+            refs = ref_stack[0]
+            if settings.function_type == "custom_padding":
+                p0 = np.asarray(
+                    _pcc_peak_indices_vs_first(refs, movs, settings.normalization)
+                ).astype(np.int64)
+            else:
+                chunk_shifts = np.asarray(
+                    pcc_shifts_vs_first(refs, movs, settings.normalization)
+                )
+        else:  # previous: pair each frame with its predecessor
+            prevs = prep(load(t0 - 1, t1 - 1))
+            if settings.function_type == "custom_padding":
+                p0 = np.asarray(
+                    _pcc_peak_indices_pairwise(prevs, movs, settings.normalization)
+                ).astype(np.int64)
+            else:
+                chunk_shifts = np.asarray(
+                    pcc_shifts_pairwise(prevs, movs, settings.normalization)
+                )
+        if settings.function_type == "custom_padding":
+            chunk_shifts = np.stack(
+                [
+                    [s // 2 - ((q + s // 2) % s) for s, q in zip(fft_shape, row)]
+                    for row in p0
+                ]
+            ).astype(np.float64)
+        all_shifts[t0:t1] = chunk_shifts
+
     transforms = [np.eye(4).tolist()]
     shifts = [(0, 0.0, 0.0, 0.0)]
-    prev_vol = None
-    ref_vol = None
     cumulative = np.zeros(3)
-    for t in range(T):
-        vol = position.data[t, channel_index, z_idx, y_idx, x_idx].astype(np.float32)
-        if t == 0:
-            ref_vol = vol
-            prev_vol = vol
-            continue
-        ref = ref_vol if settings.t_reference == "first" else prev_vol
-        if settings.function_type == "custom_padding":
-            shift, corr = phase_cross_corr_padding(
-                ref, vol, maximum_shift=settings.maximum_shift,
-                normalization=settings.normalization,
-            )
-        else:
-            shift, corr = phase_cross_corr(ref, vol, normalization=settings.normalization)
+    for t in range(1, T):
+        shift = all_shifts[t]
         if settings.t_reference == "previous":
-            cumulative = cumulative + np.asarray(shift, dtype=np.float64)
-            total = cumulative
+            cumulative = cumulative + shift
+            total = cumulative.copy()
         else:
-            total = np.asarray(shift, dtype=np.float64)
+            total = shift
         # Aligning warp samples at o - shift (see estimate_xy note on signs)
         transform = np.eye(4)
         transform[:3, 3] = -total
         transforms.append(transform.tolist())
         shifts.append((t, *shift))
-        prev_vol = vol
         if verbose:
             click.echo(f"Time {t}: shift (dz,dy,dx) = {tuple(np.round(shift, 2))}")
 

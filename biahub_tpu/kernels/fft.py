@@ -242,3 +242,30 @@ def _plot_corr(corr: np.ndarray, output_path) -> None:
     output_path.parent.mkdir(parents=True, exist_ok=True)
     fig.savefig(output_path, bbox_inches="tight")
     plt.close(fig)
+
+
+@partial(jax.jit, static_argnames=("normalization",))
+def pcc_shifts_vs_first(ref, movs, normalization: str | None = None):
+    """Wrap-corrected PCC shifts of a (T, Z, Y, X) stack against one reference.
+
+    XLA hoists the reference FFT out of the vmap, so the whole stack costs
+    T+1 forward FFTs — the reference's per-timepoint loop (one Slurm job per
+    pair) becomes a single device program.
+    """
+    return jax.vmap(lambda m: _pcc_shift_device(ref, m, normalization))(movs)
+
+
+@partial(jax.jit, static_argnames=("normalization",))
+def pcc_shifts_pairwise(refs, movs, normalization: str | None = None):
+    """Wrap-corrected PCC shifts for matched (T, ...) reference/moving pairs."""
+    return jax.vmap(lambda r, m: _pcc_shift_device(r, m, normalization))(refs, movs)
+
+
+@partial(jax.jit, static_argnames=("normalization",))
+def _pcc_peak_indices_vs_first(ref, movs, normalization: str | None = None):
+    return jax.vmap(lambda m: _pcc_peak_index_device(ref, m, normalization))(movs)
+
+
+@partial(jax.jit, static_argnames=("normalization",))
+def _pcc_peak_indices_pairwise(refs, movs, normalization: str | None = None):
+    return jax.vmap(lambda r, m: _pcc_peak_index_device(r, m, normalization))(refs, movs)

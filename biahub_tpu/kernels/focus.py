@@ -86,3 +86,39 @@ def focus_from_transverse_band(
     if mode == "min":
         return int(np.argmin(power))
     return int(np.argmax(power))
+
+
+def focus_from_transverse_band_tzyx(
+    tzyx: np.ndarray,
+    NA_det: float = 1.35,
+    lambda_ill: float = 0.5,
+    pixel_size: float = 0.1,
+    midband_fractions: tuple[float, float] = (0.125, 0.25),
+    mode: str = "max",
+) -> np.ndarray:
+    """In-focus z-index for every timepoint of a (T, Z, Y, X) stack.
+
+    One device program computes the whole stack's focus metric (the per-FOV
+    timepoint loop of the reference becomes a batched 2D-rFFT sweep;
+    reference: biahub/estimate_stabilization.py:899-999). Degenerate frames
+    (all-constant) return 0 like the scalar variant.
+    """
+    tzyx = np.asarray(tzyx)
+    if tzyx.ndim != 4:
+        raise ValueError("Input must be a TZYX stack")
+    T, Z = tzyx.shape[:2]
+    if Z == 1:
+        return np.zeros(T, dtype=int)
+    power = np.asarray(
+        midband_power_zyx(
+            jnp.asarray(tzyx),
+            NA_det=NA_det,
+            lambda_ill=lambda_ill,
+            pixel_size=float(pixel_size),
+            midband_fractions=tuple(midband_fractions),
+        )
+    )  # (T, Z)
+    idx = np.argmin(power, axis=1) if mode == "min" else np.argmax(power, axis=1)
+    degenerate = (tzyx.reshape(T, -1) == tzyx.reshape(T, -1)[:, :1]).all(axis=1)
+    idx[degenerate] = 0
+    return idx

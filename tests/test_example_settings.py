@@ -126,3 +126,17 @@ def test_reference_name_compatibility_aliases():
     assert np.asarray(get_tform_from_pcc([1, 2, 3]))[2][3] == -3
     with pytest.raises(RuntimeError):
         user_assisted_registration()
+
+
+def test_biahub_import_alias():
+    """Reference-style imports resolve through the biahub alias package."""
+    import biahub
+    from biahub.cli.utils import yaml_to_model  # noqa: F401
+    from biahub.core.transform import Transform  # noqa: F401
+    from biahub.deskew import fast_deskew_zyx, get_deskewed_data_shape  # noqa: F401
+    from biahub.registration.ants import estimate  # noqa: F401
+    from biahub.registration.utils import find_lir  # noqa: F401
+
+    assert biahub.__version__
+    shape, _ = get_deskewed_data_shape((8, 16, 32), 36.0, 0.5, True)
+    assert shape == (16, 32, 29)

@@ -183,3 +183,63 @@ def test_estimate_stitch_cli_with_pcc(tmp_path):
         est = yaml.safe_load(f)
     x_shift = est["total_translation"]["A/1/000001"][2]
     assert abs(x_shift - 40.0) < 1.5, est["total_translation"]
+
+
+def test_estimate_then_stitch_2x2_grid(tmp_path):
+    """Full flow on a 2x2 grid: stage-metadata estimate with PCC refinement →
+    stitch; the assembled mosaic matches the ground truth it was cut from."""
+    rng = np.random.default_rng(5)
+    T, C, Z, tile, overlap = 1, 1, 2, 32, 8
+    step = tile - overlap
+    H = W = tile + step  # 2x2 grid extent
+    mosaic = rng.uniform(10, 100, (T, C, Z, H, W)).astype(np.float32)
+
+    plate_path = tmp_path / "grid.zarr"
+    plate = open_ome_zarr(plate_path, layout="hcs", mode="w", channel_names=["GFP"])
+    names, stage_positions = [], []
+    for r in range(2):
+        for c in range(2):
+            name = f"{r:03d}{c:03d}"
+            data = mosaic[..., r * step : r * step + tile, c * step : c * step + tile]
+            plate.create_position("A", "1", name).create_image("0", data)
+            names.append(f"A/1/{name}")
+            # Stage metadata slightly off; PCC refinement should correct it
+            jitter = rng.uniform(-1.0, 1.0, 2)
+            stage_positions.append(
+                {"Label": f"A/1/{name}", "DefaultXYStage": "XY",
+                 "XY": [c * step + float(jitter[0]), r * step + float(jitter[1])]}
+            )
+    open_ome_zarr(plate_path).update_zattrs(
+        {"Summary": {"StagePositions": stage_positions}}
+    )
+
+    est_yml = tmp_path / "est.yml"
+    inputs = [str(plate_path / n) for n in names]
+    result = CliRunner().invoke(
+        cli,
+        ["estimate-stitch", "-i", *inputs, "-o", str(est_yml),
+         "--pcc-channel-name", "GFP"],
+    )
+    assert result.exit_code == 0, result.output
+    with open(est_yml) as f:
+        est = yaml.safe_load(f)
+    # Refined translations recover the exact grid offsets
+    base = np.asarray(est["total_translation"][names[0]])
+    for i, n in enumerate(names):
+        r, c = divmod(i, 2)
+        got = np.asarray(est["total_translation"][n]) - base
+        np.testing.assert_allclose(got, [0.0, r * step, c * step], atol=0.5)
+
+    out_path = tmp_path / "stitched.zarr"
+    result = CliRunner().invoke(
+        cli,
+        ["stitch", "-i", *inputs, "-c", str(est_yml), "-o", str(out_path)],
+    )
+    assert result.exit_code == 0, result.output
+    out = open_ome_zarr(out_path)["A/1/0"]
+    stitched = out.data[0, 0].astype(np.float32)
+    expected = mosaic[0, 0]
+    assert stitched.shape == expected.shape
+    err = np.abs(stitched[:, 2:-2, 2:-2] - expected[:, 2:-2, 2:-2])
+    rel = err / np.abs(expected[:, 2:-2, 2:-2])
+    assert np.median(rel) < 0.01

@@ -141,11 +141,12 @@ def factor_affine(matrix: np.ndarray) -> list[tuple[int, int, float, float, floa
     return passes or [(0, 0, 1.0, 0.0, 0.0)]
 
 
-@partial(jax.jit, static_argnames=("r", "o", "no_off_diag"))
-def _apply_pass(data, r: int, o: int, cr, co, tau, fill, no_off_diag: bool):
+@partial(jax.jit, static_argnames=("r", "o", "no_off_diag", "order"))
+def _apply_pass(data, r: int, o: int, cr, co, tau, fill, no_off_diag: bool,
+                order: int = 3):
     """One elementary pass in the common frame: same shape in and out.
 
-    Interpolation is Catmull-Rom cubic, not linear: chaining k linear
+    Interpolation defaults to Catmull-Rom cubic: chaining k linear
     resamplings low-passes the data k times, which visibly attenuates
     structures a few voxels wide (a 27% peak loss on bead-like data for a
     7-pass warp). Catmull-Rom's near-flat passband makes each pass close to
@@ -179,17 +180,20 @@ def _apply_pass(data, r: int, o: int, cr, co, tau, fill, no_off_diag: bool):
     # boundary is enforced once at the end from the original matrix.
     in_domain = (coords >= 0) & (coords <= size_in - 1)
 
-    t2 = t * t
-    t3 = t2 * t
-    weights = (
-        -0.5 * t3 + t2 - 0.5 * t,
-        1.5 * t3 - 2.5 * t2 + 1.0,
-        -1.5 * t3 + 2.0 * t2 + 0.5 * t,
-        0.5 * t3 - 0.5 * t2,
-    )
+    if order == 1:
+        bands = ((0, 1.0 - t), (1, t))
+    else:
+        t2 = t * t
+        t3 = t2 * t
+        bands = (
+            (-1, -0.5 * t3 + t2 - 0.5 * t),
+            (0, 1.5 * t3 - 2.5 * t2 + 1.0),
+            (1, -1.5 * t3 + 2.0 * t2 + 0.5 * t),
+            (2, 0.5 * t3 - 0.5 * t2),
+        )
     bshape = d.shape[:2] + (1,)
     out = None
-    for k, w in enumerate(weights, start=-1):
+    for k, w in bands:
         idx = jnp.clip(i0 + k, 0, size_in - 1)
         v = jnp.take_along_axis(d, jnp.broadcast_to(idx, bshape), axis=1)
         out = w * v if out is None else out + w * v
@@ -417,6 +421,7 @@ def make_traced_multipass_warp(
     out_shape: tuple[int, int, int],
     fill: float = 0.0,
     margin: float = 0.25,
+    order: int = 3,
 ):
     """Differentiable multipass warp for TRACED matrices.
 
@@ -484,7 +489,7 @@ def make_traced_multipass_warp(
         for (r, o), (cr, co, tau) in zip(CANONICAL_SLOTS, coeffs):
             tau_eff = cr * off[r] + (co * off[o] if o != r else 0.0) + tau - off[r]
             data = _apply_pass(
-                data, r, o, cr, co, tau_eff, float(fill), r == o
+                data, r, o, cr, co, tau_eff, float(fill), r == o, order=order
             )
         out = data[
             start[0] : start[0] + out_shape[0],

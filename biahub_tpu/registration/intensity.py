@@ -181,8 +181,10 @@ def estimate(
             # The pairs are pre-aligned by the initial transform, so the
             # optimized residual stays small; a 15% frame margin keeps the
             # static common frame (and per-iteration cost) tight.
+            # Linear per-pass interpolation: the NCC loss needs smoothness,
+            # not peak preservation, and it halves the per-pass gathers.
             warp_fn = make_traced_multipass_warp(
-                mov_l.shape, tuple(ref_l.shape), margin=0.15
+                mov_l.shape, tuple(ref_l.shape), margin=0.15, order=1
             )
         level_params, losses = _optimize_level(
             mov_l, ref_l, level_params, center, n_iters, tuple(ref_l.shape),

@@ -1,5 +1,8 @@
 """Lazily-built native (C++) host-side hot loops, loaded via ctypes.
 
+Plays the role the reference delegates to compiled dependencies
+(``largestinteriorrectangle``, scipy's Hungarian; reference:
+biahub/register.py:287-345, biahub/core/graph_matching.py:518-572).
 The shared library is compiled once from the bundled source into the user
 cache directory; every consumer falls back to the pure-Python implementation
 when no compiler is available, so the native layer is an accelerator, never a

@@ -1,5 +1,11 @@
 """General 3D affine warp as a product of elementary resampling passes.
 
+Serves the general-matrix case of the reference's three resamplers —
+scipy ``affine_transform`` (reference: biahub/core/transform.py:374-396),
+ANTs ``apply_to_image`` (reference: biahub/register.py:205-284), and the
+per-timepoint stabilization warp (reference: biahub/stabilize.py:35-93) —
+with a TPU-native factorized formulation.
+
 TPU gathers whose indices vary along the lane axis are ~160x slower than row
 gathers (see kernels/deskew.py), which makes the exact 8-corner trilinear
 warp cost seconds per volume. This module factors an arbitrary affine into

@@ -1,5 +1,9 @@
 """Fused Pallas deskew kernel: the scan-axis lerp as one-hot MXU matmuls.
 
+The TPU-native replacement for the reference's torch ``grid_sample`` fast
+path (reference: biahub/deskew.py:459-545) and its 2D-grid trick
+(reference: biahub/deskew.py:102-157).
+
 The XLA formulation in :mod:`biahub_tpu.kernels.deskew` lowers to transpose →
 gather → transpose, three full passes over HBM (~21 ms per 256x256x1024
 volume on v5e); a row-at-a-time VPU kernel reaches ~14 ms. This kernel gets

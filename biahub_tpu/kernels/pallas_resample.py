@@ -1,5 +1,9 @@
 """Fused Pallas shear-resample: one elementary warp pass as banded MXU matmuls.
 
+The shared engine beneath every resampler role the reference fills with
+torch/ANTs/scipy native code (reference: biahub/deskew.py:430-544,
+biahub/register.py:205-284, biahub/core/transform.py:374-396).
+
 Generalizes the deskew kernel (kernels/pallas_deskew.py): an elementary
 multipass-warp pass resamples axis ``r`` at coords = cr*i_r + co*i_o + tau —
 the same "fractional coordinate affine in the output position" structure as

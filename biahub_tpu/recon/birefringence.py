@@ -1,5 +1,9 @@
 """Birefringence reconstruction: Stokes inversion from polarization states.
 
+Fills the waveorder birefringence role behind the reference's reconstruct
+verbs (reference: biahub/compute_transfer_function.py:16-34,
+biahub/reconstruct.py:27-74).
+
 Re-derivation of the recOrder/waveorder polarized-light math: acquired
 intensities under N liquid-crystal states relate to the Stokes vector through
 the instrument matrix A (ideal, calibration-free form); inverting gives

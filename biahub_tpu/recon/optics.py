@@ -1,5 +1,11 @@
 """Optical transfer function models (JAX): pupils, widefield OTF, phase WOTF.
 
+Fills the role of waveorder's transfer-function models behind the
+reference's compute-tf / apply-inv-tf verbs (reference:
+biahub/compute_transfer_function.py:16-34,
+biahub/apply_inverse_transfer_function.py:117-201), re-derived from the
+published optics rather than ported.
+
 Physics: a circular detection pupil P(u) with cutoff NA_det/lambda; defocus
 phase exp(i 2 pi z kz(u)) with kz = sqrt((n/lambda)^2 - |u|^2).
 

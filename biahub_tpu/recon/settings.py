@@ -1,5 +1,9 @@
 """Reconstruction config schema, mirroring waveorder's CLI settings surface.
 
+Mirrors the waveorder reconstruction YAML surface the reference's
+reconstruct verbs consume (reference: biahub/compute_transfer_function.py,
+biahub/apply_inverse_transfer_function.py, example configs in settings/).
+
 Field names follow waveorder's ReconstructionSettings (the YAML files users
 already have keep working): top-level ``input_channel_names``,
 ``reconstruction_dimension``, and per-modality ``transfer_function`` /

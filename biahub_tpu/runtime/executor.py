@@ -311,8 +311,12 @@ class BatchRunner:
                 fn = self._jitted(kernel, tuple(sorted(params)))
                 args = [params[k] for k in sorted(params)]
                 with batch_timer(f"batch {ci + 1}/{len(chunks)}", len(chunk), unit_bytes):
-                    if sharding is not None:
-                        volumes = jax.device_put(volumes, sharding)
+                    # Always materialize on device: input donation only frees
+                    # HBM for a device-resident committed array (and donating
+                    # a host numpy arg would just warn).
+                    volumes = jax.device_put(
+                        volumes, sharding if sharding is not None else None
+                    )
                     result = fn(volumes, *args)
                     result_np = np.asarray(result)
                 if pad:

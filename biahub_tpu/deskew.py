@@ -32,6 +32,7 @@ from biahub_tpu.cli.utils import (
     get_output_paths,
     yaml_to_model,
 )
+from biahub_tpu.io.progress import ProgressStore
 from biahub_tpu.io.ngff import create_empty_plate, open_ome_zarr
 from biahub_tpu.kernels.deskew import deskew_zyx, get_deskewed_data_shape
 from biahub_tpu.runtime import (
@@ -223,11 +224,16 @@ def deskew(
             overhang_fill=0,
         )
         needs_fill = settings.keep_overhang and settings.overhang_fill != 0
+        token = settings_fingerprint(settings)
         n = 0
         for in_pos, out_pos in zip(input_positions, output_positions):
+            progress = ProgressStore(out_pos.path, token) if resume else None
             T, C = in_pos.data.shape[:2]
             for t in range(T):
                 for c in range(C):
+                    if progress is not None and progress.is_done(t, c):
+                        n += 1
+                        continue
                     for x0 in range(0, X, x_chunk):
                         x1 = min(x0 + x_chunk, X)
                         slab = np.asarray(
@@ -241,6 +247,8 @@ def deskew(
                         _fill_overhang_chunked(
                             out_pos, t, c, settings.overhang_fill, x_chunk
                         )
+                    if progress is not None:
+                        progress.mark_done(t, c)
                     n += 1
         click.echo(f"Deskewed {n} (t, c) volumes across {len(input_positions)} positions")
         for path in input_position_dirpaths:

@@ -232,3 +232,24 @@ def test_deskew_cli_oversized_volume_splits(example_plate, example_deskew_settin
     # The mean-fill value differs at f32 summation-order epsilon between the
     # whole-volume and chunked accumulations; the geometry is bit-exact.
     np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_deskew_xsplit_resume(example_plate, example_deskew_settings, tmp_path,
+                              monkeypatch):
+    """The X-slab path honors --resume: completed (t, c) units are skipped."""
+    plate_path, _ = example_plate
+    config_path, _ = example_deskew_settings
+    monkeypatch.setenv("BIAHUB_TPU_MAX_BATCH_BYTES", "1024")
+
+    out = tmp_path / "split.zarr"
+    args = ["deskew", "-i", str(plate_path / "A/1/0"), "-c", config_path,
+            "-o", str(out), "--resume"]
+    r = CliRunner().invoke(cli, args)
+    assert r.exit_code == 0, r.output
+    first = open_ome_zarr(out)["A/1/0"].data[...]
+
+    # Second run with resume skips all units and leaves the data intact
+    r = CliRunner().invoke(cli, args)
+    assert r.exit_code == 0, r.output
+    second = open_ome_zarr(out)["A/1/0"].data[...]
+    np.testing.assert_array_equal(first, second)

@@ -351,24 +351,40 @@ def concatenate(
         in_arr = in_pos["0"]
         out_arr = out_pos["0"]
         z_slice, y_slice, x_slice = zyx_slicing
-        # Pipeline reads AND writes through tensorstore: every unit's read is
-        # issued up front, each write starts as soon as its read lands.
-        reads = []
-        for t_out, t_in in enumerate(input_time_indices):
-            for c_in, c_out in zip(input_channel_idx, output_channel_idx):
-                if progress is not None and progress.is_done(t_out, c_out):
-                    continue
-                future = in_arr.read_async(
-                    (int(t_in), int(c_in), z_slice, y_slice, x_slice)
-                )
-                reads.append((future, t_out, c_out))
+        # Pipeline reads AND writes through tensorstore in bounded windows:
+        # each window's reads are in flight while the previous window's
+        # writes drain, without buffering the whole position in RAM.
+        units = [
+            (t_out, t_in, c_in, c_out)
+            for t_out, t_in in enumerate(input_time_indices)
+            for c_in, c_out in zip(input_channel_idx, output_channel_idx)
+            if progress is None or not progress.is_done(t_out, c_out)
+        ]
+        window = 8
         writes = []
-        for read_future, t_out, c_out in reads:
-            data = np.nan_to_num(np.asarray(read_future.result()), nan=0)
-            writes.append(
-                (out_arr.write_async((t_out, c_out), data.astype(out_arr.dtype)),
-                 t_out, c_out)
-            )
+        for w0 in range(0, len(units), window):
+            chunk = units[w0 : w0 + window]
+            reads = [
+                (
+                    in_arr.read_async(
+                        (int(t_in), int(c_in), z_slice, y_slice, x_slice)
+                    ),
+                    t_out,
+                    c_out,
+                )
+                for t_out, t_in, c_in, c_out in chunk
+            ]
+            for future, t_out, c_out in writes:
+                future.result()
+                if progress is not None:
+                    progress.mark_done(t_out, c_out)
+            writes = []
+            for read_future, t_out, c_out in reads:
+                data = np.nan_to_num(np.asarray(read_future.result()), nan=0)
+                writes.append(
+                    (out_arr.write_async((t_out, c_out), data.astype(out_arr.dtype)),
+                     t_out, c_out)
+                )
         for future, t_out, c_out in writes:
             future.result()
             if progress is not None:

@@ -145,7 +145,7 @@ def test_optimize_level_with_traced_warp():
         mov_l = _downsample(_gaussian_blur_zyx(jnp.asarray(mov), sigma), shrink)
         center = (jnp.asarray(ref_l.shape, dtype=jnp.float32) - 1) / 2
         warp_fn = make_traced_multipass_warp(
-            mov_l.shape, tuple(ref_l.shape), margin=0.25
+            mov_l.shape, tuple(ref_l.shape), margin=0.25, order=1
         )
         params = params.at[4:7].set(params[4:7] / shrink)
         params, losses = _optimize_level(

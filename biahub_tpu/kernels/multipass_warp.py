@@ -428,6 +428,8 @@ def make_traced_multipass_warp(
     fill: float = 0.0,
     margin: float = 0.25,
     order: int = 3,
+    use_pallas: bool | None = None,
+    max_scale: float = 1.5,
 ):
     """Differentiable multipass warp for TRACED matrices.
 
@@ -454,6 +456,21 @@ def make_traced_multipass_warp(
     frame_shape = tuple(int(s) for s in size)
     pad = [(int(-off[ax]), int(size[ax] - in_shape[ax] + off[ax])) for ax in range(3)]
     start = (-off).astype(int)
+
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            or os.environ.get("BIAHUB_TPU_FORCE_PALLAS") == "1"
+        ) and os.environ.get("BIAHUB_TPU_NO_PALLAS") != "1"
+    pass_ad = None
+    if use_pallas:
+        from biahub_tpu.kernels.pallas_resample import TILE_R
+
+        support = 2 if order == 1 else 4
+        # Bound covers both the forward slope (cr <= max_scale) and the
+        # adjoint slope (1/cr <= max_scale for cr >= 1/max_scale).
+        k_bound = int(np.ceil(TILE_R * max_scale)) + support
+        pass_ad = _pallas_pass_ad(order, k_bound)
 
     def warp(volume, matrix):
         from biahub_tpu.kernels.affine import _exact_domain_mask
@@ -494,9 +511,23 @@ def make_traced_multipass_warp(
         data = jnp.pad(volume.astype(jnp.float32), pad, mode="edge")
         for (r, o), (cr, co, tau) in zip(CANONICAL_SLOTS, coeffs):
             tau_eff = cr * off[r] + (co * off[o] if o != r else 0.0) + tau - off[r]
-            data = _apply_pass(
-                data, r, o, cr, co, tau_eff, float(fill), r == o, order=order
-            )
+            if pass_ad is not None:
+                # Pallas path with a custom VJP; same (o, r, third) layout as
+                # _apply_pass_pallas_dyn, transposes differentiated by XLA.
+                if o == r:
+                    others = [ax for ax in range(3) if ax != r]
+                    o_ax, third = others[0], others[1]
+                else:
+                    o_ax = o
+                    third = next(ax for ax in range(3) if ax not in (r, o))
+                d_ort = jnp.transpose(data, (o_ax, r, third))
+                out_otr = pass_ad(d_ort, jnp.stack([cr, co, tau_eff]))
+                inv_perm = tuple(int(i) for i in np.argsort((o_ax, third, r)))
+                data = jnp.transpose(out_otr, inv_perm)
+            else:
+                data = _apply_pass(
+                    data, r, o, cr, co, tau_eff, float(fill), r == o, order=order
+                )
         out = data[
             start[0] : start[0] + out_shape[0],
             start[1] : start[1] + out_shape[1],
@@ -505,3 +536,42 @@ def make_traced_multipass_warp(
         return _exact_domain_mask(out, matrix, in_shape, out_shape, float(fill))
 
     return warp
+
+
+def _pallas_pass_ad(order: int, k_bound: int):
+    """Differentiable Pallas pass: custom VJP over the dyn shear-resample.
+
+    The adjoint w.r.t. the data is another banded pass built from the same
+    forward coordinate arithmetic; coefficient gradients come from a
+    band-derivative forward pass (see kernels/pallas_resample.py). Band
+    contributions clamped at the frame edge are dropped in the adjoint —
+    exact inside the frame margin, which is why the traced warp pads one.
+    """
+    from biahub_tpu.kernels.pallas_resample import (
+        shear_resample_adjoint_dyn,
+        shear_resample_deriv_dyn,
+        shear_resample_pallas_dyn,
+    )
+
+    @jax.custom_vjp
+    def pass_ad(d, coeffs):
+        return shear_resample_pallas_dyn(d, d.shape[1], coeffs, k_bound, order)
+
+    def fwd(d, coeffs):
+        return pass_ad(d, coeffs), (d, coeffs)
+
+    def bwd(res, ybar):  # ybar: (O, T, R)
+        d, coeffs = res
+        O, R_in, _ = d.shape
+        dv = shear_resample_deriv_dyn(d, R_in, coeffs, k_bound, order)
+        q = jnp.arange(R_in, dtype=jnp.float32)[None, None, :]
+        o = jnp.arange(O, dtype=jnp.float32)[:, None, None]
+        cr_b = jnp.sum(ybar * dv * q)
+        co_b = jnp.sum(ybar * dv * o)
+        tau_b = jnp.sum(ybar * dv)
+        yb_oqt = jnp.transpose(ybar, (0, 2, 1))
+        dbar = shear_resample_adjoint_dyn(yb_oqt, R_in, coeffs, k_bound, order)
+        return jnp.transpose(dbar, (0, 2, 1)), jnp.stack([cr_b, co_b, tau_b])
+
+    pass_ad.defvjp(fwd, bwd)
+    return pass_ad

@@ -227,3 +227,162 @@ def shear_resample_pallas_dyn(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((O, T, r_out), jnp.float32),
     )(coeffs.astype(jnp.float32).reshape(1, 3), data_ort.astype(jnp.float32))
+
+
+def _resample_kernel_dyn_deriv(coeffs_ref, data_ref, out_ref, *, params):
+    """Forward pass with d(weight)/d(coord) bands: used for coefficient
+    gradients (dy/dtau etc. are band-derivative resamples of the data)."""
+    R_in, T, R_out, K, n_tiles, order = params
+    cr = coeffs_ref[0, 0]
+    co = coeffs_ref[0, 1]
+    tau = coeffs_ref[0, 2]
+    o_idx = pl.program_id(0).astype(jnp.float32)
+
+    for tile in range(n_tiles):
+        tile_w = min(TILE_R, R_out - tile * TILE_R)
+        ro = (
+            tile * TILE_R
+            + jax.lax.broadcasted_iota(jnp.int32, (tile_w, 1), 0)
+        ).astype(jnp.float32)
+        coords = cr * ro + co * o_idx + tau
+        i0 = jnp.floor(coords)
+        frac = coords - i0
+        i0 = i0.astype(jnp.int32)
+
+        lo = jnp.minimum(i0[0, 0], i0[tile_w - 1, 0]) - 1
+        start = jnp.clip(lo, 0, max(R_in - K, 0))
+        start = pl.multiple_of((start // 8) * 8, 8)
+        offs = i0 - start
+
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tile_w, K), 1)
+
+        def band(k, wk):
+            return wk * (cols == jnp.clip(offs + k, 0, K - 1))
+
+        if order == 1:
+            w = band(0, -jnp.ones_like(frac)) + band(1, jnp.ones_like(frac))
+        else:
+            t2 = frac * frac
+            w = (
+                band(-1, -1.5 * t2 + 2.0 * frac - 0.5)
+                + band(0, 4.5 * t2 - 5.0 * frac)
+                + band(1, -4.5 * t2 + 4.0 * frac + 0.5)
+                + band(2, 1.5 * t2 - 1.0 * frac)
+            )
+
+        slab = data_ref[0, pl.ds(start, K), :]
+        out_ref[0, :, pl.ds(tile * TILE_R, tile_w)] = jax.lax.dot_general(
+            slab,
+            w.astype(jnp.float32),
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
+def _resample_kernel_dyn_adjoint(coeffs_ref, ybar_ref, out_ref, *, params):
+    """Adjoint w.r.t. the data: routes cotangents back through the bands.
+
+    dbar[o, p, t] = sum_q w_k(c_q) [floor(c_q) + k == p] ybar[o, q, t]; the
+    contributing q lie in a window around (p - co*o - tau)/cr, and the weight
+    matrix is built from the SAME forward coordinate arithmetic so floor
+    knife-edges route consistently.
+    """
+    R_out_y, T, R_in, K, n_tiles, order = params  # ybar is (O, R_out, T)
+    cr = coeffs_ref[0, 0]
+    co = coeffs_ref[0, 1]
+    tau = coeffs_ref[0, 2]
+    o_idx = pl.program_id(0).astype(jnp.float32)
+
+    for tile in range(n_tiles):
+        tile_w = min(TILE_R, R_in - tile * TILE_R)
+        p = (
+            tile * TILE_R
+            + jax.lax.broadcasted_iota(jnp.int32, (tile_w, 1), 0)
+        ).astype(jnp.float32)
+        # q window center: the forward coord c_q = p solves to q ~ qc(p)
+        qc = (p - co * o_idx - tau) / cr
+        q_lo = jnp.floor(jnp.minimum(qc[0, 0], qc[tile_w - 1, 0])) - (K // 4)
+        start = jnp.clip(q_lo.astype(jnp.int32), 0, max(R_out_y - K, 0))
+        start = pl.multiple_of((start // 8) * 8, 8)
+
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tile_w, K), 1)
+        q_abs = (start + cols).astype(jnp.float32)
+        c = cr * q_abs + co * o_idx + tau  # forward coords of window entries
+        i0 = jnp.floor(c)
+        frac = c - i0
+        k = p.astype(jnp.int32) - i0.astype(jnp.int32)  # band index hit by p
+
+        if order == 1:
+            w = jnp.where(k == 0, 1.0 - frac, 0.0) + jnp.where(k == 1, frac, 0.0)
+        else:
+            t2 = frac * frac
+            t3 = t2 * frac
+            w = (
+                jnp.where(k == -1, -0.5 * t3 + t2 - 0.5 * frac, 0.0)
+                + jnp.where(k == 0, 1.5 * t3 - 2.5 * t2 + 1.0, 0.0)
+                + jnp.where(k == 1, -1.5 * t3 + 2.0 * t2 + 0.5 * frac, 0.0)
+                + jnp.where(k == 2, 0.5 * t3 - 0.5 * t2, 0.0)
+            )
+        slab = ybar_ref[0, pl.ds(start, K), :]  # (K, T) window of cotangents
+        out_ref[0, :, pl.ds(tile * TILE_R, tile_w)] = jax.lax.dot_general(
+            slab,
+            w.astype(jnp.float32),
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
+def _dyn_call(kernel_fn, data, r_out, coeffs, K, order):
+    O, R_mid, T = data.shape
+    n_tiles = -(-r_out // TILE_R)
+    kern = partial(kernel_fn, params=(R_mid, T, r_out, K, n_tiles, int(order)))
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kern,
+        interpret=interpret,
+        grid=(O,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda o: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R_mid, T), lambda o: (o, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, r_out), lambda o: (o, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((O, T, r_out), jnp.float32),
+    )(coeffs.astype(jnp.float32).reshape(1, 3), data.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("r_out", "k_bound", "order"))
+def shear_resample_deriv_dyn(data_ort, r_out, coeffs, k_bound, order=3):
+    """Band-derivative forward pass (d y / d coordinate), traced coeffs."""
+    O, R_in, T = data_ort.shape
+    K = min(-(-(k_bound + 8) // 8) * 8, R_in)
+    return _dyn_call(_resample_kernel_dyn_deriv, data_ort, r_out, coeffs, K, order)
+
+
+@partial(jax.jit, static_argnames=("r_in", "k_bound", "order"))
+def shear_resample_adjoint_dyn(ybar_oqt, r_in, coeffs, k_bound, order=3):
+    """Adjoint-data pass: (O, R_out, T) cotangents -> (O, T, R_in)."""
+    O, R_out_y, T = ybar_oqt.shape
+    K = min(-(-(k_bound + 8) // 8) * 8, R_out_y)
+    n_tiles = -(-r_in // TILE_R)
+    kern = partial(
+        _resample_kernel_dyn_adjoint,
+        params=(R_out_y, T, r_in, K, n_tiles, int(order)),
+    )
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kern,
+        interpret=interpret,
+        grid=(O,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda o: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R_out_y, T), lambda o: (o, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, r_in), lambda o: (o, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((O, T, r_in), jnp.float32),
+    )(coeffs.astype(jnp.float32).reshape(1, 3), ybar_oqt.astype(jnp.float32))

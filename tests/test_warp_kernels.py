@@ -267,3 +267,39 @@ def test_pallas_translation_matches_scipy(smooth_volume, monkeypatch):
         M[:3, 3] = s
         ref = _scipy_warp(smooth_volume, M)
         np.testing.assert_allclose(outs[i], ref, atol=2e-5)
+
+
+def test_traced_warp_pallas_custom_vjp(monkeypatch):
+    """The custom-VJP Pallas traced warp (interpret mode on CPU) matches the
+    XLA formulation's value AND gradients through an optimizer-style loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from biahub_tpu.kernels.multipass_warp import make_traced_multipass_warp
+
+    rng = np.random.default_rng(3)
+    vol = gaussian_filter(rng.random((16, 40, 36)), 2.0).astype(np.float32)
+    target = gaussian_filter(rng.random((16, 40, 36)), 2.0).astype(np.float32)
+
+    w_xla = make_traced_multipass_warp(
+        vol.shape, vol.shape, margin=0.2, order=1, use_pallas=False
+    )
+    w_pls = make_traced_multipass_warp(
+        vol.shape, vol.shape, margin=0.2, order=1, use_pallas=True
+    )
+
+    def mk_loss(w):
+        def loss(p):
+            m = jnp.eye(4).at[:3, 3].set(p[:3])
+            m = m.at[0, 0].set(1.0 + p[3]).at[1, 2].set(p[4])
+            return jnp.sum((w(vol, m) - target) ** 2)
+
+        return loss
+
+    p0 = jnp.array([0.5, -1.0, 0.7, 0.03, -0.05])
+    f_x = float(mk_loss(w_xla)(p0))
+    f_p = float(mk_loss(w_pls)(p0))
+    assert abs(f_x - f_p) / abs(f_x) < 1e-5
+    g_x = np.asarray(jax.grad(mk_loss(w_xla))(p0))
+    g_p = np.asarray(jax.grad(mk_loss(w_pls))(p0))
+    np.testing.assert_allclose(g_p, g_x, rtol=1e-3, atol=1e-5)

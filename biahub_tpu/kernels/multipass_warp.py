@@ -575,3 +575,96 @@ def _pallas_pass_ad(order: int, k_bound: int):
 
     pass_ad.defvjp(fwd, bwd)
     return pass_ad
+
+
+def multipass_affine_warp_zyx_chunked(
+    read_fn,
+    matrix,
+    in_shape: tuple[int, int, int],
+    out_shape: tuple[int, int, int],
+    chunk_zyx: tuple[int, int, int],
+    fill: float = 0.0,
+    write_fn=None,
+):
+    """General warp of a volume too large for HBM, one output chunk at a time.
+
+    For each output chunk the needed input box is the chunk box
+    back-propagated through the pass chain (plus per-pass interpolation
+    support); only that sub-box is read (``read_fn(z_slice, y_slice,
+    x_slice) -> ndarray``) and warped with an offset-adjusted matrix. Chunks
+    are returned via ``write_fn(z_slice, y_slice, x_slice, data)`` or as a
+    list. Out-of-domain masking is exact (the sub-box clips at the global
+    volume edge); interior values agree with the whole-volume warp at the
+    multipass interpolation tolerance (~0.3% on smooth data — the factored
+    passes' intermediate lattice phase shifts with the chunk offset).
+
+    The spatial analog of the deskew X-slab split for the general warp
+    (reference's GPU-memory splitting: biahub/deskew.py:554-582).
+    """
+    matrix = np.asarray(matrix, dtype=np.float64)
+    in_shape = tuple(int(s) for s in in_shape)
+    out_shape = tuple(int(s) for s in out_shape)
+    support = 3  # Catmull-Rom reads i0-1..i0+2
+    passes = factor_affine(matrix)
+
+    def input_needs(lo, hi):
+        """Input-coordinate box the chunk's pass chain touches: the chunk box
+        back-propagated through every pass (intermediate shears overshoot the
+        plain affine image of the corners)."""
+        b_lo, b_hi = lo.copy(), hi.copy()
+        for r, o, cr, co, tau in reversed(passes):
+            vals = [
+                cr * v + (co * w if o != r else 0.0) + tau
+                for v in (b_lo[r], b_hi[r])
+                for w in ((b_lo[o], b_hi[o]) if o != r else (0.0,))
+            ]
+            # The interpolation support widens the needed box at EVERY pass
+            b_lo[r], b_hi[r] = min(vals) - support, max(vals) + support
+        return b_lo, b_hi
+
+    results = []
+    for z0 in range(0, out_shape[0], chunk_zyx[0]):
+        for y0 in range(0, out_shape[1], chunk_zyx[1]):
+            for x0 in range(0, out_shape[2], chunk_zyx[2]):
+                lo = np.array([z0, y0, x0], dtype=np.float64)
+                hi = np.minimum(
+                    lo + np.asarray(chunk_zyx) - 1,
+                    np.asarray(out_shape, dtype=np.float64) - 1,
+                )
+                need_lo, need_hi = input_needs(lo, hi)
+                in_lo = np.clip(np.floor(need_lo) - support, 0, None).astype(int)
+                in_hi = np.minimum(
+                    np.ceil(need_hi) + support, np.asarray(in_shape) - 1
+                ).astype(int)
+                in_hi = np.maximum(in_hi, in_lo)  # degenerate all-outside case
+
+                sub = read_fn(
+                    slice(in_lo[0], in_hi[0] + 1),
+                    slice(in_lo[1], in_hi[1] + 1),
+                    slice(in_lo[2], in_hi[2] + 1),
+                )
+                # Local matrix: global_out = chunk_lo + local_out,
+                # global_in = in_lo + local_in
+                local = matrix.copy()
+                local[:3, 3] = (
+                    matrix[:3, 3] + matrix[:3, :3] @ lo - in_lo.astype(np.float64)
+                )
+                chunk_shape = tuple((hi - lo).astype(int) + 1)
+                out_chunk = np.asarray(
+                    multipass_affine_warp_zyx(
+                        jnp.asarray(np.asarray(sub, dtype=np.float32)),
+                        local,
+                        chunk_shape,
+                        fill=fill,
+                    )
+                )
+                sl = (
+                    slice(z0, z0 + chunk_shape[0]),
+                    slice(y0, y0 + chunk_shape[1]),
+                    slice(x0, x0 + chunk_shape[2]),
+                )
+                if write_fn is not None:
+                    write_fn(*sl, out_chunk)
+                else:
+                    results.append((sl, out_chunk))
+    return results if write_fn is None else None

@@ -317,13 +317,53 @@ def register_cli(
         for name in source_channel_names
         if name in settings.source_channel_names
     ]
-    n = runner.run_zyx(
-        kernel,
-        source_positions,
-        output_positions,
-        channel_pairs=registered_pairs,
-        time_indices=time_indices,
+    volume_bytes = 4 * (
+        int(np.prod(source_shape_zyx)) + int(np.prod(cropped_shape_zyx))
     )
+    if volume_bytes > runner.max_batch_bytes and order == 1:
+        # A single volume exceeds the HBM budget: warp output chunks whose
+        # input sub-boxes are back-propagated through the pass chain
+        # (kernels/multipass_warp.py; the general-warp analog of the deskew
+        # X-slab split).
+        from biahub_tpu.kernels.multipass_warp import (
+            multipass_affine_warp_zyx_chunked,
+        )
+
+        chunk = tuple(
+            max(32, s // max(1, int(np.ceil(volume_bytes / runner.max_batch_bytes))))
+            for s in cropped_shape_zyx
+        )
+        click.echo(
+            f"Volume exceeds the device batch budget; warping in output "
+            f"chunks of {chunk}"
+        )
+        n = 0
+        for src_pos, out_pos in zip(source_positions, output_positions):
+            for t_out, t in enumerate(time_indices):
+                for c_in, c_out in registered_pairs:
+                    def read_fn(zs, ys, xs, _t=int(t), _c=int(c_in), _p=src_pos):
+                        return np.asarray(_p.data[_t, _c, zs, ys, xs], np.float32)
+
+                    def write_fn(zs, ys, xs, d, _t=t_out, _c=c_out, _p=out_pos):
+                        _p["0"][_t, _c, zs, ys, xs] = d
+
+                    multipass_affine_warp_zyx_chunked(
+                        read_fn,
+                        warp_matrix,
+                        source_shape_zyx,
+                        tuple(cropped_shape_zyx),
+                        chunk,
+                        write_fn=write_fn,
+                    )
+                    n += 1
+    else:
+        n = runner.run_zyx(
+            kernel,
+            source_positions,
+            output_positions,
+            channel_pairs=registered_pairs,
+            time_indices=time_indices,
+        )
 
     # Crop-copy the non-registered target channels
     copy_pairs = [

@@ -142,3 +142,47 @@ def test_stabilize_cli(example_plate_2, tmp_path):
     expected = np.zeros_like(in_pos.data[1, 0], dtype=np.float32)
     expected[:-1] = in_pos.data[1, 0][1:]
     np.testing.assert_allclose(out_pos.data[1, 0], expected, atol=1e-3)
+
+
+def test_register_oversized_volume_chunks(example_plate, tmp_path, monkeypatch):
+    """Register over the batch budget runs the chunked multipass path and
+    matches the whole-volume result at interpolation tolerance."""
+    import yaml
+
+    plate_path, _ = example_plate
+    matrix = np.eye(4)
+    # Integer translation: both the whole-volume path (linear) and the
+    # chunked multipass path (Catmull-Rom) are exact copies, so the outputs
+    # must agree exactly on the random-noise fixture
+    matrix[:3, 3] = [1.0, -1.0, 1.0]
+    config = {
+        "source_channel_names": ["GFP"],
+        "target_channel_name": "GFP",
+        "affine_transform_zyx": matrix.tolist(),
+        "keep_overhang": True,
+    }
+    cfg = tmp_path / "reg.yml"
+    with open(cfg, "w") as f:
+        yaml.dump(config, f)
+
+    whole = tmp_path / "whole.zarr"
+    r = CliRunner().invoke(
+        cli,
+        ["register", "-s", str(plate_path / "A/1/0"), "-t", str(plate_path / "A/1/0"),
+         "-c", str(cfg), "-o", str(whole), "--local"],
+    )
+    assert r.exit_code == 0, r.output
+
+    monkeypatch.setenv("BIAHUB_TPU_MAX_BATCH_BYTES", "512")
+    split = tmp_path / "split.zarr"
+    r = CliRunner().invoke(
+        cli,
+        ["register", "-s", str(plate_path / "A/1/0"), "-t", str(plate_path / "A/1/0"),
+         "-c", str(cfg), "-o", str(split), "--local"],
+    )
+    assert r.exit_code == 0, r.output
+    assert "output" in r.output and "chunks" in r.output
+    a = open_ome_zarr(whole)["A/1/0"].data[...]
+    b = open_ome_zarr(split)["A/1/0"].data[...]
+    gfp = open_ome_zarr(whole)["A/1/0"].channel_names.index("GFP")
+    np.testing.assert_allclose(b[:, gfp], a[:, gfp], atol=1e-3)

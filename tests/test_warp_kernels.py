@@ -303,3 +303,39 @@ def test_traced_warp_pallas_custom_vjp(monkeypatch):
     g_x = np.asarray(jax.grad(mk_loss(w_xla))(p0))
     g_p = np.asarray(jax.grad(mk_loss(w_pls))(p0))
     np.testing.assert_allclose(g_p, g_x, rtol=1e-3, atol=1e-5)
+
+
+def test_chunked_multipass_matches_whole(smooth_volume):
+    """The over-HBM chunked warp agrees with the whole-volume multipass at
+    interpolation tolerance and exactly outside the domain."""
+    from biahub_tpu.kernels.multipass_warp import (
+        multipass_affine_warp_zyx_chunked,
+    )
+
+    R3 = Rotation.from_euler("xyz", [6, -4, 9], degrees=True).as_matrix()
+    M = np.eye(4)
+    M[:3, :3] = 1.03 * R3
+    M[:3, 3] = [1.0, -2.0, 1.5]
+
+    full = np.asarray(multipass_affine_warp_zyx(smooth_volume, M, smooth_volume.shape))
+    out = np.zeros_like(full)
+    multipass_affine_warp_zyx_chunked(
+        lambda zs, ys, xs: smooth_volume[zs, ys, xs],
+        M,
+        smooth_volume.shape,
+        smooth_volume.shape,
+        (16, 24, 20),
+        write_fn=lambda zs, ys, xs, d: out.__setitem__((zs, ys, xs), d),
+    )
+    scale = np.abs(full).max()
+    assert np.abs(out - full).max() / scale < 0.01
+    # scipy parity at the usual multipass tolerance
+    ref = _scipy_warp(smooth_volume, M)
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 0.02
+    # exact constant fill outside the domain
+    g = np.stack(
+        np.meshgrid(*[np.arange(s) for s in smooth_volume.shape], indexing="ij"), -1
+    ).astype(float)
+    ci = g @ M[:3, :3].T + M[:3, 3]
+    outside = ((ci < 0) | (ci > np.asarray(smooth_volume.shape) - 1.0)).any(axis=-1)
+    assert np.abs(out[outside]).max() == 0.0

@@ -204,6 +204,41 @@ def stabilize(
                 return affine_warp_zyx(zyx, matrix, out_shape_zyx)
 
     runner = BatchRunner(cluster=resolved)
+    volume_bytes = 4 * (int(np.prod((Z, Y, X))) + int(np.prod(out_shape_zyx)))
+    if volume_bytes > runner.max_batch_bytes:
+        # Over-HBM volumes: warp output chunks per unit with that unit's
+        # matrix (see kernels/multipass_warp.py; interpolation-tolerance
+        # parity with the batched kernels).
+        from biahub_tpu.kernels.multipass_warp import (
+            multipass_affine_warp_zyx_chunked,
+        )
+
+        n_splits = max(1, int(np.ceil(volume_bytes / runner.max_batch_bytes)))
+        chunk = tuple(max(32, s // n_splits) for s in out_shape_zyx)
+        click.echo(
+            f"Volume exceeds the device batch budget; stabilizing in output "
+            f"chunks of {chunk}"
+        )
+        n = 0
+        for u in units:
+            in_pos = input_positions[u.pos_idx]
+            out_pos = output_positions[u.pos_idx]
+            mat = np.asarray(per_position_mats[u.pos_idx][u.t], dtype=np.float64)
+
+            def read_fn(zs, ys, xs, _t=u.t, _c=u.c_in, _p=in_pos):
+                return np.asarray(_p.data[_t, _c, zs, ys, xs], np.float32)
+
+            def write_fn(zs, ys, xs, d, _t=u.out_t, _c=u.c_out, _p=out_pos):
+                _p["0"][_t, _c, zs, ys, xs] = d
+
+            multipass_affine_warp_zyx_chunked(
+                read_fn, mat, (Z, Y, X), tuple(out_shape_zyx), chunk,
+                write_fn=write_fn,
+            )
+            n += 1
+        click.echo(f"Stabilized {n} (t, c) volumes")
+        return
+
     n = runner.run_units(
         kernel,
         units,

@@ -440,3 +440,46 @@ def test_estimate_stabilization_xy_roundtrip(tmp_path):
         np.testing.assert_allclose(
             mats[t][1:3, 3], d[1:], atol=0.6, err_msg=f"t={t}"
         )
+
+
+def test_stabilize_oversized_volume_chunks(tmp_path, monkeypatch):
+    """Over-budget volumes run the chunked per-unit warp path; integer
+    translations are exact against the batched path."""
+    from scipy.ndimage import affine_transform
+
+    base = _blob_volume(shape=(8, 32, 32))
+    data = np.stack([base, base])[:, None]
+    plate_path = tmp_path / "big.zarr"
+    plate = open_ome_zarr(plate_path, layout="hcs", mode="w", channel_names=["GFP"])
+    pos = plate.create_position("A", "1", "0")
+    pos.create_image(
+        "0", data, transform=[TransformationMeta(type="scale", scale=(1, 1, 1, 0.1, 0.1))]
+    )
+
+    mats = [np.eye(4), np.eye(4)]
+    mats[1][:3, 3] = [1.0, -2.0, 1.0]
+    config = {
+        "affine_transform_zyx_list": [m.tolist() for m in mats],
+        "time_indices": "all",
+        "stabilization_estimation_channel": "GFP",
+        "stabilization_channels": ["GFP"],
+        "stabilization_type": "xyz",
+        "stabilization_method": "phase-cross-corr",
+    }
+    config_path = tmp_path / "stab.yml"
+    with open(config_path, "w") as f:
+        yaml.dump(config, f)
+
+    monkeypatch.setenv("BIAHUB_TPU_MAX_BATCH_BYTES", "4096")
+    out_path = tmp_path / "stabilized.zarr"
+    result = CliRunner().invoke(
+        cli,
+        ["stabilize", "-i", str(plate_path / "A" / "1" / "0"),
+         "-o", str(out_path), "-c", str(config_path)],
+    )
+    assert result.exit_code == 0, result.output
+    assert "chunks" in result.output
+    out = open_ome_zarr(out_path)["A/1/0"].data[...]
+    for t, M in enumerate(mats):
+        ref = affine_transform(base, M[:3, :3], M[:3, 3], order=1, mode="constant")
+        np.testing.assert_allclose(out[t, 0], ref, atol=1e-4, err_msg=f"t={t}")

@@ -483,3 +483,59 @@ def test_stabilize_oversized_volume_chunks(tmp_path, monkeypatch):
     for t, M in enumerate(mats):
         ref = affine_transform(base, M[:3, :3], M[:3, 3], order=1, mode="constant")
         np.testing.assert_allclose(out[t, 0], ref, atol=1e-4, err_msg=f"t={t}")
+
+
+def test_estimate_stabilization_xyz_focus_finding_composes(tmp_path):
+    """stabilization_type=xyz with focus-finding composes the z (focus) and
+    xy (stack-registration) transforms per timepoint
+    (reference: biahub/estimate_stabilization.py:1317-1330)."""
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(9)
+    sharp = gaussian_filter(
+        (rng.random((48, 48)) > 0.995).astype(np.float32) * 100.0, 1.0
+    )
+    base = np.stack(
+        [gaussian_filter(sharp, abs(z - 6) * 1.2 + 0.1) for z in range(12)]
+    ).astype(np.float32)
+    drifts = [(0, 0, 0), (1, 3, -2), (2, -2, 4)]
+    data = np.stack(
+        [np.roll(base, tuple(d), axis=(0, 1, 2)) for d in drifts]
+    )[:, None]
+    plate_path = tmp_path / "xyzdrift.zarr"
+    plate = open_ome_zarr(plate_path, layout="hcs", mode="w", channel_names=["GFP"])
+    pos = plate.create_position("A", "1", "0")
+    pos.create_image(
+        "0", data, transform=[TransformationMeta(type="scale", scale=(1, 1, 1, 0.1, 0.1))]
+    )
+
+    config = {
+        "stabilization_estimation_channel": "GFP",
+        "stabilization_channels": ["GFP"],
+        "stabilization_type": "xyz",
+        "stabilization_method": "focus-finding",
+        "focus_finding_settings": {"center_crop_xy": [40, 40],
+                                   "average_across_wells": False},
+        "stack_reg_settings": {"center_crop_xy": [40, 40], "t_reference": "first"},
+    }
+    config_path = tmp_path / "est.yml"
+    with open(config_path, "w") as f:
+        yaml.dump(config, f)
+
+    est_dir = tmp_path / "xyz_ff"
+    result = CliRunner().invoke(
+        cli,
+        ["estimate-stabilization", "-i", str(plate_path / "A" / "1" / "0"),
+         "-o", str(est_dir), "-c", str(config_path), "--local"],
+    )
+    assert result.exit_code == 0, result.output
+    settings_yml = est_dir / "xyz_stabilization_settings" / "A_1_0.yml"
+    assert settings_yml.exists()
+    with open(settings_yml) as f:
+        stab = yaml.safe_load(f)
+    mats = np.asarray(stab["affine_transform_zyx_list"])
+    assert mats.shape == (3, 4, 4)
+    # Composed: z from focus finding (integer focus drift), yx from PCC
+    for t, d in enumerate(drifts):
+        np.testing.assert_allclose(mats[t][0, 3], d[0], atol=0.5, err_msg=f"t={t} z")
+        np.testing.assert_allclose(mats[t][1:3, 3], d[1:], atol=0.7, err_msg=f"t={t} yx")

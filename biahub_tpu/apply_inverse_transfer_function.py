@@ -199,6 +199,7 @@ def apply_inverse_transfer_function(
         output_positions,
         resume=False,
         resume_token=settings_fingerprint(settings),
+        monitor=monitor and resolved != "debug",
     )
     click.echo(f"Reconstructed {n} timepoints across {len(input_positions)} positions")
     for path in input_position_dirpaths:

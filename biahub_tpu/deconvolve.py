@@ -118,7 +118,12 @@ def deconvolve(
         out_pos.update_zattrs({"biahub-deconvolve": settings.model_dump()})
 
     runner = BatchRunner(cluster=resolved)
-    n = runner.run_zyx(kernel, input_positions, output_positions)
+    n = runner.run_zyx(
+        kernel,
+        input_positions,
+        output_positions,
+        monitor=monitor and resolved != "debug",
+    )
     click.echo(f"Deconvolved {n} (t, c) volumes across {len(input_positions)} positions")
 
 

@@ -261,6 +261,7 @@ def deskew(
         output_positions,
         resume=resume,
         resume_token=settings_fingerprint(settings),
+        monitor=monitor and resolved != "debug",
     )
     click.echo(f"Deskewed {n} (t, c) volumes across {len(input_positions)} positions")
     for path in input_position_dirpaths:

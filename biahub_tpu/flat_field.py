@@ -131,6 +131,7 @@ def flat_field(
         channel_pairs=[(c, c) for c in target_indices],
         resume=resume,
         resume_token=settings_fingerprint(settings),
+        monitor=monitor and resolved != "debug",
     )
     if other_indices:
         runner.copy_channels(

@@ -129,8 +129,13 @@ def affine_warp_zyx(
         zn = jnp.round(zi).astype(jnp.int32)
         yn = jnp.round(yi).astype(jnp.int32)
         xn = jnp.round(xi).astype(jnp.int32)
+        # scipy mode="constant" applies the whole-sample domain rule to
+        # order=0 too: a coordinate outside [0, size-1] is cval even when it
+        # rounds to an in-bounds index.
         valid = (
-            (zn >= 0) & (zn < Zi) & (yn >= 0) & (yn < Yi) & (xn >= 0) & (xn < Xi)
+            (zi >= 0) & (zi <= Zi - 1)
+            & (yi >= 0) & (yi <= Yi - 1)
+            & (xi >= 0) & (xi <= Xi - 1)
         )
         sample = volume[
             jnp.clip(zn, 0, Zi - 1), jnp.clip(yn, 0, Yi - 1), jnp.clip(xn, 0, Xi - 1)

@@ -121,7 +121,6 @@ def average_n_slices(data: jax.Array, window: int = 1) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("dilation_iterations",))
-@partial(jax.jit, static_argnames=("dilation_iterations",))
 def overhang_mask(data: jax.Array, dilation_iterations: int = 3) -> jax.Array:
     """Dilated zero-mask marking overhang voxels and their blended boundary."""
     mask = (data == 0).astype(jnp.float32)

@@ -41,6 +41,7 @@ __all__ = [
     "factor_affine",
     "make_batched_multipass_kernel",
     "make_traced_multipass_warp",
+    "chunked_affine_warp_zyx",
 ]
 
 
@@ -602,15 +603,31 @@ def multipass_affine_warp_zyx_chunked(
     (reference's GPU-memory splitting: biahub/deskew.py:554-582).
     """
     matrix = np.asarray(matrix, dtype=np.float64)
-    in_shape = tuple(int(s) for s in in_shape)
-    out_shape = tuple(int(s) for s in out_shape)
     support = 3  # Catmull-Rom reads i0-1..i0+2
     passes = factor_affine(matrix)
 
+    def warp_chunk(sub, local, chunk_shape):
+        return multipass_affine_warp_zyx(sub, local, chunk_shape, fill=fill)
+
+    return _chunked_warp_loop(
+        read_fn,
+        matrix,
+        in_shape,
+        out_shape,
+        chunk_zyx,
+        _pass_input_needs(passes, support),
+        warp_chunk,
+        write_fn,
+        support,
+    )
+
+
+def _pass_input_needs(passes, support: int):
+    """Input-coordinate box a chunk's pass chain touches: the chunk box
+    back-propagated through every pass (intermediate shears overshoot the
+    plain affine image of the corners)."""
+
     def input_needs(lo, hi):
-        """Input-coordinate box the chunk's pass chain touches: the chunk box
-        back-propagated through every pass (intermediate shears overshoot the
-        plain affine image of the corners)."""
         b_lo, b_hi = lo.copy(), hi.copy()
         for r, o, cr, co, tau in reversed(passes):
             vals = [
@@ -622,6 +639,119 @@ def multipass_affine_warp_zyx_chunked(
             b_lo[r], b_hi[r] = min(vals) - support, max(vals) + support
         return b_lo, b_hi
 
+    return input_needs
+
+
+def _corner_input_needs(matrix: np.ndarray, support: int):
+    """Input box for single-pass warps: the affine image of the 8 corners."""
+
+    def input_needs(lo, hi):
+        corners = np.array(
+            [[v[0], v[1], v[2], 1.0]
+             for v in [(z, y, x) for z in (lo[0], hi[0])
+                       for y in (lo[1], hi[1]) for x in (lo[2], hi[2])]]
+        )
+        imgs = (matrix @ corners.T)[:3]
+        return imgs.min(axis=1) - support, imgs.max(axis=1) + support
+
+    return input_needs
+
+
+def chunked_affine_warp_zyx(
+    read_fn,
+    matrix,
+    in_shape: tuple[int, int, int],
+    out_shape: tuple[int, int, int],
+    chunk_zyx: tuple[int, int, int],
+    fill: float = 0.0,
+    write_fn=None,
+    order: int = 1,
+):
+    """Chunked over-HBM warp that dispatches like :func:`affine_warp_auto`.
+
+    Each output chunk is warped with the same kernel family the in-budget
+    batched path would use for this matrix (translation / in-plane /
+    multipass / exact gather), so results do not depend on the
+    BIAHUB_TPU_MAX_BATCH_BYTES budget. ``order=0`` and vanishing-pivot
+    matrices (which :func:`factor_affine` rejects) fall back to the exact
+    per-chunk gather instead of crashing mid-run.
+    """
+    from biahub_tpu.kernels.affine import (
+        affine_warp_auto,
+        is_inplane_matrix,
+        is_translation_matrix,
+    )
+
+    matrix = np.asarray(matrix, dtype=np.float64)
+    support = 3
+    if order == 1 and is_translation_matrix(matrix):
+        from biahub_tpu.kernels.affine import translation_warp_zyx
+
+        passes = [(ax, ax, 1.0, 0.0, float(matrix[ax, 3])) for ax in range(3)]
+        input_needs = _pass_input_needs(passes, support)
+
+        # Bit-consistency with the in-budget translation kernel: the local
+        # translation differs from the global one by an integer, so compute
+        # it as f32(global) + integer — the in-kernel sample position then
+        # rounds identically to the whole-volume warp's.
+        def warp_chunk(sub, local, chunk_shape):
+            m_int = np.round(local[:3, 3] - matrix[:3, 3])
+            tvec = matrix[:3, 3].astype(np.float32) + m_int.astype(np.float32)
+            return translation_warp_zyx(
+                sub, jnp.asarray(tvec), chunk_shape, fill=fill
+            )
+
+        return _chunked_warp_loop(
+            read_fn, matrix, in_shape, out_shape, chunk_zyx,
+            input_needs, warp_chunk, write_fn, support,
+        )
+    if order == 1 and is_inplane_matrix(matrix):
+        # Same 3-pass factorization as inplane_affine_warp_zyx.
+        b1 = matrix[1, 2] / matrix[2, 2]
+        passes = [
+            (0, 0, float(matrix[0, 0]), 0.0, float(matrix[0, 3])),
+            (1, 2, float(matrix[1, 1] - b1 * matrix[2, 1]), float(b1),
+             float(matrix[1, 3] - b1 * matrix[2, 3])),
+            (2, 1, float(matrix[2, 2]), float(matrix[2, 1]), float(matrix[2, 3])),
+        ]
+        input_needs = _pass_input_needs(passes, support)
+    elif order == 1:
+        try:
+            input_needs = _pass_input_needs(factor_affine(matrix), support)
+        except ValueError:  # vanishing pivot: exact gather per chunk
+            input_needs = _corner_input_needs(matrix, support)
+    else:
+        input_needs = _corner_input_needs(matrix, support)
+
+    def warp_chunk(sub, local, chunk_shape):
+        return affine_warp_auto(sub, local, chunk_shape, fill=fill, order=order)
+
+    return _chunked_warp_loop(
+        read_fn,
+        matrix,
+        in_shape,
+        out_shape,
+        chunk_zyx,
+        input_needs,
+        warp_chunk,
+        write_fn,
+        support,
+    )
+
+
+def _chunked_warp_loop(
+    read_fn,
+    matrix: np.ndarray,
+    in_shape,
+    out_shape,
+    chunk_zyx,
+    input_needs,
+    warp_chunk,
+    write_fn,
+    support: int,
+):
+    in_shape = tuple(int(s) for s in in_shape)
+    out_shape = tuple(int(s) for s in out_shape)
     results = []
     for z0 in range(0, out_shape[0], chunk_zyx[0]):
         for y0 in range(0, out_shape[1], chunk_zyx[1]):
@@ -651,11 +781,10 @@ def multipass_affine_warp_zyx_chunked(
                 )
                 chunk_shape = tuple((hi - lo).astype(int) + 1)
                 out_chunk = np.asarray(
-                    multipass_affine_warp_zyx(
+                    warp_chunk(
                         jnp.asarray(np.asarray(sub, dtype=np.float32)),
                         local,
                         chunk_shape,
-                        fill=fill,
                     )
                 )
                 sl = (

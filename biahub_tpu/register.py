@@ -320,14 +320,14 @@ def register_cli(
     volume_bytes = 4 * (
         int(np.prod(source_shape_zyx)) + int(np.prod(cropped_shape_zyx))
     )
-    if volume_bytes > runner.max_batch_bytes and order == 1:
+    if volume_bytes > runner.max_batch_bytes:
         # A single volume exceeds the HBM budget: warp output chunks whose
         # input sub-boxes are back-propagated through the pass chain
         # (kernels/multipass_warp.py; the general-warp analog of the deskew
-        # X-slab split).
-        from biahub_tpu.kernels.multipass_warp import (
-            multipass_affine_warp_zyx_chunked,
-        )
+        # X-slab split). The dispatcher also covers order=0 (exact per-chunk
+        # nearest gather) and vanishing-pivot matrices, so no whole-volume
+        # batch is ever attempted over budget.
+        from biahub_tpu.kernels.multipass_warp import chunked_affine_warp_zyx
 
         chunk = tuple(
             max(32, s // max(1, int(np.ceil(volume_bytes / runner.max_batch_bytes))))
@@ -347,13 +347,14 @@ def register_cli(
                     def write_fn(zs, ys, xs, d, _t=t_out, _c=c_out, _p=out_pos):
                         _p["0"][_t, _c, zs, ys, xs] = d
 
-                    multipass_affine_warp_zyx_chunked(
+                    chunked_affine_warp_zyx(
                         read_fn,
                         warp_matrix,
                         source_shape_zyx,
                         tuple(cropped_shape_zyx),
                         chunk,
                         write_fn=write_fn,
+                        order=order,
                     )
                     n += 1
     else:
@@ -363,6 +364,7 @@ def register_cli(
             output_positions,
             channel_pairs=registered_pairs,
             time_indices=time_indices,
+            monitor=monitor and resolved != "debug",
         )
 
     # Crop-copy the non-registered target channels

@@ -18,6 +18,8 @@ job scheduler between the controller and the chips anymore.
 from __future__ import annotations
 
 import os
+import threading
+import traceback
 import warnings
 from dataclasses import dataclass, field
 from functools import partial
@@ -32,7 +34,13 @@ from biahub_tpu.io.progress import ProgressStore
 from biahub_tpu.runtime.profiling import batch_timer
 from biahub_tpu.parallel.mesh import batch_sharding, get_mesh
 
-__all__ = ["resolve_cluster", "sbatch_to_overrides", "BatchRunner", "WorkUnit"]
+__all__ = [
+    "resolve_cluster",
+    "sbatch_to_overrides",
+    "BatchRunner",
+    "WorkUnit",
+    "PositionJob",
+]
 
 # Default cap on the device-resident batch: input + output arrays both live in
 # HBM during a step (TPU v5e has 16 GB); leave room for XLA temporaries.
@@ -82,7 +90,11 @@ def resolve_cluster(cluster: str | None = None, local: bool = False) -> str:
             )
             return "local"
         return cluster
-    return "local" if local else "local"
+    # The reference defaults to slurm unless --local is passed (reference:
+    # biahub/cli/utils.py:79-92); with on-device batches there is no scheduler
+    # between the controller and the chips, so both default to the pipelined
+    # in-process mode.
+    return "local"
 
 
 def sbatch_to_overrides(filepath: str | Path) -> dict:
@@ -136,6 +148,44 @@ class _Group:
     units: list[WorkUnit] = field(default_factory=list)
 
 
+class PositionJob:
+    """Job facade over one position's work units.
+
+    The monitorable analog of the reference's one-submitit-job-per-position
+    (reference: biahub/cli/monitor.py:91-150 polls ``job.state``): PENDING →
+    RUNNING → COMPLETED/FAILED/CANCELLED as the batch executor progresses.
+    ``cancel()`` requests the whole run to stop at the next batch boundary.
+    """
+
+    def __init__(self, name: str, n_units: int, cancel_event: threading.Event):
+        self.name = name
+        self.n_units = n_units
+        self.n_done = 0
+        self.state = "PENDING"
+        self.error: str | None = None
+        self._cancel_event = cancel_event
+
+    def done(self) -> bool:
+        return self.state in ("COMPLETED", "FAILED", "CANCELLED")
+
+    def cancel(self) -> None:
+        self._cancel_event.set()
+        if not self.done():
+            self.state = "CANCELLED"
+
+    def _unit_done(self) -> None:
+        self.n_done += 1
+        if self.n_done >= self.n_units:
+            self.state = "COMPLETED"
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return f"PositionJob({self.name}, {self.state}, {self.n_done}/{self.n_units})"
+
+
+class RunCancelled(RuntimeError):
+    """Raised when a monitored run is cancelled via ctrl-C / job.cancel()."""
+
+
 class BatchRunner:
     """Runs a jittable per-volume kernel over plate work units in device batches.
 
@@ -165,6 +215,8 @@ class BatchRunner:
         self.max_batch_bytes = max_batch_bytes
         self.mesh = mesh if mesh is not None else get_mesh()
         self._jit_cache: dict[int, Callable] = {}
+        self.jobs: dict[int, PositionJob] = {}
+        self._cancel = threading.Event()
         _enable_compilation_cache()
 
     # -- planning ------------------------------------------------------------
@@ -232,6 +284,7 @@ class BatchRunner:
         resume_token: str = "",
         per_unit_params: Callable[[WorkUnit], dict[str, np.ndarray]] | None = None,
         progress_label: str = "",
+        monitor: bool = False,
     ) -> int:
         """Process work units; returns the number of units computed.
 
@@ -239,8 +292,14 @@ class BatchRunner:
         volume to its output volume and must be jittable; per-unit traced
         parameters (e.g. a per-timepoint transform) come from
         ``per_unit_params``.
+
+        ``monitor=True`` runs the batches on a worker thread while the calling
+        thread renders a live per-position job table (ctrl-C cancels the run
+        at the next batch boundary; reference: biahub/cli/monitor.py:91-150).
+        The table is also exposed as ``self.jobs`` for programmatic polling.
         """
         units = list(units)
+        all_units = units
         progress: dict[int, ProgressStore] = {}
         if resume:
             for u in units:
@@ -257,9 +316,98 @@ class BatchRunner:
             if skipped:
                 print(f"Resume: skipping {skipped} finished units")
             units = remaining
+
+        # Per-position job facades (even without --monitor: observability).
+        self._cancel = threading.Event()
+        remaining_per_pos: dict[int, int] = {}
+        for u in units:
+            remaining_per_pos[u.pos_idx] = remaining_per_pos.get(u.pos_idx, 0) + 1
+        self.jobs = {}
+        for u in all_units:
+            if u.pos_idx in self.jobs:
+                continue
+            n_rem = remaining_per_pos.get(u.pos_idx, 0)
+            job = PositionJob(
+                _position_name(output_positions[u.pos_idx]), n_rem, self._cancel
+            )
+            if n_rem == 0:
+                job.state = "COMPLETED"  # fully covered by resume records
+            self.jobs[u.pos_idx] = job
+
         if not units:
             return 0
+        if not monitor:
+            return self._execute(
+                kernel, units, input_positions, output_positions,
+                out_dtype, resume, progress, per_unit_params,
+            )
 
+        from biahub_tpu.cli.monitor import monitor_jobs
+
+        result: dict[str, Any] = {}
+
+        def work():
+            try:
+                result["n"] = self._execute(
+                    kernel, units, input_positions, output_positions,
+                    out_dtype, resume, progress, per_unit_params,
+                )
+            except RunCancelled:
+                result["n"] = 0
+            except Exception as exc:  # noqa: BLE001 - surfaced via the table
+                result["error"] = exc
+                tb = traceback.format_exc()
+                failed_any = False
+                for job in self.jobs.values():
+                    if job.state == "RUNNING":
+                        job.state = "FAILED"
+                        job.error = tb
+                        failed_any = True
+                for job in self.jobs.values():
+                    if not job.done():
+                        if not failed_any:
+                            # Failure before any unit ran (e.g. during batch
+                            # planning): pin it on the first pending job so
+                            # the table dumps the error.
+                            job.state = "FAILED"
+                            job.error = tb
+                            failed_any = True
+                        else:
+                            job.state = "CANCELLED"
+
+        worker = threading.Thread(target=work, name="biahub-batch-runner")
+        worker.start()
+        try:
+            monitor_jobs(
+                list(self.jobs.values()),
+                [j.name for j in self.jobs.values()],
+                poll_seconds=0.2,
+            )
+        finally:
+            self._cancel_if_interrupted()
+            worker.join()
+        if "error" in result:
+            raise result["error"]
+        return int(result.get("n", 0))
+
+    def _cancel_if_interrupted(self) -> None:
+        # monitor_jobs re-raises KeyboardInterrupt after cancelling the job
+        # facades; cancelling any job sets the shared event, which the batch
+        # loop polls at every batch boundary.
+        if any(j.state == "CANCELLED" for j in self.jobs.values()):
+            self._cancel.set()
+
+    def _execute(
+        self,
+        kernel: Callable,
+        units: list[WorkUnit],
+        input_positions: Sequence[Position],
+        output_positions: Sequence[Position],
+        out_dtype,
+        resume: bool,
+        progress: dict[int, ProgressStore],
+        per_unit_params,
+    ) -> int:
         # Group by input volume shape — ragged positions can't share a batch.
         groups: dict[tuple[int, ...], _Group] = {}
         for u in units:
@@ -283,6 +431,13 @@ class BatchRunner:
             read_futures = _start_reads(chunks[0], input_positions)
             unit_bytes = int(np.prod(group.shape)) * 4
             for ci, chunk in enumerate(chunks):
+                if self._cancel.is_set():
+                    self._drain(pending_writes, progress, resume)
+                    raise RunCancelled("batch run cancelled")
+                for u in chunk:
+                    job = self.jobs.get(u.pos_idx)
+                    if job is not None and job.state == "PENDING":
+                        job.state = "RUNNING"
                 volumes = np.stack(
                     [np.asarray(f.result(), dtype=np.float32) for f in read_futures]
                 )
@@ -334,18 +489,30 @@ class BatchRunner:
                     pending_writes.append((future, u))
                 n_done += len(chunk)
 
-                if self.cluster == "debug":
-                    pending_writes = self._drain(pending_writes, progress, resume)
+                # Bounded write window: in pipelined mode keep at most one
+                # batch of writes in flight; everything older is drained NOW
+                # and its resume record committed, so a crash mid-run loses at
+                # most the current batch of progress (not the whole run).
+                keep = B if self.cluster != "debug" else 0
+                pending_writes = self._drain(
+                    pending_writes, progress, resume, keep=keep
+                )
 
-        self._drain(pending_writes, progress, resume, wait_all=True)
+        self._drain(pending_writes, progress, resume)
         return n_done
 
-    def _drain(self, pending, progress, resume, wait_all=True):
-        for future, u in pending:
+    def _drain(self, pending, progress, resume, keep: int = 0):
+        """Resolve pending write futures oldest-first until ≤ ``keep`` remain,
+        marking each unit's resume record only after its write is durable."""
+        n_drain = max(0, len(pending) - keep)
+        for future, u in pending[:n_drain]:
             future.result()
             if resume and u.pos_idx in progress:
                 progress[u.pos_idx].mark_done(u.out_t, _c_key(u.c_out))
-        return []
+            job = self.jobs.get(u.pos_idx) if hasattr(self, "jobs") else None
+            if job is not None:
+                job._unit_done()
+        return pending[n_drain:]
 
     # -- conveniences ----------------------------------------------------------
 
@@ -398,6 +565,14 @@ class BatchRunner:
                     )
         for f in futures:
             f.result()
+
+
+def _position_name(position: Position) -> str:
+    """row/col/fov display name for the job table."""
+    try:
+        return "/".join(Path(str(position.path)).parts[-3:])
+    except Exception:  # pragma: no cover - exotic store paths
+        return str(getattr(position, "path", position))
 
 
 def _c_key(c_out) -> int:

@@ -207,11 +207,12 @@ def stabilize(
     volume_bytes = 4 * (int(np.prod((Z, Y, X))) + int(np.prod(out_shape_zyx)))
     if volume_bytes > runner.max_batch_bytes:
         # Over-HBM volumes: warp output chunks per unit with that unit's
-        # matrix (see kernels/multipass_warp.py; interpolation-tolerance
-        # parity with the batched kernels).
-        from biahub_tpu.kernels.multipass_warp import (
-            multipass_affine_warp_zyx_chunked,
-        )
+        # matrix. chunked_affine_warp_zyx picks the same kernel family the
+        # in-budget batched path would (translation / in-plane / multipass /
+        # exact-gather fallback for vanishing-pivot matrices), so results do
+        # not depend on the batch budget and 90-degree rotations don't crash
+        # mid-run.
+        from biahub_tpu.kernels.multipass_warp import chunked_affine_warp_zyx
 
         n_splits = max(1, int(np.ceil(volume_bytes / runner.max_batch_bytes)))
         chunk = tuple(max(32, s // n_splits) for s in out_shape_zyx)
@@ -231,7 +232,7 @@ def stabilize(
             def write_fn(zs, ys, xs, d, _t=u.out_t, _c=u.c_out, _p=out_pos):
                 _p["0"][_t, _c, zs, ys, xs] = d
 
-            multipass_affine_warp_zyx_chunked(
+            chunked_affine_warp_zyx(
                 read_fn, mat, (Z, Y, X), tuple(out_shape_zyx), chunk,
                 write_fn=write_fn,
             )
@@ -245,6 +246,7 @@ def stabilize(
         input_positions,
         output_positions,
         per_unit_params=param_fn,
+        monitor=monitor and resolved != "debug",
     )
     click.echo(f"Stabilized {n} (t, c) volumes")
 

@@ -27,6 +27,7 @@ from biahub_tpu.cli.parsing import (
     output_dirpath,
     sbatch_filepath,
 )
+from biahub_tpu.cli.slurm import wait_for_jobs_to_finish
 from biahub_tpu.cli.utils import yaml_to_model
 from biahub_tpu.io.ngff import TransformationMeta, get_ome_zarr_version, open_ome_zarr
 from biahub_tpu.runtime import estimate_resources, resolve_cluster
@@ -285,6 +286,9 @@ def stitch_cli(
                 )
                 for chunk in chunks
             ]
+            # Block like the reference parent does on its chunk jobs
+            # (reference: biahub/cli/slurm.py:6-25), then surface errors.
+            wait_for_jobs_to_finish(futures, poll_seconds=0.2)
             for f in futures:
                 f.result()
         click.echo(f"Stitched well {well_name} -> {output_shape_zyx}")

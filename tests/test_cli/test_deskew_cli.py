@@ -253,3 +253,34 @@ def test_deskew_xsplit_resume(example_plate, example_deskew_settings, tmp_path,
     assert r.exit_code == 0, r.output
     second = open_ome_zarr(out)["A/1/0"].data[...]
     np.testing.assert_array_equal(first, second)
+
+
+def test_deskew_cli_monitor(example_plate, example_deskew_settings, tmp_path, monkeypatch):
+    """--monitor renders the live per-position job table (reference:
+    biahub/cli/monitor.py:91-150); jobs end COMPLETED."""
+    monkeypatch.setenv("CI", "false")  # allow cluster=local (CI forces debug)
+    plate_path, _ = example_plate
+    config_path, _ = example_deskew_settings
+    output_path = tmp_path / "output.zarr"
+
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        [
+            "deskew",
+            "-i",
+            str(plate_path / "A" / "1" / "0"),
+            str(plate_path / "B" / "1" / "0"),
+            "-c",
+            config_path,
+            "-o",
+            str(output_path),
+            "--cluster",
+            "local",
+            "--monitor",
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    assert output_path.exists()
+    assert "A/1/0" in result.output and "B/1/0" in result.output
+    assert "COMPLETED" in result.output

@@ -1,9 +1,14 @@
 """``biahub estimate-stitch``: per-FOV pixel shifts from stage metadata.
 
-Mirrors the reference (reference: biahub/estimate_stitch.py:16-217):
-micromanager ``Summary/StagePositions`` metadata is converted to per-well
-pixel shifts, optionally refined with phase cross-correlation on overlap
-strips and a global position solve, then written as a StitchSettings YAML.
+Behavioral parity with the reference (reference: biahub/estimate_stitch.py:
+16-217): micromanager ``Summary/StagePositions`` metadata becomes per-well
+pixel shifts, optionally refined by phase cross-correlation on overlap strips
+plus a global position solve (the reference README's "optimize-stitch" lives
+here behind ``--pcc-channel-name``), and is written as a StitchSettings YAML.
+
+Pipeline here: read each FOV's stage coordinates once → bucket FOVs by well →
+normalize each well to its origin in pixel units → optionally refine YX with
+the PCC solver → apply axis flips → clamp to non-negative and round.
 """
 
 from __future__ import annotations
@@ -23,33 +28,117 @@ from biahub_tpu.stitching.tile import optimal_positions, pairwise_shifts
 __all__ = ["estimate_stitch_cli", "extract_stage_position"]
 
 
-def extract_stage_position(plate_dataset, position_name: str):
-    """(z, y, x) stage coordinates in um for a named micromanager position."""
-    stage_positions = plate_dataset.zattrs["Summary"]["StagePositions"]
-    xpos, ypos, zpos = 0, 0, 0
-    for stage_position in stage_positions:
-        if stage_position["Label"] == position_name:
-            xpos, ypos, zpos = 0, 0, 0
-            if "DevicePositions" in stage_position.keys():
-                xy_stage_name = stage_position.get("DefaultXYStage", "")
-                non_z_devices = {xy_stage_name}
-                for device in stage_position["DevicePositions"]:
-                    if device["Device"] == xy_stage_name and xy_stage_name:
-                        xpos, ypos = device["Position_um"]
-                    elif device["Device"] not in non_z_devices:
-                        zpos += device["Position_um"][0]
+def _stage_entry(plate_dataset, position_name: str) -> dict | None:
+    """The last StagePositions entry labeled ``position_name`` (micromanager
+    appends on re-acquisition, so the most recent entry wins)."""
+    entry = None
+    for candidate in plate_dataset.zattrs["Summary"]["StagePositions"]:
+        if candidate.get("Label") == position_name:
+            entry = candidate
+    return entry
+
+
+def extract_stage_position(plate_dataset, position_name: str) -> tuple:
+    """(z, y, x) stage coordinates in um for a named micromanager position.
+
+    Two metadata dialects exist (reference: biahub/estimate_stitch.py:16-64):
+
+    - ``DevicePositions``: a device list; the ``DefaultXYStage`` device
+      carries (x, y) and every OTHER device's first coordinate contributes
+      additively to z (split z-stages sum).
+    - direct keys: the ``DefaultXYStage`` / ``DefaultZStage`` names index
+      top-level entries holding [x, y] and z.
+
+    Missing devices/keys default to 0 for that axis.
+    """
+    entry = _stage_entry(plate_dataset, position_name)
+    if entry is None:
+        return 0.0, 0.0, 0.0
+
+    xy_stage = entry.get("DefaultXYStage", "")
+    if "DevicePositions" in entry:
+        x = y = z = 0.0
+        for device in entry["DevicePositions"]:
+            coords = device["Position_um"]
+            if xy_stage and device["Device"] == xy_stage:
+                x, y = coords
             else:
-                try:
-                    xy_stage_name = stage_position["DefaultXYStage"]
-                    xpos, ypos = stage_position[xy_stage_name]
-                except KeyError:
-                    pass
-                try:
-                    z_stage_name = stage_position["DefaultZStage"]
-                    zpos = stage_position[z_stage_name]
-                except KeyError:
-                    pass
-    return zpos, ypos, xpos
+                z += coords[0]
+        return z, y, x
+
+    x, y = entry.get(xy_stage, (0.0, 0.0)) if xy_stage else (0.0, 0.0)
+    z = entry.get(entry.get("DefaultZStage", ""), 0.0)
+    return z, y, x
+
+
+def _read_stage_positions(
+    input_position_dirpaths: list[Path],
+) -> dict[str, tuple]:
+    """fov_name ("row/col/fov") → (z, y, x) stage coordinates in um."""
+    plate_path = Path(*Path(input_position_dirpaths[0]).parts[:-3])
+    coords: dict[str, tuple] = {}
+    with open_ome_zarr(plate_path) as plate:
+        for dirpath in input_position_dirpaths:
+            fov_name = "/".join(Path(dirpath).parts[-3:])
+            with open_ome_zarr(dirpath) as position:
+                # micromanager labels live in the omero name when present
+                label = position.zattrs.get("omero", {}).get("name", fov_name)
+            coords[fov_name] = extract_stage_position(plate, label)
+            click.echo(f"Found metadata: {fov_name}: {coords[fov_name]}")
+    return coords
+
+
+def _refine_well_with_pcc(
+    shifts_px: np.ndarray,
+    fov_names: list[str],
+    plate_path: Path,
+    well_name: str,
+    channel_index: int,
+    z_index: int,
+    fliplr: bool,
+    flipud: bool,
+) -> np.ndarray:
+    """Replace the YX columns of ``shifts_px`` with the PCC-refined solve.
+
+    Pairwise Hanning-windowed phase correlations on overlap strips feed the
+    global soft-L1 position solve (stitching/tile.py), seeded by the stage
+    estimate (reference: biahub/estimate_stitch.py:155-191).
+    """
+    fovs = {name: None for name in fov_names}
+    seed_yx = {
+        name: (shifts_px[i, 1], shifts_px[i, 2]) for i, name in enumerate(fov_names)
+    }
+    edges, confidence = pairwise_shifts(
+        fovs,
+        plate_path,
+        well_name,
+        flipud=flipud,
+        fliplr=fliplr,
+        rot90=False,
+        overlap=300,
+        channel_index=channel_index,
+        z_index=z_index,
+        initial_positions=seed_yx,
+    )
+    click.echo("Confidence scores:")
+    for pair, *_, score in confidence.values():
+        click.echo(f"{pair}: {score:.2f}")
+
+    with open_ome_zarr(plate_path / fov_names[0]) as first:
+        tile_yx = first.data.shape[-2:]
+    solved = optimal_positions(
+        edges,
+        {name.split("/")[-1]: i for i, name in enumerate(fov_names)},
+        well_name,
+        tile_size=tile_yx,
+        initial_guess={
+            well_name: {"i": shifts_px[:, 1], "j": shifts_px[:, 2]}
+        },
+    )
+    refined = shifts_px.copy()
+    refined[:, 1] = [yx[0] for yx in solved.values()]
+    refined[:, 2] = [yx[1] for yx in solved.values()]
+    return refined
 
 
 @click.command("estimate-stitch")
@@ -100,85 +189,54 @@ def estimate_stitch_cli(
 
     >>> biahub estimate-stitch -i ./input.zarr/*/*/* -o ./stitch_params.yml
     """
-    input_plate_path = Path(*Path(input_position_dirpaths[0]).parts[:-3])
-    output_filepath = Path(output_filepath)
+    plate_path = Path(*Path(input_position_dirpaths[0]).parts[:-3])
 
-    print("Reading stage positions...")
-    translation_dict = {}
-    input_plate_dataset = open_ome_zarr(input_plate_path)
-    for input_position_dirpath in input_position_dirpaths:
-        fov_name = "/".join(Path(input_position_dirpath).parts[-3:])
-        position = open_ome_zarr(input_position_dirpath)
-        position_name = position.zattrs.get("omero", {}).get("name", fov_name)
-        zyx_position = extract_stage_position(input_plate_dataset, position_name)
-        print(f"Found metadata: {fov_name}: {zyx_position}")
-        translation_dict[fov_name] = zyx_position
+    click.echo("Reading stage positions...")
+    stage_um = _read_stage_positions(input_position_dirpaths)
 
-    grouped_wells: dict[str, dict] = defaultdict(dict)
-    for key, value in translation_dict.items():
-        well_name = "/".join(key.split("/")[:2])
-        grouped_wells[well_name][key] = value
+    by_well: dict[str, list[str]] = defaultdict(list)
+    for fov_name in stage_um:
+        by_well["/".join(fov_name.split("/")[:2])].append(fov_name)
 
-    scale = open_ome_zarr(input_position_dirpaths[0]).scale[2:]
+    with open_ome_zarr(input_position_dirpaths[0]) as first:
+        scale_zyx = np.asarray(first.scale[2:], dtype=np.float64)
+        channel_names = first.channel_names
 
-    final_translation_dict = {}
-    for well_name, well_positions in grouped_wells.items():
-        zyx_well_array = np.array(list(well_positions.values()), dtype=np.float64)
-        zyx_well_array -= np.min(zyx_well_array, axis=0)
-        zyx_well_array /= np.asarray(scale)
+    total_translation: dict[str, list[float]] = {}
+    for well_name, fov_names in by_well.items():
+        # Well-local pixel shifts: stage um, re-origined, divided by scale.
+        shifts = np.array([stage_um[f] for f in fov_names], dtype=np.float64)
+        shifts -= shifts.min(axis=0)
+        shifts /= scale_zyx
 
         if pcc_channel_name is not None:
-            tile_lut = {t.split("/")[-1]: i for i, t in enumerate(well_positions)}
-            initial_guess = {
-                well_name: {"i": zyx_well_array[:, 1], "j": zyx_well_array[:, 2]}
-            }
-            channel_names = open_ome_zarr(input_position_dirpaths[0]).channel_names
-            channel_index = channel_names.index(pcc_channel_name)
-
-            initial_positions = {
-                name: (zyx_well_array[i, 1], zyx_well_array[i, 2])
-                for i, name in enumerate(well_positions)
-            }
-            edge_list, confidence_dict = pairwise_shifts(
-                well_positions,
-                input_plate_path,
+            shifts = _refine_well_with_pcc(
+                shifts,
+                fov_names,
+                plate_path,
                 well_name,
-                flipud=flipud,
-                fliplr=fliplr,
-                rot90=False,
-                overlap=300,
-                channel_index=channel_index,
+                channel_index=channel_names.index(pcc_channel_name),
                 z_index=pcc_z_index,
-                initial_positions=initial_positions,
+                fliplr=fliplr,
+                flipud=flipud,
             )
-            print("Confidence scores:")
-            for v in confidence_dict.values():
-                print(f"{v[0]}: {v[-1]:.2f}")
-
-            first_position_path = next(iter(well_positions))
-            tile_size = open_ome_zarr(input_plate_path / first_position_path).data.shape[-2:]
-
-            opt_shift_dict = optimal_positions(
-                edge_list, tile_lut, well_name, tile_size=tile_size,
-                initial_guess=initial_guess,
-            )
-            zyx_well_array[:, 1] = [a[0] for a in opt_shift_dict.values()]
-            zyx_well_array[:, 2] = [a[1] for a in opt_shift_dict.values()]
 
         if fliplr:
-            zyx_well_array[:, 2] *= -1
+            shifts[:, 2] *= -1
         if flipud:
-            zyx_well_array[:, 1] *= -1
+            shifts[:, 1] *= -1
         if flipxy:
-            zyx_well_array[:, [1, 2]] = zyx_well_array[:, [2, 1]]
+            shifts = shifts[:, [0, 2, 1]]
+        # Flips can push shifts negative; re-anchor at zero.
+        shifts -= np.minimum(shifts.min(axis=0), 0)
 
-        zyx_well_array -= np.minimum(zyx_well_array.min(axis=0), 0)
+        for fov_name, zyx in zip(fov_names, shifts):
+            total_translation[fov_name] = [float(v) for v in np.round(zyx, 2)]
 
-        for i, fov_name in enumerate(well_positions.keys()):
-            final_translation_dict[fov_name] = list(np.round(zyx_well_array[i], 2))
-
-    settings = StitchSettings(channels=None, total_translation=final_translation_dict)
-    model_to_yaml(settings, output_filepath)
+    model_to_yaml(
+        StitchSettings(channels=None, total_translation=total_translation),
+        Path(output_filepath),
+    )
 
 
 if __name__ == "__main__":

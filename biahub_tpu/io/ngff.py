@@ -98,6 +98,18 @@ class _Group:
         self.path = Path(path)
         self.version = version  # OME-Zarr version: "0.4" (zarr v2) or "0.5" (zarr v3)
 
+    # Context-manager parity with iohub: handles are stateless (tensorstore
+    # opens arrays on demand), so close() is a no-op, but callers can scope
+    # plate AND position handles uniformly.
+    def close(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     @property
     def _is_v3(self) -> bool:
         return self.version == "0.5"
@@ -547,14 +559,6 @@ class Plate(_Group):
             shapes = {n: pos[n].shape for n in pos.array_names()}
             print(f"{name}: {shapes}")
 
-    def close(self) -> None:  # parity with iohub's context-manager usage
-        pass
-
-    def __enter__(self) -> "Plate":
-        return self
-
-    def __exit__(self, *exc) -> None:
-        self.close()
 
 
 def _downsample_yx_2x(zyx: np.ndarray, method: str) -> np.ndarray:

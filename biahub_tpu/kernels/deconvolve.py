@@ -9,6 +9,11 @@ deconvolution is a Tikhonov-regularized inverse filter
 
 Because both the data and the TF are real, the device kernel runs on the
 rfft half-spectrum — identical result, half the FFT work and memory traffic.
+
+On TPU the filter dispatches to the fused VMEM-resident matmul-DFT kernel
+(:mod:`biahub_tpu.kernels.pallas_fft`) — XLA's TPU FFT runs far below the
+HBM roofline; the XLA rfftn path remains for CPU, ineligible shapes, and
+``BIAHUB_TPU_NO_PALLAS=1``.
 """
 
 from __future__ import annotations
@@ -53,7 +58,16 @@ def deconvolve_zyx(
     (the TF of a real PSF is Hermitian-symmetric in magnitude, so the half
     spectrum carries all information).
     """
+    from biahub_tpu.kernels.pallas_fft import (
+        deconvolve_pallas_supported,
+        deconvolve_zyx_pallas,
+    )
+
     zyx_data = zyx_data.astype(jnp.float32)
+    if deconvolve_pallas_supported(zyx_data.shape):
+        return deconvolve_zyx_pallas(
+            zyx_data, transfer_function_half, regularization_strength
+        )
     data_hat = jnp.fft.rfftn(zyx_data)
     tf = transfer_function_half.astype(jnp.float32)
     filt = tf / (tf * tf + regularization_strength)

@@ -1,0 +1,115 @@
+"""Parity tests for the fused matmul-DFT deconvolution kernel.
+
+Runs the Pallas passes in interpret mode on the CPU mesh (conftest pins the
+cpu backend) against the XLA rfftn reference path and raw numpy.fft.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from biahub_tpu.kernels.deconvolve import compute_transfer_function
+from biahub_tpu.kernels.pallas_fft import (
+    deconvolve_pallas_supported,
+    deconvolve_zyx_pallas,
+)
+
+
+def _numpy_reference(vol, tf_half, reg):
+    data_hat = np.fft.rfftn(vol)
+    filt = tf_half / (tf_half**2 + reg)
+    return np.fft.irfftn(data_hat * filt, s=vol.shape, axes=(0, 1, 2)).astype(
+        np.float32
+    )
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (16, 24, 40),  # even everywhere, yb=8 slabs
+        (8, 7, 16),  # Y not divisible by 8 -> whole-Y slab
+        (9, 12, 33),  # odd Z and odd X (no Nyquist bin)
+        (4, 6, 9),  # tiny odd X
+    ],
+)
+def test_pallas_deconvolve_matches_numpy(shape, monkeypatch):
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    rng = np.random.default_rng(7)
+    vol = rng.standard_normal(shape, dtype=np.float32)
+    psf = np.exp(
+        -np.sum(np.square(np.mgrid[-1:2, -1:2, -1:2] / 1.2), axis=0)
+    ).astype(np.float32)
+    tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
+    reg = 1e-3
+
+    assert deconvolve_pallas_supported(shape)
+    got = np.asarray(deconvolve_zyx_pallas(jnp.asarray(vol), jnp.asarray(tf_half), reg))
+    want = _numpy_reference(vol, tf_half, reg)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-4 * scale, rtol=0)
+
+
+def test_pallas_deconvolve_matches_xla_path(monkeypatch):
+    """The dispatching deconvolve_zyx agrees with itself across backends."""
+    from biahub_tpu.kernels.deconvolve import deconvolve_zyx
+
+    shape = (8, 16, 24)
+    rng = np.random.default_rng(3)
+    vol = rng.standard_normal(shape, dtype=np.float32)
+    psf = rng.random((3, 3, 3), dtype=np.float32)
+    tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
+
+    monkeypatch.setenv("BIAHUB_TPU_NO_PALLAS", "1")
+    xla = np.asarray(deconvolve_zyx(jnp.asarray(vol), jnp.asarray(tf_half)))
+    monkeypatch.delenv("BIAHUB_TPU_NO_PALLAS")
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    fused = np.asarray(deconvolve_zyx(jnp.asarray(vol), jnp.asarray(tf_half)))
+    scale = np.abs(xla).max()
+    np.testing.assert_allclose(fused, xla, atol=2e-4 * scale, rtol=0)
+
+
+@pytest.mark.parametrize("mode,tol", [("highest", 1e-5), ("high", 2e-4)])
+def test_precision_modes(mode, tol, monkeypatch):
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_PRECISION", mode)
+    shape = (8, 16, 32)
+    rng = np.random.default_rng(5)
+    vol = rng.standard_normal(shape, dtype=np.float32)
+    psf = rng.random((3, 3, 3), dtype=np.float32)
+    tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
+    got = np.asarray(
+        deconvolve_zyx_pallas(jnp.asarray(vol), jnp.asarray(tf_half), 1e-3)
+    )
+    want = _numpy_reference(vol, tf_half, 1e-3)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=tol * scale, rtol=0)
+
+
+def test_pallas_deconvolve_vmaps_over_channels(monkeypatch):
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    import jax
+
+    shape = (4, 8, 12)
+    rng = np.random.default_rng(11)
+    vols = rng.standard_normal((2,) + shape, dtype=np.float32)
+    psf = rng.random((3, 3, 3), dtype=np.float32)
+    tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
+
+    got = np.asarray(
+        jax.vmap(lambda v: deconvolve_zyx_pallas(v, jnp.asarray(tf_half), 1e-3))(
+            jnp.asarray(vols)
+        )
+    )
+    for c in range(2):
+        want = _numpy_reference(vols[c], tf_half, 1e-3)
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got[c], want, atol=2e-4 * scale, rtol=0)
+
+
+def test_supported_gates_degenerate_and_oversized_shapes(monkeypatch):
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    assert not deconvolve_pallas_supported((1, 16, 16))  # degenerate axis
+    assert deconvolve_pallas_supported((256, 256, 1024))  # flagship FOV
+    assert not deconvolve_pallas_supported((256, 256, 8192))  # DFT mats > VMEM
+    monkeypatch.setenv("BIAHUB_TPU_NO_PALLAS", "1")
+    assert not deconvolve_pallas_supported((16, 16, 16))

@@ -21,6 +21,16 @@ class NaturalOrderGroup(click.Group):
 @click.group(context_settings=CONTEXT, cls=NaturalOrderGroup)
 def cli():
     """command-line tools for biahub."""
+    import os
+
+    if os.environ.get("BIAHUB_TPU_COORDINATOR") or os.environ.get(
+        "BIAHUB_TPU_DISTRIBUTED"
+    ):
+        # Multi-host runs launch the same verb on every host; the distributed
+        # runtime must come up before the first JAX computation.
+        from biahub_tpu.parallel.distributed import maybe_initialize_distributed
+
+        maybe_initialize_distributed()
 
 
 class LazyCommand(click.Command):

@@ -1,5 +1,29 @@
-"""Device-mesh and sharding helpers for batch parallelism over TPU chips."""
+"""Device-mesh, sharding, and multi-host helpers for batch parallelism."""
 
-from biahub_tpu.parallel.mesh import batch_sharding, get_mesh, replicated_sharding
+from biahub_tpu.parallel.distributed import (
+    barrier,
+    is_coordinator,
+    maybe_initialize_distributed,
+    process_count,
+    process_index,
+)
+from biahub_tpu.parallel.mesh import (
+    batch_sharding,
+    get_global_mesh,
+    get_mesh,
+    host_batch_sharding,
+    replicated_sharding,
+)
 
-__all__ = ["batch_sharding", "get_mesh", "replicated_sharding"]
+__all__ = [
+    "barrier",
+    "batch_sharding",
+    "get_global_mesh",
+    "get_mesh",
+    "host_batch_sharding",
+    "is_coordinator",
+    "maybe_initialize_distributed",
+    "process_count",
+    "process_index",
+    "replicated_sharding",
+]

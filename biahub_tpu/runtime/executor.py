@@ -13,6 +13,13 @@ write future resolves (crash-safe resume).
 flushed before the next), ``local`` is the default pipelined mode, and
 ``slurm`` is accepted with a warning and behaves like ``local`` — there is no
 job scheduler between the controller and the chips anymore.
+
+Multi-host: when a ``jax.distributed`` runtime is active (see
+:mod:`biahub_tpu.parallel.distributed`), every process runs the same verb and
+``run_units`` deterministically stripes the work units by
+``jax.process_index()`` — share-nothing across hosts with per-host zarr I/O,
+the TPU analog of the reference's 100-wide Slurm array
+(reference: biahub/deskew.py:722-752).
 """
 
 from __future__ import annotations
@@ -299,6 +306,20 @@ class BatchRunner:
         The table is also exposed as ``self.jobs`` for programmatic polling.
         """
         units = list(units)
+        # Multi-host striping: each process owns units[i::n_proc] of the SAME
+        # caller-enumerated list, so ownership is disjoint and exhaustive
+        # without coordination. Striping precedes resume filtering — filtering
+        # first would let a process that observes another's fresh progress
+        # records compute a different stripe, orphaning units.
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            pidx = jax.process_index()
+            total = len(units)
+            units = units[pidx::n_proc]
+            print(
+                f"multi-host: process {pidx + 1}/{n_proc} owns "
+                f"{len(units)}/{total} units"
+            )
         all_units = units
         progress: dict[int, ProgressStore] = {}
         if resume:
@@ -547,10 +568,14 @@ class BatchRunner:
         """Host-side copy of untouched channels into the output plate.
 
         When shapes differ the source is center-cropped/zero-padded to fit
-        (used by register/stabilize for non-registered channels).
+        (used by register/stabilize for non-registered channels). Multi-host
+        runs stripe the copies by position.
         """
         futures = []
-        for in_pos, out_pos in zip(input_positions, output_positions):
+        position_pairs = list(zip(input_positions, output_positions))
+        if jax.process_count() > 1:
+            position_pairs = position_pairs[jax.process_index() :: jax.process_count()]
+        for in_pos, out_pos in position_pairs:
             T = in_pos.data.shape[0]
             ts = range(T) if time_indices == "all" else time_indices
             out_arr = out_pos["0"]

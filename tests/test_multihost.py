@@ -1,0 +1,50 @@
+"""Multi-host plate-scale execution: 2 processes x 4 virtual CPU devices.
+
+The runnable analog of the reference's Slurm-array fan-out
+(reference: biahub/deskew.py:722-752): spawns two real jax.distributed
+processes on localhost and asserts (a) a sharded step with a cross-host
+all-reduce matches the replicated result, and (b) BatchRunner stripes work
+units disjointly with both processes writing the same output plate.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_runtime(tmp_path):
+    worker = Path(__file__).parent / "multihost_worker.py"
+    repo_root = Path(__file__).parents[1]
+    port = _free_port()
+    env = os.environ.copy()
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["CI"] = "true"
+    env["PYTHONPATH"] = f"{repo_root}{os.pathsep}{env.get('PYTHONPATH', '')}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port), str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outputs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert f"MULTIHOST-OK {i}" in out
+    # Each process must report owning exactly half of the 12 units.
+    assert any("multi-host: process 1/2 owns 6/12 units" in o for o in outputs)
+    assert any("multi-host: process 2/2 owns 6/12 units" in o for o in outputs)

@@ -1,0 +1,82 @@
+"""torch state-dict -> flax params converter for the UNeXt2 family.
+
+Weight-layout rules (torch -> flax):
+
+- Conv3d ``(O, I, kd, kh, kw)`` -> ``(kd, kh, kw, I, O)``
+- Conv2d ``(O, I, kh, kw)`` -> ``(kh, kw, I, O)`` (covers depthwise convs:
+  torch groups=dim stores ``(dim, 1, 7, 7)``, flax ``feature_group_count``
+  expects ``(7, 7, 1, dim)`` — the same transpose)
+- Linear ``(O, I)`` -> ``(I, O)``
+- LayerNorm ``weight``/``bias`` -> ``scale``/``bias``
+- GRN ``gamma``/``beta`` pass through
+
+Key paths are shared verbatim between :class:`TorchUNeXt2` and the flax
+:class:`~biahub_tpu.models.unext2.UNeXt2` (e.g.
+``stage0_block1.pwconv1.weight`` -> ``stage0_block1/pwconv1/kernel``), so the
+translation is purely mechanical. Lightning checkpoints nest the weights
+under ``state_dict`` with a ``model.`` prefix; both are stripped.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+__all__ = ["torch_state_dict_to_flax", "load_torch_checkpoint"]
+
+
+def _to_numpy(tensor: Any) -> np.ndarray:
+    if hasattr(tensor, "detach"):
+        tensor = tensor.detach().cpu().numpy()
+    return np.asarray(tensor, dtype=np.float32)
+
+
+def torch_state_dict_to_flax(state_dict: Mapping[str, Any]) -> dict:
+    """Convert a TorchUNeXt2-schema state dict to flax variables.
+
+    Returns ``{"params": tree}`` ready for ``UNeXt2().apply``.
+    """
+    params: dict = {}
+    for key, value in state_dict.items():
+        for prefix in ("state_dict.", "model."):
+            if key.startswith(prefix):
+                key = key[len(prefix) :]
+        parts = key.split(".")
+        leaf = parts[-1]
+        w = _to_numpy(value)
+        if leaf == "weight":
+            if w.ndim == 5:
+                w = w.transpose(2, 3, 4, 1, 0)
+                leaf = "kernel"
+            elif w.ndim == 4:
+                w = w.transpose(2, 3, 1, 0)
+                leaf = "kernel"
+            elif w.ndim == 2:
+                w = w.T
+                leaf = "kernel"
+            elif w.ndim == 1:  # LayerNorm
+                leaf = "scale"
+            else:
+                raise ValueError(f"unexpected weight rank for {key}: {w.shape}")
+        elif leaf not in ("bias", "gamma", "beta"):
+            raise ValueError(f"unrecognized parameter {key}")
+        node = params
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[leaf] = w
+    return {"params": params}
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a torch ``.pt``/``.ckpt`` file and return flax variables.
+
+    Handles both bare state dicts and Lightning checkpoints (weights under
+    the ``state_dict`` key with ``model.``-prefixed names).
+    """
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(payload, dict) and "state_dict" in payload:
+        payload = payload["state_dict"]
+    return torch_state_dict_to_flax(payload)

@@ -6,10 +6,14 @@ native: per-timepoint normalization from precomputed statistics stored in the
 position metadata, z-sliding-window inference with linear feather blending,
 and optional rotation test-time augmentation. The model is pluggable:
 
+- ``architecture: fcmae`` (or ``unext2``) runs the TPU-native flax UNeXt2
+  (:mod:`biahub_tpu.models.unext2`), loading torch/Lightning state-dict
+  checkpoints through the validated converter
+  (:mod:`biahub_tpu.models.convert`) — the default path, and the one that
+  puts the flagship ML verb on the MXU; the viscy-style nested schema
+  (``model.init_args.architecture``/``model_config``) is also understood,
 - a TorchScript checkpoint (``ckpt_path`` ending in ``.pt``/``.pts``) runs on
-  the bundled CPU torch runtime,
-- VisCy Lightning checkpoints require the optional viscy/cytoland packages
-  and raise a clear error when absent.
+  the bundled CPU torch runtime (fallback for opaque exported models).
 """
 
 from __future__ import annotations
@@ -108,8 +112,64 @@ def sliding_window_predict(
     return out / np.maximum(weight, 1e-6)
 
 
+_UNEXT2_KEYS = (
+    "in_channels",
+    "out_channels",
+    "in_stack_depth",
+    "out_stack_depth",
+    "encoder_blocks",
+    "dims",
+    "decoder_conv_blocks",
+    "stem_kernel_size",
+)
+
+
+def _load_flax_unext2(cfg: dict, model_config: dict):
+    """TPU-native inference path: flax UNeXt2 + converted torch weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from biahub_tpu.models.convert import load_torch_checkpoint
+    from biahub_tpu.models.unext2 import UNeXt2
+
+    kwargs = {k: model_config[k] for k in _UNEXT2_KEYS if k in model_config}
+    for key in ("encoder_blocks", "dims", "stem_kernel_size"):
+        if key in kwargs:
+            kwargs[key] = tuple(kwargs[key])
+    model = UNeXt2(**kwargs)
+    ckpt_path = cfg.get("ckpt_path")
+    if ckpt_path is None:
+        raise click.ClickException("Config must provide ckpt_path")
+    variables = jax.tree.map(jnp.asarray, load_torch_checkpoint(str(ckpt_path)))
+    apply = jax.jit(model.apply)
+
+    # The encoder downsamples H and W by stem * 2^3; pad inputs up (edge
+    # replicate, matching sliding-window border handling) and crop outputs.
+    _, kh, kw = model.stem_kernel_size
+    div_h, div_w = kh * 8, kw * 8
+
+    def predict_fn(window: np.ndarray) -> np.ndarray:
+        c, z, y, x = window.shape
+        pad_y = -y % div_h
+        pad_x = -x % div_w
+        padded = np.pad(window, ((0, 0), (0, 0), (0, pad_y), (0, pad_x)), mode="edge")
+        out = np.asarray(apply(variables, jnp.asarray(padded[None]))[0])
+        return out[..., :y, :x]
+
+    return predict_fn, int(model.in_stack_depth), int(model.out_channels)
+
+
 def _load_model(cfg: dict):
     """Resolve the configured model into a (predict_fn, window_z, n_out) triple."""
+    arch = cfg.get("architecture")
+    model_config = dict(cfg.get("model_config") or {})
+    if isinstance(cfg.get("model"), dict):  # viscy predict schema
+        init_args = cfg["model"].get("init_args", {})
+        arch = arch or init_args.get("architecture")
+        model_config = dict(init_args.get("model_config") or model_config)
+    if arch in ("fcmae", "UNeXt2", "unext2"):
+        return _load_flax_unext2(cfg, model_config)
+
     ckpt_path = cfg.get("ckpt_path")
     if ckpt_path is None:
         raise click.ClickException("Config must provide ckpt_path")

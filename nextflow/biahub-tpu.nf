@@ -24,9 +24,18 @@ params.virtual_stain_config = null
 params.track_config = null
 params.concatenate_config = null
 params.biahub_project = null
+// Multi-host TPU fan-out: N tasks per step, each a jax.distributed process
+// owning a stripe of the work units (biahub_tpu/parallel/distributed.py).
+params.tpu_hosts = 1
+params.tpu_coordinator = null
 
-include { run_step_wf; dataset_name } from './modules/step'
-include { assemble_wf } from './modules/assemble'
+include { dataset_name } from './modules/common'
+include { flat_field_wf } from './modules/flat_field'
+include { deskew_wf } from './modules/deskew'
+include { reconstruct_wf } from './modules/reconstruct'
+include { virtual_stain_wf } from './modules/virtual_stain'
+include { tracking_wf } from './modules/tracking'
+include { assemble_wf } from './modules/assembly'
 
 def directory_layout() {
     return [
@@ -54,22 +63,22 @@ workflow {
     def layout = directory_layout()
 
     ff_output = "${out}/${layout.flat_field}/${ds}.zarr"
-    ff_done = run_step_wf('flat-field', params.input, ff_output,
-                          params.flat_field_config, Channel.value(true))
+    ff_done = flat_field_wf(params.input, ff_output,
+                            params.flat_field_config, Channel.value(true))
 
     deskew_output = "${out}/${layout.deskew}/${ds}.zarr"
-    deskew_done = run_step_wf('deskew', ff_output, deskew_output,
-                              params.deskew_config, ff_done.done)
+    deskew_done = deskew_wf(ff_output, deskew_output,
+                            params.deskew_config, ff_done.done)
 
     reconstruct_output = "${out}/${layout.reconstruct}/${ds}.zarr"
-    reconstruct_done = run_step_wf('reconstruct', deskew_output, reconstruct_output,
-                                   params.reconstruct_config, deskew_done.done)
+    reconstruct_done = reconstruct_wf(deskew_output, reconstruct_output,
+                                      params.reconstruct_config, deskew_done.done)
 
     virtual_stain_output = "${out}/${layout.virtual_stain}/${ds}.zarr"
-    virtual_stain_done = run_step_wf('virtual-stain', reconstruct_output,
-                                     virtual_stain_output,
-                                     params.virtual_stain_config,
-                                     reconstruct_done.done)
+    virtual_stain_done = virtual_stain_wf(reconstruct_output,
+                                          virtual_stain_output,
+                                          params.virtual_stain_config,
+                                          reconstruct_done.done)
 
     assemble_output = "${out}/${layout.assemble}/${ds}.zarr"
     assemble_done = assemble_wf(deskew_output, reconstruct_output,
@@ -78,6 +87,6 @@ workflow {
                                 virtual_stain_done.done)
 
     track_output = "${out}/${layout.track}/${ds}.zarr"
-    run_step_wf('track', assemble_output, track_output,
+    tracking_wf(assemble_output, track_output,
                 params.track_config, assemble_done.done)
 }

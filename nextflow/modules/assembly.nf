@@ -2,7 +2,7 @@
 // three upstream outputs, then run a single-shot concatenate (reference
 // pattern: nextflow/modules/assembly.nf).
 
-include { biahub_cmd } from './step'
+include { biahub_cmd } from './common'
 
 process resolve_concat_config {
     label 'cpu_local'

@@ -662,7 +662,49 @@ def create_empty_plate(
     Provenance zattrs matching the ``metadata_keys`` fnmatch allowlist are
     copied from the same position of ``metadata_sources``
     (reference: biahub/cli/utils.py:19-34).
+
+    Multi-host runs serialize creation: the coordinator builds the plate
+    while workers wait at a barrier, then every process returns a handle —
+    the analog of the reference's init-on-the-login-node contract
+    (reference: nextflow/modules/deskew.nf:30-40).
     """
+    import fnmatch
+
+    import jax
+
+    if jax.process_count() > 1:
+        from biahub_tpu.parallel.distributed import barrier, is_coordinator
+
+        if not is_coordinator():
+            barrier(f"plate-create:{store_path}")
+            return open_ome_zarr(store_path, mode="r+")
+        try:
+            return _create_empty_plate_local(
+                store_path, position_keys, channel_names, shape, chunks,
+                shards_ratio, scale, dtype, version, metadata_sources,
+                metadata_keys,
+            )
+        finally:
+            barrier(f"plate-create:{store_path}")
+    return _create_empty_plate_local(
+        store_path, position_keys, channel_names, shape, chunks, shards_ratio,
+        scale, dtype, version, metadata_sources, metadata_keys,
+    )
+
+
+def _create_empty_plate_local(
+    store_path,
+    position_keys,
+    channel_names,
+    shape,
+    chunks=None,
+    shards_ratio=None,
+    scale=None,
+    dtype=np.float32,
+    version="0.4",
+    metadata_sources=None,
+    metadata_keys=None,
+) -> "Plate":
     import fnmatch
 
     store_path = Path(store_path)

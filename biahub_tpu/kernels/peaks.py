@@ -97,8 +97,12 @@ def detect_peaks(
         block_size = (block_size,) * 3
     zyx_shape = zyx_data.shape[-3:]
 
+    if isinstance(zyx_data, jax.Array):
+        vol = zyx_data.astype(jnp.float32)  # already on device; no round trip
+    else:
+        vol = jnp.asarray(np.asarray(zyx_data, dtype=np.float32))
     values, flat_idx = block_max_candidates(
-        jnp.asarray(np.asarray(zyx_data, dtype=np.float32)),
+        vol,
         block_size=tuple(int(b) for b in block_size),
         blur_kernel_size=int(blur_kernel_size),
     )

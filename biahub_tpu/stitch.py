@@ -139,6 +139,16 @@ def write_output_chunk(
         moving_slices.append(moving)
         kept.append(name)
 
+    # Launch every contributing (FOV, channel) read up front so tensorstore
+    # overlaps them with each other and with the weight-map computation —
+    # chunk assembly is read-latency-bound, not compute-bound.
+    reads = []
+    for i, (name, fixed, moving) in enumerate(zip(kept, fixed_slices, moving_slices)):
+        arr = input_plate[name]["0"]
+        for ci, c in enumerate(channel_idx):
+            future = arr.read_async((slice(None), int(c), *moving))
+            reads.append((i, ci, name, fixed, future))
+
     if centered_distance is None:
         centered_distance = fov_edge_distance(fov_extent)
 
@@ -152,13 +162,11 @@ def write_output_chunk(
     np.power(distance_maps, blending_exponent, out=w, where=(distance_maps > 0))
     weight_maps = w / (np.sum(w, axis=0, keepdims=True) + 1e-8)
 
-    for i, (name, fixed, moving) in enumerate(zip(kept, fixed_slices, moving_slices)):
+    for i, ci, name, fixed, future in reads:
         if verbose:
             click.echo(f"\t\tApplying weight maps to {name}")
-        fov_data = input_plate[name].data
-        for ci, c in enumerate(channel_idx):
-            data = fov_data[:, int(c), moving[0], moving[1], moving[2]]
-            output_chunk[(slice(None), ci, *fixed)] += data * weight_maps[(i, *fixed)]
+        data = np.asarray(future.result(), dtype=np.float32)
+        output_chunk[(slice(None), ci, *fixed)] += data * weight_maps[(i, *fixed)]
 
     if verbose:
         click.echo(f"\t\tWriting chunk to output array: {output_chunk_slices}")

@@ -70,11 +70,19 @@ def main() -> None:
     }
     if is_coordinator():
         plate = open_ome_zarr(in_path, layout="hcs", mode="w", channel_names=["a", "b"])
-        out = open_ome_zarr(out_path, layout="hcs", mode="w", channel_names=["a", "b"])
         for (r, c), arr in data.items():
             plate.create_position(r, c, "0").create_image("0", arr)
-            out.create_position(r, c, "0").create_image("0", np.zeros_like(arr))
-    barrier("plates-ready")
+    barrier("input-ready")
+    # Every process calls create_empty_plate; it serializes internally
+    # (coordinator creates, workers wait at the barrier).
+    from biahub_tpu.io.ngff import create_empty_plate
+
+    create_empty_plate(
+        out_path,
+        position_keys=[(r, c, "0") for r, c in wells],
+        channel_names=["a", "b"],
+        shape=(3, 2, 4, 8, 16),
+    )
 
     in_pos = [open_ome_zarr(f"{in_path}/{r}/{c}/0") for r, c in wells]
     out_pos = [open_ome_zarr(f"{out_path}/{r}/{c}/0") for r, c in wells]

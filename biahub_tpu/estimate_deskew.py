@@ -2,13 +2,20 @@
 
 The reference is napari-interactive (reference: biahub/estimate_deskew.py:
 17-82): the user draws a rectangle to measure ``px_to_scan_ratio`` and a line
-to measure the light-sheet angle. Headless here, the same geometry is exposed
-as pure functions (:func:`px_to_scan_ratio_from_rectangle`,
-:func:`ls_angle_from_line`) and the CLI accepts the measured coordinates as
-options; invoked without them, it explains what to provide.
+to measure the light-sheet angle. The same geometry is exposed here as pure
+functions (:func:`px_to_scan_ratio_from_rectangle`,
+:func:`ls_angle_from_line`) reachable three ways:
+
+- headless with measured values (``--px-to-scan-ratio``/``--ls-angle-deg``),
+- headless with point files (``--rect-points``/``--line-points`` CSVs
+  exported from any viewer — napari, Fiji, etc.),
+- interactively (``--interactive``) when napari is installed, mirroring the
+  reference's draw-and-measure flow.
 """
 
 from __future__ import annotations
+
+from pathlib import Path
 
 import click
 import numpy as np
@@ -48,6 +55,56 @@ def ls_angle_from_line(line: np.ndarray, px_to_scan_ratio: float) -> float:
     return float((theta % np.pi) * 180 / np.pi)
 
 
+def _load_points(path: str | Path) -> np.ndarray:
+    """Load a points array from a .npy or a headerless CSV/TSV file."""
+    path = Path(path)
+    if path.suffix == ".npy":
+        return np.load(path)
+    return np.loadtxt(path, delimiter="," if path.suffix == ".csv" else None)
+
+
+def _interactive_measurements(position_path, px_to_scan_ratio_estimate: float):
+    """Reference napari flow: draw a rectangle, then a coverslip-normal line
+    (reference: biahub/estimate_deskew.py:36-68)."""
+    try:
+        import napari  # type: ignore
+    except ImportError:
+        raise click.ClickException(
+            "--interactive requires napari; headless, pass --rect-points/"
+            "--line-points files or the measured values directly."
+        ) from None
+    from biahub_tpu.io.ngff import open_ome_zarr
+
+    with open_ome_zarr(position_path) as reader:
+        data = np.asarray(reader["0"][0, 0])
+    viewer = napari.Viewer()
+    viewer.add_image(data)
+    viewer.add_shapes(ndim=3, name="rect")
+    viewer.layers[-1].mode = "add_rectangle"
+    viewer.dims.order = (1, 2, 0)
+    input(
+        "\nDraw a rectangle around an object that you expect to be square "
+        "after deskewing, then press <enter>..."
+    )
+    rect = viewer.layers["rect"].data[0]
+    ratio = px_to_scan_ratio_from_rectangle(rect)
+    click.echo(f"Measured px_to_scan_ratio : {ratio:.3f}")
+
+    viewer.layers.remove("data")
+    viewer.layers.remove("rect")
+    viewer.add_image(np.sum(data, axis=2, dtype=np.float32), name="x_proj")
+    viewer.add_shapes(ndim=2, name="coverslip-normal")
+    viewer.layers[-1].mode = "add_line"
+    input(
+        "Draw a line parallel to an object perpendicular to the coverslip, "
+        "then press <enter>..."
+    )
+    line = viewer.layers[-1].data[0]
+    angle = ls_angle_from_line(line, ratio)
+    click.echo(f"Measured light-sheet angle : {angle:.2f}")
+    return ratio, angle
+
+
 @click.command("estimate-deskew")
 @input_position_dirpaths()
 @output_filepath()
@@ -67,6 +124,25 @@ def ls_angle_from_line(line: np.ndarray, px_to_scan_ratio: float) -> float:
     default=None,
     help="Measured light-sheet angle in degrees (skip the line measurement).",
 )
+@click.option(
+    "--rect-points",
+    type=click.Path(exists=True),
+    default=None,
+    help="(4, 3) rectangle-corner file (.csv/.npy) in (scan, tilt, coverslip) "
+    "order, exported from any viewer; measures px_to_scan_ratio.",
+)
+@click.option(
+    "--line-points",
+    type=click.Path(exists=True),
+    default=None,
+    help="(2, 2) coverslip-normal line file (.csv/.npy) on the X projection; "
+    "measures the light-sheet angle.",
+)
+@click.option(
+    "--interactive",
+    is_flag=True,
+    help="Measure in napari exactly as the reference does (requires napari).",
+)
 def estimate_deskew_cli(
     input_position_dirpaths,
     output_filepath,
@@ -74,11 +150,15 @@ def estimate_deskew_cli(
     scan_step_um,
     px_to_scan_ratio,
     ls_angle_deg,
+    rect_points,
+    line_points,
+    interactive,
 ):
     """Routine for estimating deskewing parameters from calibration data.
 
     The reference workflow measures px_to_scan_ratio and the light-sheet angle
-    interactively in napari; headless, pass the measured values directly:
+    interactively in napari (--interactive here); headless, pass the measured
+    values or exported point files:
 
     >>> biahub estimate-deskew -i ./input.zarr/0/0/0 -o ./deskew_params.yml \\
         --pixel-size-um 0.116 --scan-step-um 0.313 --ls-angle-deg 36.17
@@ -88,17 +168,28 @@ def estimate_deskew_cli(
 
     if pixel_size_um is None or scan_step_um is None:
         raise click.ClickException(
-            "Headless estimate-deskew needs --pixel-size-um and --scan-step-um "
-            "(plus --ls-angle-deg, or --px-to-scan-ratio from a napari "
-            "measurement made elsewhere)."
+            "estimate-deskew needs --pixel-size-um and --scan-step-um."
         )
+    if interactive:
+        estimate = pixel_size_um / scan_step_um
+        px_to_scan_ratio, ls_angle_deg = _interactive_measurements(
+            input_position_dirpaths[0], estimate
+        )
+    if px_to_scan_ratio is None and rect_points is not None:
+        px_to_scan_ratio = round(
+            px_to_scan_ratio_from_rectangle(_load_points(rect_points)), 3
+        )
+        click.echo(f"Measured px_to_scan_ratio : {px_to_scan_ratio:.3f}")
     if px_to_scan_ratio is None:
         px_to_scan_ratio = round(pixel_size_um / scan_step_um, 3)
         click.echo(f"Using px_to_scan_ratio = pixel_size/scan_step = {px_to_scan_ratio}")
+    if ls_angle_deg is None and line_points is not None:
+        ls_angle_deg = ls_angle_from_line(_load_points(line_points), px_to_scan_ratio)
+        click.echo(f"Measured light-sheet angle : {ls_angle_deg:.2f}")
     if ls_angle_deg is None:
         raise click.ClickException(
-            "Provide --ls-angle-deg (the interactive napari line measurement is "
-            "unavailable headless; see ls_angle_from_line for the math)."
+            "Provide --ls-angle-deg, a --line-points file, or --interactive "
+            "(see ls_angle_from_line for the math)."
         )
 
     settings = DeskewSettings(

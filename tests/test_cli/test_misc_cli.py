@@ -118,6 +118,44 @@ def test_estimate_deskew_cli_headless(example_plate, tmp_path):
     assert params["ls_angle_deg"] == 36.17
 
 
+def test_estimate_deskew_cli_point_files(example_plate, tmp_path):
+    """Measurements exported from any viewer feed the same geometry as the
+    reference's napari rectangle/line (reference: biahub/estimate_deskew.py:
+    44-66)."""
+    import numpy as np
+
+    plate_path, _ = example_plate
+    # Rectangle spanning 30 scan steps over 81 coverslip px -> ratio 0.370
+    rect = np.array(
+        [[10.0, 0.0, 19.0], [10.0, 0.0, 100.0], [40.0, 0.0, 100.0], [40.0, 0.0, 19.0]]
+    )
+    np.savetxt(tmp_path / "rect.csv", rect, delimiter=",")
+    # Line with direction r_hat satisfying cos(theta) = rx/ry/ratio
+    ratio = 0.37
+    theta = np.deg2rad(36.17)
+    line = np.array([[0.0, 0.0], [np.cos(theta) * ratio, 1.0]])
+    np.savetxt(tmp_path / "line.csv", line, delimiter=",")
+
+    out_yml = tmp_path / "deskew_params.yml"
+    result = CliRunner().invoke(
+        cli,
+        [
+            "estimate-deskew",
+            "-i", str(plate_path / "A/1/0"),
+            "-o", str(out_yml),
+            "--pixel-size-um", "0.116",
+            "--scan-step-um", "0.313",
+            "--rect-points", str(tmp_path / "rect.csv"),
+            "--line-points", str(tmp_path / "line.csv"),
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    with open(out_yml) as f:
+        params = yaml.safe_load(f)
+    assert params["px_to_scan_ratio"] == 0.37
+    assert abs(params["ls_angle_deg"] - 36.17) < 0.05
+
+
 def test_nf_list_positions(example_plate_2):
     plate_path, _ = example_plate_2
     result = CliRunner().invoke(cli, ["nf", "list-positions", str(plate_path)])

@@ -61,6 +61,16 @@ def maybe_initialize_distributed(
     global _INITIALIZED
     if _INITIALIZED:
         return jax.process_count() > 1
+    try:
+        from jax._src import distributed as _jax_distributed
+
+        if _jax_distributed.global_state.client is not None:
+            # Another entry point (a test harness, an embedding application)
+            # brought the runtime up already; adopt it.
+            _INITIALIZED = True
+            return jax.process_count() > 1
+    except Exception:  # pragma: no cover - private-API drift
+        pass
     coordinator_address = coordinator_address or os.environ.get(
         "BIAHUB_TPU_COORDINATOR"
     )

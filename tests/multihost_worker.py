@@ -96,6 +96,41 @@ def main() -> None:
             written = np.asarray(open_ome_zarr(f"{out_path}/{r}/{c}/0").data[:])
             np.testing.assert_allclose(written, arr * 2.0, rtol=1e-6)
     barrier("validated")
+
+    # --- a full CLI verb runs SPMD: both processes invoke `biahub deskew`
+    # on the same plate; coordinated plate creation + unit striping engage
+    # through the production code path.
+    import os
+    import yaml
+    from click.testing import CliRunner
+    from biahub_tpu.cli.main import cli
+
+    os.environ["BIAHUB_TPU_COORDINATOR"] = f"localhost:{port}"  # adopted, not re-init
+    cfg_path = f"{tmpdir}/deskew.yml"
+    if is_coordinator():
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(
+                {"pixel_size_um": 0.116, "ls_angle_deg": 36.0, "px_to_scan_ratio": 0.38},
+                f,
+            )
+    barrier("config-ready")
+    result = CliRunner().invoke(
+        cli,
+        [
+            "deskew",
+            "-i", f"{in_path}/A/1/0", f"{in_path}/B/1/0",
+            "-c", cfg_path,
+            "-o", f"{tmpdir}/deskewed.zarr",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert "multi-host: process" in result.output
+    barrier("deskew-done")
+    if is_coordinator():
+        des = np.asarray(open_ome_zarr(f"{tmpdir}/deskewed.zarr/A/1/0").data[:])
+        assert np.isfinite(des).all() and des.std() > 0
+    barrier("deskew-validated")
     print(f"MULTIHOST-OK {pid}")
 
 

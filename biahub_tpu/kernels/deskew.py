@@ -191,14 +191,18 @@ def deskew_zyx(
     raw_data = raw_data.astype(jnp.float32)
 
     if jax.default_backend() == "tpu":
-        # Fused Pallas path: one-hot MXU matmuls, single HBM pass
-        # (see kernels/pallas_deskew.py; ~1.8x the XLA formulation below).
+        # Fused Pallas path: one-hot MXU matmuls with the z slice-averaging
+        # folded into the kernel's accumulator, so the unaveraged volume
+        # never touches HBM (see kernels/pallas_deskew.py).
         from biahub_tpu.kernels.pallas_deskew import deskew_zyx_pallas
 
-        deskewed = deskew_zyx_pallas(
-            raw_data, ls_angle_deg, px_to_scan_ratio, keep_overhang
+        result = deskew_zyx_pallas(
+            raw_data,
+            ls_angle_deg,
+            px_to_scan_ratio,
+            keep_overhang,
+            average_window=average_window,
         )
-        result = average_n_slices(deskewed, average_window)
         if keep_overhang and overhang_fill != 0:
             fill_value = None if overhang_fill == "mean" else float(overhang_fill)
             result = fill_overhang(result, fill_value=fill_value)

@@ -14,10 +14,14 @@ input rows, so the whole tile is one (128, K) @ (K, Y) matmul where the
 on-the-fly from broadcasted iota comparisons. Out-of-range samples fall out
 naturally: their one-hot columns land outside the [0, K) slab window.
 
-Grid: one program per output z (= input tilt row). Each program DMAs its
-(Z_in, X_in) slab (the input is pre-transposed and x-flipped by XLA in the
-same pass), runs ceil(X_out / 128) matmuls into an (X_pad, Y) scratch, and
-emits the transposed (Y_out, X_out) output block.
+Grid: one program per AVERAGED output z group (= ``average_window``
+consecutive input tilt rows). Each program DMAs its (average_window, Z_in,
+X_in) slab block (the input is pre-transposed and x-flipped by XLA in the
+same pass), accumulates the per-row banded matmuls, and emits the averaged
+(Y_out, X_out) output block directly — the z slice-averaging that the XLA
+path runs as a separate 508 MB round trip is free here. Front edge-padding
+of the tilt axis reproduces ``average_n_slices``'s edge-padded tail group
+exactly (the padded rows replicate tilt row 0 = output z slice Z_out - 1).
 """
 
 from __future__ import annotations
@@ -38,9 +42,8 @@ TILE_X = 128
 
 
 def _deskew_kernel(raw_ref, out_ref, *, params):
-    Z_in, X_in, X_out, K, n_tiles, ct, px, offset = params
-    zo = pl.program_id(0)
-    zo_f = zo.astype(jnp.float32)
+    Z_in, X_in, X_out, K, n_tiles, ct, px, offset, avg, Yp, Z_out = params
+    k = pl.program_id(0)
 
     for tile in range(n_tiles):
         tile_w = min(TILE_X, X_out - tile * TILE_X)
@@ -49,46 +52,71 @@ def _deskew_kernel(raw_ref, out_ref, *, params):
             tile * TILE_X
             + jax.lax.broadcasted_iota(jnp.int32, (tile_w, 1), 0)
         ).astype(jnp.float32)
-        in_z = px * xo - px * ct * zo_f + offset  # (tile_w, 1)
-        i0 = jnp.floor(in_z)
-        frac = in_z - i0
-        i0 = i0.astype(jnp.int32)
 
-        # Slab window start: in_z is increasing in xo, so the tile's rows fit
-        # in [start, start + K). Mosaic requires sublane slice starts to be
-        # provably 8-aligned, so round down (K includes the 8-row margin).
-        start = jnp.clip(i0[0, 0], 0, max(Z_in - K, 0))
-        start = pl.multiple_of((start // 8) * 8, 8)
-        offs = i0 - start  # (tile_w, 1); lands outside [0, K) for invalid rows
+        acc = jnp.zeros((X_in, tile_w), jnp.float32)
+        for j in range(avg):
+            # Output z of this group member: tilt rows arrive in natural
+            # order, so z runs in reverse — zo = Yp - 1 - (k * avg + j).
+            # Front-padded rows replicate the z = Z_out - 1 slice, so their
+            # resample coordinate clamps to it (average_n_slices tail
+            # semantics).
+            zo = Yp - 1 - j - k * avg
+            zo_f = jnp.minimum(zo, Z_out - 1).astype(jnp.float32)
+            in_z = px * xo - px * ct * zo_f + offset  # (tile_w, 1)
+            i0 = jnp.floor(in_z)
+            frac = in_z - i0
+            i0 = i0.astype(jnp.int32)
 
-        cols = jax.lax.broadcasted_iota(jnp.int32, (tile_w, K), 1)
-        w = (1.0 - frac) * (cols == offs) + frac * (cols == offs + 1)
+            # Slab window start: in_z is increasing in xo, so the tile's rows
+            # fit in [start, start + K). Mosaic requires sublane slice starts
+            # to be provably 8-aligned, so round down (K has an 8-row margin).
+            start = jnp.clip(i0[0, 0], 0, max(Z_in - K, 0))
+            start = pl.multiple_of((start // 8) * 8, 8)
+            offs = i0 - start  # (tile_w, 1); outside [0, K) for invalid rows
 
-        slab = raw_ref[0, pl.ds(start, K), :]  # (K, Y)
-        # Contract K on both operands -> (Y, tile_w): the MXU consumes the
-        # transposed layouts natively, so no explicit VMEM transpose is
-        # needed. HIGHEST keeps the f32 mantissa (default TPU matmuls round
-        # through bf16).
-        out_ref[0, :, pl.ds(tile * TILE_X, tile_w)] = jax.lax.dot_general(
-            slab,
-            w.astype(jnp.float32),
-            dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            cols = jax.lax.broadcasted_iota(jnp.int32, (tile_w, K), 1)
+            w = (1.0 - frac) * (cols == offs) + frac * (cols == offs + 1)
+
+            slab = raw_ref[j, pl.ds(start, K), :]  # (K, Y)
+            # Contract K on both operands -> (Y, tile_w): the MXU consumes
+            # the transposed layouts natively, so no explicit VMEM transpose
+            # is needed. HIGHEST keeps the f32 mantissa (default TPU matmuls
+            # round through bf16).
+            acc = acc + jax.lax.dot_general(
+                slab,
+                w.astype(jnp.float32),
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        out_ref[0, :, pl.ds(tile * TILE_X, tile_w)] = (
+            acc if avg == 1 else acc * (1.0 / avg)
         )
 
 
 @partial(
     jax.jit,
-    static_argnames=("ls_angle_deg", "px_to_scan_ratio", "keep_overhang"),
+    static_argnames=(
+        "ls_angle_deg",
+        "px_to_scan_ratio",
+        "keep_overhang",
+        "average_window",
+    ),
 )
 def deskew_zyx_pallas(
     raw_data: jax.Array,
     ls_angle_deg: float,
     px_to_scan_ratio: float,
     keep_overhang: bool,
+    average_window: int = 1,
 ) -> jax.Array:
-    """Deskew one ZYX volume with the fused MXU kernel (un-averaged output)."""
+    """Deskew one ZYX volume with the fused MXU kernel.
+
+    ``average_window > 1`` emits the z slice-averaged output directly
+    (bit-matching ``average_n_slices`` applied to the unaveraged result,
+    including its edge-padded tail group) without materializing the
+    unaveraged volume in HBM.
+    """
     Z_in, Y_in, X_in = raw_data.shape
     output_shape, _ = get_deskewed_data_shape(
         (Z_in, Y_in, X_in), ls_angle_deg, px_to_scan_ratio, keep_overhang
@@ -105,27 +133,43 @@ def deskew_zyx_pallas(
     K = min(-(-K // 8) * 8, Z_in)
     n_tiles = -(-X_out // TILE_X)
 
+    avg = int(average_window)
+    groups = -(-Y_in // avg)
+    pad_front = groups * avg - Y_in
+    yp = Y_in + pad_front
+
     kernel = partial(
         _deskew_kernel,
-        params=(Z_in, X_in, X_out, K, n_tiles, ct, px, offset),
+        params=(Z_in, X_in, X_out, K, n_tiles, ct, px, offset, avg, yp, Z_out),
     )
+    # Tilt rows in natural order; front edge-pad makes the reversed z groups
+    # block-aligned AND replicates the z = Z_out - 1 slice into the tail
+    # group, exactly as average_n_slices edge-pads the unaveraged output.
+    data = jnp.transpose(raw_data.astype(jnp.float32), (1, 0, 2))[:, :, ::-1]
+    if pad_front:
+        data = jnp.pad(data, ((pad_front, 0), (0, 0), (0, 0)), mode="edge")
+
     # Mosaic compiles on TPU only; CPU (tests, debug mode) runs the interpreter.
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
         kernel,
         interpret=interpret,
-        grid=(Z_out,),
+        grid=(groups,),
         in_specs=[
-            # One (1, Z_in, X_in) slab per program: row Yin-1-zo of the tilt
-            # axis of the pre-transposed, x-flipped (Y_in, Z_in, X_in) volume.
+            # One (avg, Z_in, X_in) block per program: tilt rows
+            # [k*avg, (k+1)*avg) of the padded (Yp, Z_in, X_in) volume.
             pl.BlockSpec(
-                (1, Z_in, X_in),
-                lambda zo: (Y_in - 1 - zo, 0, 0),
+                (avg, Z_in, X_in),
+                lambda k: (k, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
+        # Natural tilt order means descending z, so block k owns averaged
+        # group groups - 1 - k.
         out_specs=pl.BlockSpec(
-            (1, Y_out, X_out), lambda zo: (zo, 0, 0), memory_space=pltpu.VMEM
+            (1, Y_out, X_out),
+            lambda k: (groups - 1 - k, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((Z_out, Y_out, X_out), jnp.float32),
-    )(jnp.transpose(raw_data.astype(jnp.float32), (1, 0, 2))[:, :, ::-1])
+        out_shape=jax.ShapeDtypeStruct((groups, Y_out, X_out), jnp.float32),
+    )(data)

@@ -30,3 +30,23 @@ def test_pallas_vmap():
         np.testing.assert_allclose(
             batched[c], np.asarray(single(vols[c])), atol=1e-6
         )
+
+
+@pytest.mark.parametrize("window", [2, 3])
+@pytest.mark.parametrize("shape", [(16, 20, 24), (16, 19, 24)])
+def test_pallas_fused_averaging_matches_posthoc(shape, window):
+    """Kernel-fused z averaging == average_n_slices on the unaveraged result,
+    including the edge-padded tail group when Z_out % window != 0."""
+    import jax.numpy as jnp
+
+    from biahub_tpu.kernels.deskew import average_n_slices
+
+    rng = np.random.default_rng(2)
+    vol = rng.random(shape, dtype=np.float32)
+    unaveraged = deskew_zyx_pallas(vol, 36.17, 0.371, False)
+    want = np.asarray(average_n_slices(jnp.asarray(unaveraged), window))
+    got = np.asarray(
+        deskew_zyx_pallas(vol, 36.17, 0.371, False, average_window=window)
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -51,6 +51,27 @@ def detail_benchmarks() -> dict:
             detail[name] = None
             print(f"# detail bench {name} failed: {exc!r}")
 
+    def bench_deskew():
+        from biahub_tpu.kernels.deskew import deskew_zyx
+
+        vol = jnp.asarray(rng.random((256, 256, 1024), np.float32))
+
+        @jax.jit
+        def run_one(v):
+            out = deskew_zyx(
+                v,
+                ls_angle_deg=36.17,
+                px_to_scan_ratio=0.371,
+                keep_overhang=False,
+                average_window=3,
+            )
+            return out, jnp.sum(out[0, 0, :8])
+
+        def sync(r):
+            float(r[1])
+
+        return _timed_ms(lambda: run_one(vol), sync)
+
     def bench_pcc():
         from biahub_tpu.kernels.fft import pcc_shifts_pairwise
 
@@ -156,6 +177,7 @@ def detail_benchmarks() -> dict:
 
             return _timed_ms(run, lambda r: None, iters=3)
 
+    record("deskew_ms", bench_deskew)
     record("pcc_ms_per_pair", bench_pcc)
     record("peaks_ms", bench_peaks)
     record("optimizer_iter_ms", bench_optimizer_iter)

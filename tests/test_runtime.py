@@ -272,3 +272,34 @@ def test_position_job_cancel_stops_run():
     assert ev.is_set()
     assert b.state == "CANCELLED"
     assert not a.done()
+
+
+def test_plate_scale_ragged_positions(tmp_path):
+    """24 positions in two shape groups through the pipelined mode: shape
+    bucketing, per-group batch padding, and bounded-drain writes must all
+    land the right voxels in the right (pos, t, c) slots at plate scale."""
+    rng = np.random.default_rng(7)
+    in_plate = open_ome_zarr(
+        tmp_path / "plate.zarr", layout="hcs", mode="w", channel_names=["a", "b"]
+    )
+    out_plate = open_ome_zarr(
+        tmp_path / "out.zarr", layout="hcs", mode="w", channel_names=["a", "b"]
+    )
+    in_positions, out_positions, data = [], [], []
+    for i in range(24):
+        row, col = chr(ord("A") + i // 12), str(i % 12 + 1)
+        shape = (2, 2, 4, 8, 16) if i % 3 else (2, 2, 6, 10, 12)  # two groups
+        arr = rng.random(shape).astype(np.float32)
+        in_plate.create_position(row, col, "0").create_image("0", arr)
+        out_plate.create_position(row, col, "0").create_zeros("0", shape, np.float32)
+        in_positions.append(open_ome_zarr(tmp_path / "plate.zarr" / row / col / "0"))
+        out_positions.append(open_ome_zarr(tmp_path / "out.zarr" / row / col / "0"))
+        data.append(arr)
+
+    mesh = get_mesh(8)
+    runner = BatchRunner(cluster="local", mesh=mesh, max_batch_bytes=1 << 20)
+    n = runner.run_zyx(lambda v: v * 3.0 + 1.0, in_positions, out_positions)
+    assert n == 24 * 2 * 2
+    for arr, out_pos in zip(data, out_positions):
+        np.testing.assert_allclose(out_pos.data[...], arr * 3.0 + 1.0, rtol=1e-6)
+    assert all(job.state == "COMPLETED" for job in runner.jobs.values())

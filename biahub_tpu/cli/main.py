@@ -21,16 +21,27 @@ class NaturalOrderGroup(click.Group):
 @click.group(context_settings=CONTEXT, cls=NaturalOrderGroup)
 def cli():
     """command-line tools for biahub."""
+
+
+def _init_distributed_for_run() -> None:
+    """Bring up jax.distributed when the environment asks for it.
+
+    Called from LazyCommand.invoke — i.e. only when a verb actually
+    executes, so ``--help`` never blocks on (or crashes over) coordinator
+    bring-up. Multi-host runs launch the same verb on every host; the
+    runtime must come up before the first JAX computation.
+    """
     import os
 
     if os.environ.get("BIAHUB_TPU_COORDINATOR") or os.environ.get(
         "BIAHUB_TPU_DISTRIBUTED"
     ):
-        # Multi-host runs launch the same verb on every host; the distributed
-        # runtime must come up before the first JAX computation.
         from biahub_tpu.parallel.distributed import maybe_initialize_distributed
 
-        maybe_initialize_distributed()
+        try:
+            maybe_initialize_distributed()
+        except RuntimeError as exc:
+            raise click.ClickException(str(exc)) from exc
 
 
 class LazyCommand(click.Command):
@@ -47,6 +58,7 @@ class LazyCommand(click.Command):
 
     def invoke(self, ctx):
         self._load()
+        _init_distributed_for_run()
         return self._real_command.invoke(ctx)
 
     def get_help(self, ctx):

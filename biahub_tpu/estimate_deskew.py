@@ -89,6 +89,14 @@ def _interactive_measurements(position_path, px_to_scan_ratio_estimate: float):
     rect = viewer.layers["rect"].data[0]
     ratio = px_to_scan_ratio_from_rectangle(rect)
     click.echo(f"Measured px_to_scan_ratio : {ratio:.3f}")
+    # Sanity feedback against pixel_size/scan_step, matching the reference
+    # (reference: biahub/estimate_deskew.py:48-49) — a wildly-off percentage
+    # means the rectangle was drawn in the wrong plane.
+    factor = abs(1 - px_to_scan_ratio_estimate / ratio) * 100
+    click.echo(
+        f"The measured px_to_scan_ratio is within {round(factor)}% "
+        "from your estimate"
+    )
 
     viewer.layers.remove("data")
     viewer.layers.remove("rect")

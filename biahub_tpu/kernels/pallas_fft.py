@@ -201,6 +201,11 @@ def deconvolve_pallas_supported(shape: tuple[int, int, int]) -> bool:
     z, y, x = shape
     if min(z, y, x) < 2:
         return False
+    if jax.default_backend() == "tpu" and y % 8 and y > 32:
+        # Non-multiple-of-8 Y falls back to a whole-Y slab whose unrolled
+        # per-column loop explodes Mosaic compile time at scale (CLAUDE.md:
+        # unrolled split-dot bodies took a 50 s compile to 20 min).
+        return False
     xh = x // 2 + 1
     yb = _y_slab(y)
     f32 = 4

@@ -83,6 +83,13 @@ def maybe_initialize_distributed(
         process_id if process_id is not None else _int_env("BIAHUB_TPU_PROCESS_ID")
     )
     if coordinator_address is not None:
+        if num_processes is None or process_id is None:
+            raise RuntimeError(
+                "BIAHUB_TPU_COORDINATOR is set but the process coordinates "
+                "are incomplete: also export BIAHUB_TPU_NUM_PROCESSES and "
+                "BIAHUB_TPU_PROCESS_ID (or unset the coordinator for a "
+                "single-host run)."
+            )
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

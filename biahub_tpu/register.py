@@ -337,26 +337,32 @@ def register_cli(
             f"Volume exceeds the device batch budget; warping in output "
             f"chunks of {chunk}"
         )
+        from biahub_tpu.runtime.executor import stripe_units
+
+        chunk_units = [
+            (src_pos, out_pos, int(t), t_out, int(c_in), int(c_out))
+            for src_pos, out_pos in zip(source_positions, output_positions)
+            for t_out, t in enumerate(time_indices)
+            for c_in, c_out in registered_pairs
+        ]
         n = 0
-        for src_pos, out_pos in zip(source_positions, output_positions):
-            for t_out, t in enumerate(time_indices):
-                for c_in, c_out in registered_pairs:
-                    def read_fn(zs, ys, xs, _t=int(t), _c=int(c_in), _p=src_pos):
-                        return np.asarray(_p.data[_t, _c, zs, ys, xs], np.float32)
+        for src_pos, out_pos, t, t_out, c_in, c_out in stripe_units(chunk_units):
+            def read_fn(zs, ys, xs, _t=t, _c=c_in, _p=src_pos):
+                return np.asarray(_p.data[_t, _c, zs, ys, xs], np.float32)
 
-                    def write_fn(zs, ys, xs, d, _t=t_out, _c=c_out, _p=out_pos):
-                        _p["0"][_t, _c, zs, ys, xs] = d
+            def write_fn(zs, ys, xs, d, _t=t_out, _c=c_out, _p=out_pos):
+                _p["0"][_t, _c, zs, ys, xs] = d
 
-                    chunked_affine_warp_zyx(
-                        read_fn,
-                        warp_matrix,
-                        source_shape_zyx,
-                        tuple(cropped_shape_zyx),
-                        chunk,
-                        write_fn=write_fn,
-                        order=order,
-                    )
-                    n += 1
+            chunked_affine_warp_zyx(
+                read_fn,
+                warp_matrix,
+                source_shape_zyx,
+                tuple(cropped_shape_zyx),
+                chunk,
+                write_fn=write_fn,
+                order=order,
+            )
+            n += 1
     else:
         n = runner.run_zyx(
             kernel,

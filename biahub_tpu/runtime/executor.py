@@ -80,6 +80,27 @@ def _enable_compilation_cache() -> None:
     _CACHE_ENABLED = True
 
 
+def stripe_units(units: Sequence, label: str = "units") -> list:
+    """This process's share of a deterministically-enumerated work list.
+
+    The multi-host ownership rule used by ``BatchRunner.run_units`` —
+    ``units[i::n_proc]`` of the SAME caller-enumerated sequence — exposed
+    for verb-level loops (over-HBM chunked fallbacks) that execute outside
+    the runner but must honor the same contract.
+    """
+    units = list(units)
+    n_proc = jax.process_count()
+    if n_proc <= 1:
+        return units
+    pidx = jax.process_index()
+    share = units[pidx::n_proc]
+    print(
+        f"multi-host: process {pidx + 1}/{n_proc} owns "
+        f"{len(share)}/{len(units)} {label}"
+    )
+    return share
+
+
 def resolve_cluster(cluster: str | None = None, local: bool = False) -> str:
     """Resolve the execution mode. CI forces 'debug'; explicit value wins.
 
@@ -305,21 +326,12 @@ class BatchRunner:
         at the next batch boundary; reference: biahub/cli/monitor.py:91-150).
         The table is also exposed as ``self.jobs`` for programmatic polling.
         """
-        units = list(units)
         # Multi-host striping: each process owns units[i::n_proc] of the SAME
         # caller-enumerated list, so ownership is disjoint and exhaustive
         # without coordination. Striping precedes resume filtering — filtering
         # first would let a process that observes another's fresh progress
         # records compute a different stripe, orphaning units.
-        n_proc = jax.process_count()
-        if n_proc > 1:
-            pidx = jax.process_index()
-            total = len(units)
-            units = units[pidx::n_proc]
-            print(
-                f"multi-host: process {pidx + 1}/{n_proc} owns "
-                f"{len(units)}/{total} units"
-            )
+        units = stripe_units(units)
         all_units = units
         progress: dict[int, ProgressStore] = {}
         if resume:

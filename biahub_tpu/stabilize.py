@@ -220,8 +220,10 @@ def stabilize(
             f"Volume exceeds the device batch budget; stabilizing in output "
             f"chunks of {chunk}"
         )
+        from biahub_tpu.runtime.executor import stripe_units
+
         n = 0
-        for u in units:
+        for u in stripe_units(units):
             in_pos = input_positions[u.pos_idx]
             out_pos = output_positions[u.pos_idx]
             mat = np.asarray(per_position_mats[u.pos_idx][u.t], dtype=np.float64)

@@ -74,9 +74,11 @@ def sliding_window_predict(
     """Sliding z-window inference with linear feather blending.
 
     ``predict_fn`` maps a (C, window_z, Y, X) window to (C_out, z_out, Y, X)
-    with z_out == window_z (2.5D models output the center or full window; the
-    blend is agnostic). Matches the behavior of viscy's
-    ``predict_sliding_windows`` blending.
+    with z_out <= window_z: full-window models blend each window in place,
+    while models that emit fewer slices (``out_stack_depth <
+    in_stack_depth``) have their output centered on the window and clamped
+    to the volume so edge slices stay covered. Matches the behavior of
+    viscy's ``predict_sliding_windows`` blending.
     """
     C, Z, Y, X = czyx.shape
     window_z = min(window_z, Z)
@@ -86,14 +88,19 @@ def sliding_window_predict(
         starts.append(Z - window_z)
 
     probe = predict_fn(czyx[:, starts[0] : starts[0] + window_z])
-    c_out = probe.shape[0]
+    c_out, z_out = probe.shape[:2]
+    if z_out > window_z:
+        raise ValueError(
+            f"model emits {z_out} z slices per {window_z}-deep window; "
+            "out_stack_depth must not exceed the sliding window depth"
+        )
     out = np.zeros((c_out, Z, Y, X), np.float32)
     weight = np.zeros((1, Z, 1, 1), np.float32)
 
-    # Linear feather along z inside each window
-    feather = np.ones(window_z, np.float32)
-    if window_z > 2:
-        ramp = np.linspace(0.1, 1.0, window_z // 2, endpoint=False)
+    # Linear feather along z inside each emitted block
+    feather = np.ones(z_out, np.float32)
+    if z_out > 2:
+        ramp = np.linspace(0.1, 1.0, z_out // 2, endpoint=False)
         feather[: len(ramp)] = ramp
         feather[-len(ramp):] = ramp[::-1]
 
@@ -106,8 +113,16 @@ def sliding_window_predict(
                 pred = predict_fn(rotated)
                 preds.append(np.rot90(pred, -k, axes=(-2, -1)))
         pred = np.mean(preds, axis=0)
-        out[:, start : start + window_z] += pred * feather[None, :, None, None]
-        weight[0, start : start + window_z, 0, 0] += feather
+        if z_out == window_z:
+            place = start
+        elif Z > window_z:
+            # Spread the narrower outputs so the first window covers slice 0
+            # and the last covers slice Z - 1 (no uncovered edge slices).
+            place = round(start * (Z - z_out) / (Z - window_z))
+        else:
+            place = (Z - z_out) // 2
+        out[:, place : place + z_out] += pred * feather[None, :, None, None]
+        weight[0, place : place + z_out, 0, 0] += feather
 
     return out / np.maximum(weight, 1e-6)
 
@@ -145,18 +160,27 @@ def _load_flax_unext2(cfg: dict, model_config: dict):
 
     # The encoder downsamples H and W by stem * 2^3; pad inputs up (edge
     # replicate, matching sliding-window border handling) and crop outputs.
+    # The z depth must be exactly in_stack_depth (the stem folds it into the
+    # channel dim), so shallow windows are edge-padded and cropped back.
     _, kh, kw = model.stem_kernel_size
     div_h, div_w = kh * 8, kw * 8
+    d_in = int(model.in_stack_depth)
 
     def predict_fn(window: np.ndarray) -> np.ndarray:
         c, z, y, x = window.shape
+        pad_z = max(d_in - z, 0)
         pad_y = -y % div_h
         pad_x = -x % div_w
-        padded = np.pad(window, ((0, 0), (0, 0), (0, pad_y), (0, pad_x)), mode="edge")
+        padded = np.pad(
+            window, ((0, 0), (0, pad_z), (0, pad_y), (0, pad_x)), mode="edge"
+        )
         out = np.asarray(apply(variables, jnp.asarray(padded[None]))[0])
+        if out.shape[1] > z:  # padded (or full-depth) output on a shallow stack
+            start = 0 if out.shape[1] == d_in and pad_z else (out.shape[1] - z) // 2
+            out = out[:, start : start + z]
         return out[..., :y, :x]
 
-    return predict_fn, int(model.in_stack_depth), int(model.out_channels)
+    return predict_fn, d_in, int(model.out_channels)
 
 
 def _load_model(cfg: dict):

@@ -121,13 +121,17 @@ def render_frame(
     """
     from PIL import Image, ImageDraw
 
+    import itertools
+
     channels = [np.asarray(c, dtype=np.float32) for c in channels]
     shape = channels[0].shape
     if contrast_limits is None:
         contrast_limits = [suggest_contrast_limits(c) for c in channels]
 
     rgb = np.zeros(shape + (3,), dtype=np.float32)
-    for img, (lo, hi), color in zip(channels, contrast_limits, colors):
+    # Cycle the palette so extra channels reuse colors rather than silently
+    # dropping out of the composite.
+    for img, (lo, hi), color in zip(channels, contrast_limits, itertools.cycle(colors)):
         norm = np.clip((img - lo) / max(hi - lo, 1e-12), 0.0, 1.0)
         rgb += norm[..., None] * (np.asarray(_color_rgb(color), np.float32) / 255.0)
     frame = (np.clip(rgb, 0.0, 1.0) * 255).astype(np.uint8)
@@ -279,13 +283,19 @@ def _write_movie(frames, output_path: Path, fps: int) -> None:
         ],
         stdin=subprocess.PIPE,
         stdout=subprocess.DEVNULL,
-        stderr=subprocess.DEVNULL,
+        stderr=subprocess.PIPE,
     )
-    for frame in frames:
-        proc.stdin.write(np.ascontiguousarray(frame).tobytes())
-    proc.stdin.close()
+    try:
+        for frame in frames:
+            proc.stdin.write(np.ascontiguousarray(frame).tobytes())
+        proc.stdin.close()
+    except BrokenPipeError:
+        pass  # ffmpeg died early; surface its stderr below
+    stderr = proc.stderr.read().decode(errors="replace")
     if proc.wait() != 0:
-        raise RuntimeError("ffmpeg failed writing the movie")
+        raise RuntimeError(
+            f"ffmpeg failed writing {output_path}: ...{stderr[-500:]}"
+        )
 
 
 # ---------------------------------------------------------------------------

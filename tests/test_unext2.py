@@ -91,3 +91,64 @@ def test_lightning_checkpoint_roundtrip(tmp_path):
     variables = load_torch_checkpoint(str(path))
     ref = UNeXt2(**CFG).init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 5, 64, 64)))
     assert _tree_shapes(variables["params"]) == _tree_shapes(ref["params"])
+
+
+def test_sliding_window_with_narrow_output_depth():
+    """out_stack_depth < in_stack_depth: outputs are spread across the
+    volume with every z slice covered (code-review regression)."""
+    from biahub_tpu.virtual_stain import sliding_window_predict
+
+    calls = []
+
+    def predict_fn(window):
+        calls.append(window.shape)
+        assert window.shape[1] == 5
+        return np.ones((2, 3) + window.shape[2:], np.float32)
+
+    czyx = np.random.default_rng(0).random((1, 8, 16, 16)).astype(np.float32)
+    out = sliding_window_predict(predict_fn, czyx, window_z=5, step=1)
+    assert out.shape == (2, 8, 16, 16)
+    # Every slice covered: blended constants stay 1 everywhere
+    np.testing.assert_allclose(out, 1.0, atol=1e-5)
+
+
+def test_flax_loader_handles_shallow_stack(tmp_path):
+    """Volume shallower than in_stack_depth: z edge-pad in, crop out."""
+    from biahub_tpu.virtual_stain import _load_flax_unext2
+
+    cfg_m = dict(CFG)
+    torch.manual_seed(7)
+    twin = TorchUNeXt2(**cfg_m)
+    ckpt = tmp_path / "m.pth"
+    torch.save(twin.state_dict(), ckpt)
+    predict_fn, window_z, n_out = _load_flax_unext2(
+        {"ckpt_path": str(ckpt)}, {k: list(v) if isinstance(v, tuple) else v
+                                   for k, v in cfg_m.items()}
+    )
+    assert (window_z, n_out) == (5, 2)
+    window = np.random.default_rng(1).random((1, 3, 20, 24)).astype(np.float32)
+    out = predict_fn(window)
+    assert out.shape == (2, 3, 20, 24)
+    assert np.isfinite(out).all()
+
+
+def test_flax_loader_narrow_output_depth_end_to_end(tmp_path):
+    """out_stack_depth != in_stack_depth through the full harness
+    (the exact crash from the code review)."""
+    from biahub_tpu.virtual_stain import _load_flax_unext2, sliding_window_predict
+
+    cfg_m = dict(CFG, in_stack_depth=10, out_stack_depth=5)
+    torch.manual_seed(8)
+    twin = TorchUNeXt2(**cfg_m)
+    ckpt = tmp_path / "m.pth"
+    torch.save(twin.state_dict(), ckpt)
+    predict_fn, window_z, _ = _load_flax_unext2(
+        {"ckpt_path": str(ckpt)}, {k: list(v) if isinstance(v, tuple) else v
+                                   for k, v in cfg_m.items()}
+    )
+    assert window_z == 10
+    czyx = np.random.default_rng(2).random((1, 15, 16, 16)).astype(np.float32)
+    out = sliding_window_predict(predict_fn, czyx, window_z, step=2)
+    assert out.shape == (2, 15, 16, 16)
+    assert np.isfinite(out).all()
+    assert (np.abs(out) > 0).any(axis=(0, 2, 3)).all()  # every slice covered

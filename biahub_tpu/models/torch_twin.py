@@ -20,7 +20,7 @@ from __future__ import annotations
 import torch
 from torch import nn
 
-__all__ = ["TorchUNeXt2"]
+__all__ = ["TorchUNeXt2", "TorchUNet25D"]
 
 
 class _ChannelLayerNorm(nn.Module):
@@ -152,3 +152,87 @@ class TorchUNeXt2(nn.Module):
         x = torch.nn.functional.pixel_shuffle(x, kh)
         n, c, hh, ww = x.shape
         return x.reshape(n, cfg["out_channels"], cfg["out_stack_depth"], hh, ww)
+
+
+class _ChannelLayerNorm3d(nn.Module):
+    """LayerNorm over the channel axis of NCDHW tensors."""
+
+    def __init__(self, dim: int):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(dim))
+        self.bias = nn.Parameter(torch.zeros(dim))
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        x = x.permute(0, 2, 3, 4, 1)
+        x = torch.nn.functional.layer_norm(
+            x, (x.shape[-1],), self.weight, self.bias, eps=1e-6
+        )
+        return x.permute(0, 4, 1, 2, 3)
+
+
+class _ConvBlock25D(nn.Module):
+    def __init__(self, in_dim: int, dim: int):
+        super().__init__()
+        self.conv = nn.Conv3d(in_dim, dim, 3, padding=1)
+        self.norm = _ChannelLayerNorm3d(dim)
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        return torch.nn.functional.relu(self.norm(self.conv(x)))
+
+
+class TorchUNet25D(nn.Module):
+    """Torch twin of :class:`biahub_tpu.models.unet25d.UNet25D` (same spec,
+    same parameter names — the converter's ground truth for the 2.5D family).
+    """
+
+    def __init__(
+        self,
+        in_channels: int = 1,
+        out_channels: int = 1,
+        in_stack_depth: int = 5,
+        out_stack_depth: int = 1,
+        num_filters=(24, 48, 96, 192),
+    ):
+        super().__init__()
+        self.cfg = dict(
+            in_channels=in_channels,
+            out_channels=out_channels,
+            in_stack_depth=in_stack_depth,
+            out_stack_depth=out_stack_depth,
+            num_filters=tuple(num_filters),
+        )
+        prev = in_channels
+        for i, nf in enumerate(num_filters[:-1]):
+            self.add_module(f"enc{i}_block0", _ConvBlock25D(prev, nf))
+            self.add_module(f"enc{i}_block1", _ConvBlock25D(nf, nf))
+            prev = nf
+        last = num_filters[-1]
+        self.bottleneck_block0 = _ConvBlock25D(prev, last)
+        self.bottleneck_block1 = _ConvBlock25D(last, last)
+        prev = last
+        for i in reversed(range(len(num_filters) - 1)):
+            nf = num_filters[i]
+            self.add_module(f"dec{i}_block0", _ConvBlock25D(prev + nf, nf))
+            self.add_module(f"dec{i}_block1", _ConvBlock25D(nf, nf))
+            prev = nf
+        kd = in_stack_depth - out_stack_depth + 1
+        self.squeeze = nn.Conv3d(num_filters[0], num_filters[0], (kd, 1, 1))
+        self.head = nn.Conv3d(num_filters[0], out_channels, 1)
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        cfg = self.cfg
+        skips = []
+        for i in range(len(cfg["num_filters"]) - 1):
+            x = getattr(self, f"enc{i}_block0")(x)
+            x = getattr(self, f"enc{i}_block1")(x)
+            skips.append(x)
+            x = torch.nn.functional.max_pool3d(x, (1, 2, 2))
+        x = self.bottleneck_block0(x)
+        x = self.bottleneck_block1(x)
+        for i in reversed(range(len(cfg["num_filters"]) - 1)):
+            x = torch.nn.functional.interpolate(x, scale_factor=(1, 2, 2), mode="nearest")
+            x = torch.cat([x, skips[i]], dim=1)
+            x = getattr(self, f"dec{i}_block0")(x)
+            x = getattr(self, f"dec{i}_block1")(x)
+        x = torch.nn.functional.relu(self.squeeze(x))
+        return self.head(x)

@@ -83,11 +83,7 @@ def sliding_window_predict(
     C, Z, Y, X = czyx.shape
     window_z = min(window_z, Z)
 
-    starts = list(range(0, max(Z - window_z, 0) + 1, step))
-    if starts[-1] != Z - window_z:
-        starts.append(Z - window_z)
-
-    probe = predict_fn(czyx[:, starts[0] : starts[0] + window_z])
+    probe = predict_fn(czyx[:, :window_z])
     c_out, z_out = probe.shape[:2]
     if z_out > window_z:
         raise ValueError(
@@ -104,8 +100,19 @@ def sliding_window_predict(
         feather[: len(ramp)] = ramp
         feather[-len(ramp):] = ramp[::-1]
 
-    for start in starts:
-        window = czyx[:, start : start + window_z]
+    # Iterate over output PLACEMENTS (stride = step in output space) and
+    # derive each input window from its placement: the emitted block sits at
+    # the window center, with the window edge-clamped to the volume — so a
+    # model emitting fewer slices than its window (out_stack_depth <
+    # in_stack_depth) still covers every z slice.
+    offset = (window_z - z_out) // 2
+    places = list(range(0, max(Z - z_out, 0) + 1, step))
+    if places[-1] != Z - z_out:
+        places.append(Z - z_out)
+
+    for place in places:
+        wstart = min(max(place - offset, 0), Z - window_z)
+        window = czyx[:, wstart : wstart + window_z]
         preds = [predict_fn(window)]
         if rotation_tta:
             for k in (1, 2, 3):
@@ -113,14 +120,6 @@ def sliding_window_predict(
                 pred = predict_fn(rotated)
                 preds.append(np.rot90(pred, -k, axes=(-2, -1)))
         pred = np.mean(preds, axis=0)
-        if z_out == window_z:
-            place = start
-        elif Z > window_z:
-            # Spread the narrower outputs so the first window covers slice 0
-            # and the last covers slice Z - 1 (no uncovered edge slices).
-            place = round(start * (Z - z_out) / (Z - window_z))
-        else:
-            place = (Z - z_out) // 2
         out[:, place : place + z_out] += pred * feather[None, :, None, None]
         weight[0, place : place + z_out, 0, 0] += feather
 
@@ -158,13 +157,19 @@ def _load_flax_unext2(cfg: dict, model_config: dict):
     variables = jax.tree.map(jnp.asarray, load_torch_checkpoint(str(ckpt_path)))
     apply = jax.jit(model.apply)
 
-    # The encoder downsamples H and W by stem * 2^3; pad inputs up (edge
-    # replicate, matching sliding-window border handling) and crop outputs.
-    # The z depth must be exactly in_stack_depth (the stem folds it into the
-    # channel dim), so shallow windows are edge-padded and cropped back.
+    # The encoder downsamples H and W by stem * 2^3.
     _, kh, kw = model.stem_kernel_size
-    div_h, div_w = kh * 8, kw * 8
-    d_in = int(model.in_stack_depth)
+    predict_fn = _make_padded_predict(
+        apply, variables, int(model.in_stack_depth), kh * 8, kw * 8
+    )
+    return predict_fn, int(model.in_stack_depth), int(model.out_channels)
+
+
+def _make_padded_predict(apply, variables, d_in: int, div_h: int, div_w: int):
+    """Wrap a jitted flax apply with the shape plumbing every architecture
+    needs: edge-pad H/W up to the encoder's divisibility, edge-pad stacks
+    shallower than the model's exact depth, and crop outputs back."""
+    import jax.numpy as jnp
 
     def predict_fn(window: np.ndarray) -> np.ndarray:
         c, z, y, x = window.shape
@@ -180,7 +185,40 @@ def _load_flax_unext2(cfg: dict, model_config: dict):
             out = out[:, start : start + z]
         return out[..., :y, :x]
 
-    return predict_fn, d_in, int(model.out_channels)
+    return predict_fn
+
+
+_UNET25D_KEYS = (
+    "in_channels",
+    "out_channels",
+    "in_stack_depth",
+    "out_stack_depth",
+    "num_filters",
+)
+
+
+def _load_flax_unet25d(cfg: dict, model_config: dict):
+    """TPU-native inference for the 2.5D UNet family."""
+    import jax
+    import jax.numpy as jnp
+
+    from biahub_tpu.models.convert import load_torch_checkpoint
+    from biahub_tpu.models.unet25d import UNet25D
+
+    kwargs = {k: model_config[k] for k in _UNET25D_KEYS if k in model_config}
+    if "num_filters" in kwargs:
+        kwargs["num_filters"] = tuple(kwargs["num_filters"])
+    model = UNet25D(**kwargs)
+    ckpt_path = cfg.get("ckpt_path")
+    if ckpt_path is None:
+        raise click.ClickException("Config must provide ckpt_path")
+    variables = jax.tree.map(jnp.asarray, load_torch_checkpoint(str(ckpt_path)))
+    apply = jax.jit(model.apply)
+    div = 2 ** (len(model.num_filters) - 1)
+    predict_fn = _make_padded_predict(
+        apply, variables, int(model.in_stack_depth), div, div
+    )
+    return predict_fn, int(model.in_stack_depth), int(model.out_channels)
 
 
 def _load_model(cfg: dict):
@@ -193,6 +231,13 @@ def _load_model(cfg: dict):
         model_config = dict(init_args.get("model_config") or model_config)
     if arch in ("fcmae", "UNeXt2", "unext2"):
         return _load_flax_unext2(cfg, model_config)
+    if arch in ("2.5D", "2.5d", "unet25d", "25D"):
+        return _load_flax_unet25d(cfg, model_config)
+    if arch is not None:
+        raise click.ClickException(
+            f"unknown architecture {arch!r}; TPU-native choices: fcmae/unext2 "
+            "or 2.5D/unet25d"
+        )
 
     ckpt_path = cfg.get("ckpt_path")
     if ckpt_path is None:

@@ -152,3 +152,61 @@ def test_flax_loader_narrow_output_depth_end_to_end(tmp_path):
     assert out.shape == (2, 15, 16, 16)
     assert np.isfinite(out).all()
     assert (np.abs(out) > 0).any(axis=(0, 2, 3)).all()  # every slice covered
+
+
+def test_unet25d_flax_matches_torch_twin():
+    """The 2.5D family: converter + numerical parity, including the depth
+    squeeze to out_stack_depth=1."""
+    from biahub_tpu.models.torch_twin import TorchUNet25D
+    from biahub_tpu.models.unet25d import UNet25D
+
+    cfg = dict(
+        in_channels=1, out_channels=2, in_stack_depth=5,
+        out_stack_depth=1, num_filters=(4, 8, 16),
+    )
+    torch.manual_seed(10)
+    twin = TorchUNet25D(**cfg).eval()
+    variables = jax.tree.map(jnp.asarray, torch_state_dict_to_flax(twin.state_dict()))
+
+    model = UNet25D(**cfg)
+    ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 5, 16, 16)))
+    assert _tree_shapes(variables["params"]) == _tree_shapes(ref["params"])
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 1, 5, 16, 24), dtype=np.float32)
+    with torch.no_grad():
+        want = twin(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply(variables, jnp.asarray(x)))
+    assert got.shape == want.shape == (2, 2, 1, 16, 24)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-5 * scale, rtol=0)
+
+
+def test_unet25d_through_harness(tmp_path):
+    """architecture '2.5D' end-to-end: loader + sliding-window blending of
+    single-slice outputs covers every z slice."""
+    from biahub_tpu.models.torch_twin import TorchUNet25D
+    from biahub_tpu.virtual_stain import _load_model, sliding_window_predict
+
+    cfg = dict(
+        in_channels=1, out_channels=1, in_stack_depth=5,
+        out_stack_depth=1, num_filters=(4, 8),
+    )
+    torch.manual_seed(12)
+    twin = TorchUNet25D(**cfg)
+    ckpt = tmp_path / "m25.pth"
+    torch.save(twin.state_dict(), ckpt)
+    predict_fn, window_z, n_out = _load_model(
+        {
+            "architecture": "2.5D",
+            "model_config": {k: list(v) if isinstance(v, tuple) else v
+                             for k, v in cfg.items()},
+            "ckpt_path": str(ckpt),
+        }
+    )
+    assert (window_z, n_out) == (5, 1)
+    czyx = np.random.default_rng(13).random((1, 9, 12, 20)).astype(np.float32)
+    out = sliding_window_predict(predict_fn, czyx, window_z, step=1)
+    assert out.shape == (1, 9, 12, 20)
+    assert np.isfinite(out).all()
+    assert (np.abs(out) > 0).any(axis=(0, 2, 3)).all()  # every slice covered

@@ -22,6 +22,7 @@ _MODULE_MAP = {
     "core.transform": "biahub_tpu.transforms.transform",
     "core.graph_matching": "biahub_tpu.transforms.graph_matching",
     "registration.ants": "biahub_tpu.registration.intensity",
+    "cli.option_eat_all": "biahub_tpu.cli.parsing",
     "vendor": "biahub_tpu.stitching",
     "vendor.stitch": "biahub_tpu.stitching.tile",
     "vendor.napari_psf_analysis": "biahub_tpu.psf.analysis",

@@ -23,7 +23,13 @@ from biahub_tpu.kernels.peaks import detect_peaks
 from biahub_tpu.psf.analysis import analyze_psf, compute_noise_level, extract_beads
 from biahub_tpu.settings import CharacterizeSettings
 
-__all__ = ["characterize_psf_cli", "detect_peaks", "generate_report"]
+__all__ = [
+    "characterize_psf_cli",
+    "detect_peaks",
+    "generate_report",
+    "calculate_peak_widths",
+    "calculate_robust_peak_widths",
+]
 
 
 def _plot_fwhm_scatter(plots_dir, df_x, df_y, axis_labels):
@@ -297,3 +303,60 @@ def plot_psf_amp(plots_dir, x, y, z, amp, axis_labels=("z", "y", "x")):
     fig.savefig(out, dpi=120)
     plt.close(fig)
     return out
+
+
+def calculate_peak_widths(zyx_data, zyx_scale: tuple) -> tuple:
+    """FWHM of the central-axis profiles via half-max width estimation
+    (reference: biahub/characterize_psf.py:335-348). Returns scaled
+    (z_fwhm, y_fwhm, x_fwhm); 0.0 per axis on failure."""
+    from scipy.signal import peak_widths as _peak_widths
+
+    zyx_data = np.asarray(zyx_data)
+    sz, sy, sx = (s // 2 for s in zyx_data.shape)
+    profiles = (
+        (zyx_data[:, sy, sx], sz, zyx_scale[0]),
+        (zyx_data[sz, :, sx], sy, zyx_scale[1]),
+        (zyx_data[sz, sy, :], sx, zyx_scale[2]),
+    )
+    widths = []
+    for profile, center, scale in profiles:
+        try:
+            widths.append(float(_peak_widths(profile, [center])[0][0]) * scale)
+        except Exception:
+            widths.append(0.0)
+    return tuple(widths)
+
+
+def calculate_robust_peak_widths(zyx_data, zyx_scale: tuple) -> list:
+    """FWHM of the central-axis profiles with sub-sample peak location
+    (parabola through the maximum) and linear interpolation of the half-max
+    crossings on each flank (reference: biahub/characterize_psf.py:295-332).
+    Returns [z_fwhm, y_fwhm, x_fwhm]; 0.0 per axis on failure."""
+    zyx_data = np.asarray(zyx_data, dtype=np.float64)
+    sz, sy, sx = (s // 2 for s in zyx_data.shape)
+    profiles = (
+        (zyx_data[:, sy, sx], zyx_scale[0]),
+        (zyx_data[sz, :, sx], zyx_scale[1]),
+        (zyx_data[sz, sy, :], zyx_scale[2]),
+    )
+    widths = []
+    for profile, scale in profiles:
+        try:
+            n = profile.size
+            peak = int(np.argmax(profile))
+            window = slice(max(0, peak - 2), min(peak + 3, n))
+            a, b, c = np.polyfit(np.arange(n)[window], profile[window], 2)
+            peak_pos = -b / (2 * a)
+            half_max = np.polyval((a, b, c), peak_pos) / 2.0
+
+            x = np.arange(n, dtype=np.float64)
+            left = np.where((x < peak_pos) & (profile >= half_max / 2))[0]
+            right = np.where((x > peak_pos) & (profile >= half_max / 2))[0]
+            x_left = float(np.interp(half_max, profile[left], x[left]))
+            x_right = float(
+                np.interp(half_max, profile[right][::-1], x[right][::-1])
+            )
+            widths.append((x_right - x_left) * scale)
+        except Exception:
+            widths.append(0.0)
+    return widths

@@ -74,3 +74,9 @@ def check_disk_space_cli(input_path: str, output_path: str, margin: float, verbo
         click.echo("Disk space check passed. Good to go!")
     else:
         click.echo("Disk space check failed. Not enough space available.")
+
+
+def get_dir_size_du(path) -> int:
+    """Reference-name alias of :func:`get_size_bytes`
+    (reference: biahub/cli/disk.py:15-38)."""
+    return get_size_bytes(path)

@@ -356,3 +356,45 @@ def num_processes() -> Callable:
         )(f)
 
     return decorator
+
+
+def sbatch_filepath_preprocess() -> Callable:
+    """Resource-override file for a preprocessing stage (reference:
+    biahub/cli/parsing.py:170-181; compatibility — overrides are logged)."""
+
+    def decorator(f: Callable) -> Callable:
+        return click.option(
+            "--sbatch-filepath-preprocess",
+            "-sb-preprocess",
+            default=None,
+            type=click.Path(exists=True, file_okay=True, dir_okay=False),
+            help="Resource override file for the preprocessing stage "
+            "(Slurm-era compatibility; execution is on-device).",
+        )(f)
+
+    return decorator
+
+
+def sbatch_filepath_predict() -> Callable:
+    """Resource-override file for a prediction stage (reference:
+    biahub/cli/parsing.py:184-195; compatibility — overrides are logged)."""
+
+    def decorator(f: Callable) -> Callable:
+        return click.option(
+            "--sbatch-filepath-predict",
+            "-sb-predict",
+            default=None,
+            type=click.Path(exists=True, file_okay=True, dir_okay=False),
+            help="Resource override file for the prediction stage "
+            "(Slurm-era compatibility; execution is on-device).",
+        )(f)
+
+    return decorator
+
+
+def sbatch_to_submitit(filepath) -> dict:
+    """Reference-name alias of the '#SBATCH/#LOCAL' override parser
+    (reference: biahub/cli/parsing.py:198-249)."""
+    from biahub_tpu.runtime.executor import sbatch_to_overrides
+
+    return sbatch_to_overrides(filepath)

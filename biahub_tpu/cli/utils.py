@@ -151,3 +151,13 @@ def resolve_ome_zarr_version(path) -> str:
     from biahub_tpu.io.ngff import get_ome_zarr_version
 
     return get_ome_zarr_version(path)
+
+
+# Reference-name compatibility: the reference hosts the resource helpers in
+# cli/utils (reference: biahub/cli/utils.py:37-76,408-486); here they live in
+# runtime/resources. Re-exported so user scripts resolve unchanged.
+from biahub_tpu.runtime.resources import (  # noqa: E402,F401
+    echo_resources,
+    estimate_resources,
+    settings_fingerprint,
+)

@@ -172,3 +172,10 @@ def deconvolve_cli(
 
 if __name__ == "__main__":
     deconvolve_cli()
+
+
+# Reference-name compatibility (reference: biahub/deconvolve.py:34): the
+# reference's typo spelling of the transfer-function builder.
+from biahub_tpu.kernels.deconvolve import (  # noqa: E402,F401
+    compute_tranfser_function,
+)

@@ -762,3 +762,11 @@ def plot_corr_max_min_sum(corr_stats_df, output_path) -> None:
     Path(output_path).parent.mkdir(parents=True, exist_ok=True)
     fig.savefig(output_path, dpi=120)
     plt.close(fig)
+
+
+# Reference-name compatibility (reference: biahub/estimate_stabilization.py:
+# 128-255): the PCC kernels live in kernels/fft here.
+from biahub_tpu.kernels.fft import (  # noqa: E402,F401
+    phase_cross_corr,
+    phase_cross_corr_padding,
+)

@@ -415,3 +415,22 @@ def _copy_cropped(target_positions, output_positions, pairs, time_indices, slice
 
 if __name__ == "__main__":
     register_cli()
+
+
+def convert_transform_to_ants(T_numpy):
+    """Reference-name shim (reference: biahub/register.py:151-176): there is
+    no ANTs object model in this build — Transform and plain 4x4 arrays are
+    the interchange format (see PARITY.md "Known deltas")."""
+    raise ImportError(
+        "ANTs transform objects are not part of biahub-tpu; pass the 4x4 "
+        "numpy matrix directly (every warp/registration API here accepts it)."
+    )
+
+
+def convert_transform_to_numpy(T_ants):
+    """Reference-name shim (reference: biahub/register.py:179-202); see
+    :func:`convert_transform_to_ants`."""
+    raise ImportError(
+        "ANTs transform objects are not part of biahub-tpu; transforms are "
+        "already plain 4x4 numpy matrices here."
+    )

@@ -293,3 +293,11 @@ from biahub_tpu.register import (  # noqa: E402
 
 # Reference name for the scale/rotation/flip approximate-transform builder
 get_aprox_transform = approx_transform_from_scale
+
+
+# Reference-name compatibility (reference: biahub/registration/utils.py
+# re-exports the register.py converters); shims explain the deliberate delta.
+from biahub_tpu.register import (  # noqa: E402,F401
+    convert_transform_to_ants,
+    convert_transform_to_numpy,
+)

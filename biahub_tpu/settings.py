@@ -699,3 +699,19 @@ class SegmentationSettings(BaseModel):
     models: dict[str, SegmentationModel]
     output_ome_zarr_version: OmeZarrVersion | None = None
     model_config = {"extra": "forbid", "protected_namespaces": ()}
+
+
+def get_valid_eval_args():
+    """Valid keyword names of cellpose's ``CellposeModel.eval``
+    (reference: biahub/settings.py:677-689); requires the optional cellpose
+    package."""
+    try:
+        from cellpose import models  # type: ignore
+
+        code = models.CellposeModel.eval.__code__
+        return code.co_varnames[: code.co_argcount]
+    except ImportError:
+        raise ImportError(
+            "The 'cellpose' package is required to validate 'eval_args' in "
+            "cellpose model configurations."
+        ) from None

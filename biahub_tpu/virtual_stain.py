@@ -412,3 +412,20 @@ def load_predict_config(config_filepath):
     plain YAML schema — see the module docstring)."""
     with open(config_filepath) as f:
         return yaml.safe_load(f)
+
+
+def build_predict_parser():
+    """Reference-name shim (reference: biahub/virtual_stain.py:36-96): the
+    reference builds a jsonargparse parser from VisCy's own classes. This
+    build validates configs against its plain-YAML schema instead (see
+    load_predict_config); the viscy-backed parser needs the optional
+    packages."""
+    try:
+        from cytoland.engine import VSUNet  # type: ignore # noqa: F401
+    except ImportError:
+        raise ImportError(
+            "VisCy/cytoland is not installed; virtual-stain configs here are "
+            "plain YAML (see settings/example_virtual_stain_settings.yml and "
+            "load_predict_config)."
+        ) from None
+    raise ImportError("jsonargparse parser construction requires the viscy extra.")

@@ -329,9 +329,13 @@ def calculate_peak_widths(zyx_data, zyx_scale: tuple) -> tuple:
 
 def calculate_robust_peak_widths(zyx_data, zyx_scale: tuple) -> list:
     """FWHM of the central-axis profiles with sub-sample peak location
-    (parabola through the maximum) and linear interpolation of the half-max
-    crossings on each flank (reference: biahub/characterize_psf.py:295-332).
-    Returns [z_fwhm, y_fwhm, x_fwhm]; 0.0 per axis on failure."""
+    (parabola through the maximum) and interp1d half-max crossings on each
+    flank — algorithmically identical to the reference
+    (reference: biahub/characterize_psf.py:295-332): 4-point fit window and
+    extrapolating value->position interpolation on the quarter-max-filtered
+    flanks. Returns [z_fwhm, y_fwhm, x_fwhm]; 0.0 per axis on failure."""
+    from scipy.interpolate import interp1d
+
     zyx_data = np.asarray(zyx_data, dtype=np.float64)
     sz, sy, sx = (s // 2 for s in zyx_data.shape)
     profiles = (
@@ -343,20 +347,26 @@ def calculate_robust_peak_widths(zyx_data, zyx_scale: tuple) -> list:
     for profile, scale in profiles:
         try:
             n = profile.size
-            peak = int(np.argmax(profile))
-            window = slice(max(0, peak - 2), min(peak + 3, n))
-            a, b, c = np.polyfit(np.arange(n)[window], profile[window], 2)
-            peak_pos = -b / (2 * a)
-            half_max = np.polyval((a, b, c), peak_pos) / 2.0
-
             x = np.arange(n, dtype=np.float64)
-            left = np.where((x < peak_pos) & (profile >= half_max / 2))[0]
-            right = np.where((x > peak_pos) & (profile >= half_max / 2))[0]
-            x_left = float(np.interp(half_max, profile[left], x[left]))
-            x_right = float(
-                np.interp(half_max, profile[right][::-1], x[right][::-1])
+            peak = int(np.argmax(profile))
+            window = slice(max(0, peak - 2), min(peak + 2, n))
+            p = np.polyfit(x[window], profile[window], 2)
+            peak_pos = -p[1] / (2 * p[0])
+            half_max = np.polyval(p, peak_pos) / 2.0
+
+            x_scaled = x * scale
+            indices = np.where(profile >= half_max / 2)[0]
+            left = indices[indices < peak_pos]
+            right = indices[indices > peak_pos]
+            f_left = interp1d(
+                profile[left], x_scaled[left], kind="linear",
+                fill_value="extrapolate",
             )
-            widths.append((x_right - x_left) * scale)
+            f_right = interp1d(
+                profile[right], x_scaled[right], kind="linear",
+                fill_value="extrapolate",
+            )
+            widths.append(float(f_right(half_max)) - float(f_left(half_max)))
         except Exception:
             widths.append(0.0)
     return widths

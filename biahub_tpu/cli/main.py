@@ -171,6 +171,7 @@ class LazyGroup(click.Group):
 
     def invoke(self, ctx):
         self._load()
+        _init_distributed_for_run()
         return self._real_group.invoke(ctx)
 
     def get_help(self, ctx):

@@ -225,31 +225,39 @@ def deskew(
         )
         needs_fill = settings.keep_overhang and settings.overhang_fill != 0
         token = settings_fingerprint(settings)
+        # Multi-host: the over-HBM fallback honors the same per-(pos, t, c)
+        # ownership contract as the executor (see runtime.executor).
+        from biahub_tpu.runtime.executor import stripe_units
+
+        slab_units = [
+            (p_idx, t, c)
+            for p_idx, in_pos in enumerate(input_positions)
+            for t in range(in_pos.data.shape[0])
+            for c in range(in_pos.data.shape[1])
+        ]
+        progress_stores: dict[int, ProgressStore] = {}
         n = 0
-        for in_pos, out_pos in zip(input_positions, output_positions):
-            progress = ProgressStore(out_pos.path, token) if resume else None
-            T, C = in_pos.data.shape[:2]
-            for t in range(T):
-                for c in range(C):
-                    if progress is not None and progress.is_done(t, c):
-                        n += 1
-                        continue
-                    for x0 in range(0, X, x_chunk):
-                        x1 = min(x0 + x_chunk, X)
-                        slab = np.asarray(
-                            in_pos.data[t, c, :, :, x0:x1], dtype=np.float32
-                        )
-                        out_slab = np.asarray(slab_kernel(slab))
-                        # Input X is flipped into output Y (bit-exact split;
-                        # see tests/test_cli/test_deskew_cli.py)
-                        out_pos["0"][t, c, :, X - x1 : X - x0, :] = out_slab
-                    if needs_fill:
-                        _fill_overhang_chunked(
-                            out_pos, t, c, settings.overhang_fill, x_chunk
-                        )
-                    if progress is not None:
-                        progress.mark_done(t, c)
-                    n += 1
+        for p_idx, t, c in stripe_units(slab_units):
+            in_pos = input_positions[p_idx]
+            out_pos = output_positions[p_idx]
+            if resume and p_idx not in progress_stores:
+                progress_stores[p_idx] = ProgressStore(out_pos.path, token)
+            progress = progress_stores.get(p_idx)
+            if progress is not None and progress.is_done(t, c):
+                n += 1
+                continue
+            for x0 in range(0, X, x_chunk):
+                x1 = min(x0 + x_chunk, X)
+                slab = np.asarray(in_pos.data[t, c, :, :, x0:x1], dtype=np.float32)
+                out_slab = np.asarray(slab_kernel(slab))
+                # Input X is flipped into output Y (bit-exact split;
+                # see tests/test_cli/test_deskew_cli.py)
+                out_pos["0"][t, c, :, X - x1 : X - x0, :] = out_slab
+            if needs_fill:
+                _fill_overhang_chunked(out_pos, t, c, settings.overhang_fill, x_chunk)
+            if progress is not None:
+                progress.mark_done(t, c)
+            n += 1
         click.echo(f"Deskewed {n} (t, c) volumes across {len(input_positions)} positions")
         for path in input_position_dirpaths:
             click.echo(f"Deskew complete: {path}")

@@ -193,16 +193,24 @@ def deskew_zyx(
     if jax.default_backend() == "tpu":
         # Fused Pallas path: one-hot MXU matmuls with the z slice-averaging
         # folded into the kernel's accumulator, so the unaveraged volume
-        # never touches HBM (see kernels/pallas_deskew.py).
+        # never touches HBM (see kernels/pallas_deskew.py). The fused input
+        # block is average_window x larger; when the double-buffered working
+        # set would blow VMEM, fall back to the unaveraged kernel plus the
+        # post-hoc averaging round trip.
         from biahub_tpu.kernels.pallas_deskew import deskew_zyx_pallas
 
+        in_block = average_window * Z_in * X_in * 4
+        out_block = Y_out * X_out * 4
+        fused_ok = 2 * (in_block + out_block) < 64 * 1024 * 1024
         result = deskew_zyx_pallas(
             raw_data,
             ls_angle_deg,
             px_to_scan_ratio,
             keep_overhang,
-            average_window=average_window,
+            average_window=average_window if fused_ok else 1,
         )
+        if not fused_ok:
+            result = average_n_slices(result, average_window)
         if keep_overhang and overhang_fill != 0:
             fill_value = None if overhang_fill == "mean" else float(overhang_fill)
             result = fill_overhang(result, fill_value=fill_value)

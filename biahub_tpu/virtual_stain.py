@@ -106,6 +106,14 @@ def sliding_window_predict(
     # model emitting fewer slices than its window (out_stack_depth <
     # in_stack_depth) still covers every z slice.
     offset = (window_z - z_out) // 2
+    if z_out < window_z and step > z_out:
+        # A stride wider than the emitted block would leave unpredicted
+        # all-zero slices between placements.
+        click.echo(
+            f"sliding_window_step {step} > model z output {z_out}; "
+            f"clamping to {z_out} for gapless coverage"
+        )
+        step = z_out
     places = list(range(0, max(Z - z_out, 0) + 1, step))
     if places[-1] != Z - z_out:
         places.append(Z - z_out)

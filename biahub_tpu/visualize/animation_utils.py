@@ -285,14 +285,25 @@ def _write_movie(frames, output_path: Path, fps: int) -> None:
         stdout=subprocess.DEVNULL,
         stderr=subprocess.PIPE,
     )
+    # Drain stderr concurrently: ffmpeg's progress chatter can fill the pipe
+    # buffer and deadlock the frame-feed loop otherwise.
+    import threading
+
+    stderr_chunks: list[bytes] = []
+    drainer = threading.Thread(
+        target=lambda: stderr_chunks.append(proc.stderr.read()), daemon=True
+    )
+    drainer.start()
     try:
         for frame in frames:
             proc.stdin.write(np.ascontiguousarray(frame).tobytes())
         proc.stdin.close()
     except BrokenPipeError:
         pass  # ffmpeg died early; surface its stderr below
-    stderr = proc.stderr.read().decode(errors="replace")
-    if proc.wait() != 0:
+    rc = proc.wait()
+    drainer.join(timeout=10)
+    if rc != 0:
+        stderr = b"".join(stderr_chunks).decode(errors="replace")
         raise RuntimeError(
             f"ffmpeg failed writing {output_path}: ...{stderr[-500:]}"
         )

@@ -20,7 +20,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_runtime(tmp_path):
+def _run_workers(tmp_path, attempt: int):
     worker = Path(__file__).parent / "multihost_worker.py"
     repo_root = Path(__file__).parents[1]
     port = _free_port()
@@ -28,9 +28,11 @@ def test_two_process_distributed_runtime(tmp_path):
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["CI"] = "true"
     env["PYTHONPATH"] = f"{repo_root}{os.pathsep}{env.get('PYTHONPATH', '')}"
+    workdir = tmp_path / f"attempt{attempt}"
+    workdir.mkdir()
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(i), "2", str(port), str(tmp_path)],
+            [sys.executable, str(worker), str(i), "2", str(port), str(workdir)],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -38,10 +40,17 @@ def test_two_process_distributed_runtime(tmp_path):
         )
         for i in range(2)
     ]
-    outputs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=300)
-        outputs.append(out)
+    outputs = [p.communicate(timeout=300)[0] for p in procs]
+    return procs, outputs
+
+
+def test_two_process_distributed_runtime(tmp_path):
+    # One retry on a fresh port: coordinator/Gloo port binding can race
+    # other test processes on busy machines.
+    for attempt in range(2):
+        procs, outputs = _run_workers(tmp_path, attempt)
+        if all(p.returncode == 0 for p in procs) or attempt == 1:
+            break
     for i, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert f"MULTIHOST-OK {i}" in out

@@ -303,3 +303,34 @@ def test_plate_scale_ragged_positions(tmp_path):
     for arr, out_pos in zip(data, out_positions):
         np.testing.assert_allclose(out_pos.data[...], arr * 3.0 + 1.0, rtol=1e-6)
     assert all(job.state == "COMPLETED" for job in runner.jobs.values())
+
+
+def test_summarize_device_trace(tmp_path, capsys):
+    """The trace-viewer parser reads profiler output without TensorBoard."""
+    import gzip
+    import json
+
+    from biahub_tpu.runtime.profiling import summarize_device_trace
+
+    trace = {
+        "traceEvents": [
+            {"ph": "M", "name": "process_name", "pid": 1,
+             "args": {"name": "/device:TPU:0"}},
+            {"ph": "M", "name": "process_name", "pid": 2,
+             "args": {"name": "/host:CPU"}},
+            {"ph": "X", "pid": 1, "name": "fusion.1", "dur": 2000, "ts": 0},
+            {"ph": "X", "pid": 1, "name": "fusion.1", "dur": 1000, "ts": 5},
+            {"ph": "X", "pid": 1, "name": "copy.2", "dur": 500, "ts": 9},
+            {"ph": "X", "pid": 2, "name": "host_thing", "dur": 9999, "ts": 0},
+        ]
+    }
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump(trace, f)
+
+    rows = summarize_device_trace(str(tmp_path))
+    assert rows[0] == ("fusion.1", 3.0, 2)
+    assert rows[1] == ("copy.2", 0.5, 1)
+    assert all(name != "host_thing" for name, _, _ in rows)
+    assert "fusion.1" in capsys.readouterr().err

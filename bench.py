@@ -211,8 +211,9 @@ def main() -> None:
     shape = (args.z, args.y, args.x)
     rng = np.random.default_rng(0)
     vol = rng.random((args.batch,) + shape, dtype=np.float32)
+    r = min(4, (min(shape) - 1) // 2)  # PSF must fit the (possibly tiny) FOV
     psf = np.exp(
-        -np.sum(np.square(np.mgrid[-4:5, -4:5, -4:5] / 1.5), axis=0)
+        -np.sum(np.square(np.mgrid[-r : r + 1, -r : r + 1, -r : r + 1] / 1.5), axis=0)
     ).astype(np.float32)
     tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
 

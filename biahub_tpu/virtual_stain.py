@@ -163,7 +163,7 @@ def _load_flax_unext2(cfg: dict, model_config: dict):
     if ckpt_path is None:
         raise click.ClickException("Config must provide ckpt_path")
     variables = jax.tree.map(jnp.asarray, load_torch_checkpoint(str(ckpt_path)))
-    apply = jax.jit(model.apply)
+    apply = _jit_model_apply(model)
 
     # The encoder downsamples H and W by stem * 2^3.
     _, kh, kw = model.stem_kernel_size
@@ -171,6 +171,25 @@ def _load_flax_unext2(cfg: dict, model_config: dict):
         apply, variables, int(model.in_stack_depth), kh * 8, kw * 8
     )
     return predict_fn, int(model.in_stack_depth), int(model.out_channels)
+
+
+def _jit_model_apply(model):
+    """Jitted apply honoring BIAHUB_TPU_MODEL_PRECISION: ``default`` keeps
+    the TPU's bf16-rounded matmuls/convs (~1% output deviation vs torch f32,
+    fastest), ``highest`` forces full f32 accumulation (CPU-parity outputs
+    at ~6x the MXU cost)."""
+    import os
+
+    import jax
+
+    mode = os.environ.get("BIAHUB_TPU_MODEL_PRECISION", "default").lower()
+    precision = "float32" if mode == "highest" else "bfloat16"
+
+    def apply(variables, x):
+        with jax.default_matmul_precision(precision):
+            return model.apply(variables, x)
+
+    return jax.jit(apply)
 
 
 def _make_padded_predict(apply, variables, d_in: int, div_h: int, div_w: int):
@@ -221,7 +240,7 @@ def _load_flax_unet25d(cfg: dict, model_config: dict):
     if ckpt_path is None:
         raise click.ClickException("Config must provide ckpt_path")
     variables = jax.tree.map(jnp.asarray, load_torch_checkpoint(str(ckpt_path)))
-    apply = jax.jit(model.apply)
+    apply = _jit_model_apply(model)
     div = 2 ** (len(model.num_filters) - 1)
     predict_fn = _make_padded_predict(
         apply, variables, int(model.in_stack_depth), div, div

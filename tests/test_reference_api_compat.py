@@ -57,3 +57,37 @@ def test_reference_module_names_resolve(module, names):
     mod = importlib.import_module(module)
     missing = [name for name in names if not hasattr(mod, name)]
     assert not missing, f"{module} missing reference names: {missing}"
+
+
+def test_compat_shim_behaviors(tmp_path):
+    """The re-exported/aliased helpers behave, not just resolve."""
+    from biahub.cli.disk import get_dir_size_du
+    from biahub.cli.parsing import sbatch_to_submitit
+    from biahub.cli.utils import estimate_resources, settings_fingerprint
+    from biahub.settings import DeskewSettings
+
+    (tmp_path / "data.bin").write_bytes(b"x" * 4096)
+    assert get_dir_size_du(tmp_path) >= 4096
+
+    sbatch = tmp_path / "params.sbatch"
+    sbatch.write_text("#SBATCH --mem-per-cpu=16G\n#LOCAL --timeout-min=5\n")
+    overrides = sbatch_to_submitit(sbatch)
+    assert overrides == {"slurm_mem_per_cpu": "16G", "timeout_min": 5}
+
+    time_minutes, cpus, ram = estimate_resources((2, 1, 8, 16, 24))
+    assert time_minutes >= 30 and cpus >= 1 and ram >= 4
+
+    settings = DeskewSettings(
+        pixel_size_um=0.116, ls_angle_deg=36.0, px_to_scan_ratio=0.38
+    )
+    token = settings_fingerprint(settings)
+    assert len(token) == 16 and token == settings_fingerprint(settings)
+
+
+def test_ants_shims_raise_informatively():
+    import pytest as _pytest
+
+    from biahub.register import convert_transform_to_ants
+
+    with _pytest.raises(ImportError, match="4x4"):
+        convert_transform_to_ants(None)

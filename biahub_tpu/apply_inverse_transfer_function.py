@@ -91,12 +91,18 @@ def _make_recon_kernel(settings: ReconstructionSettings, tfs: dict[str, np.ndarr
                 i_norm,
                 phase_tf,
                 settings.phase.apply_inverse.regularization_strength,
+                # The WOTF is the FFT of a real defocus kernel, so the TPU
+                # path may run on the rfft half-spectrum (Pallas engine).
+                assume_hermitian=True,
             )
             outputs.append(phase[None])
         if settings.fluorescence is not None:
             reg = settings.fluorescence.apply_inverse.regularization_strength
             decon = jnp.stack(
-                [tikhonov_inverse_3d(czyx[c], fluor_tf, reg) for c in range(czyx.shape[0])]
+                [
+                    tikhonov_inverse_3d(czyx[c], fluor_tf, reg, assume_hermitian=True)
+                    for c in range(czyx.shape[0])
+                ]
             )
             outputs.append(decon)
         return jnp.concatenate(outputs, axis=0)

@@ -38,7 +38,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["deconvolve_zyx_pallas", "deconvolve_pallas_supported"]
+__all__ = [
+    "deconvolve_zyx_pallas",
+    "deconvolve_pallas_supported",
+    "fourier_filter_zyx_pallas",
+]
 
 _VMEM_BUDGET_BYTES = 96 * 1024 * 1024
 
@@ -171,6 +175,44 @@ def _z_filter_kernel(
         oi_ref[:, j, :] = _dot(izr, hi, prec) + _dot(izi, hr, prec)
 
 
+def _z_complex_filter_kernel(
+    gr_ref,
+    gi_ref,
+    fr_ref,
+    fi_ref,
+    wzr_ref,
+    wzi_ref,
+    izr_ref,
+    izi_ref,
+    or_ref,
+    oi_ref,
+    *,
+    yb,
+    prec,
+):
+    """DFT_z -> complex (Hermitian) filter multiply -> iDFT_z per y-slab.
+
+    Same fusion as :func:`_z_filter_kernel`, with the precomputed filter
+    arriving as split (re, im) arrays — serves the phase-reconstruction
+    inverse filter (recon/optics.py::tikhonov_inverse_3d).
+    """
+    wzr = wzr_ref[:]
+    wzi = wzi_ref[:]
+    izr = izr_ref[:]
+    izi = izi_ref[:]
+    for j in range(yb):
+        gr = gr_ref[:, j, :]  # (Z, Xh)
+        gi = gi_ref[:, j, :]
+        hr = _dot(wzr, gr, prec) - _dot(wzi, gi, prec)
+        hi = _dot(wzr, gi, prec) + _dot(wzi, gr, prec)
+        fr = fr_ref[:, j, :]
+        fi = fi_ref[:, j, :]
+        pr = hr * fr - hi * fi
+        pi = hr * fi + hi * fr
+        or_ref[:, j, :] = _dot(izr, pr, prec) - _dot(izi, pi, prec)
+        oi_ref[:, j, :] = _dot(izr, pi, prec) + _dot(izi, pr, prec)
+
+
 def _inv_yx_kernel(hr_ref, hi_ref, iyr_ref, iyi_ref, ar_ref, ai_ref, out_ref, *, prec):
     """Inverse DFT along Y then irfft along X of one (Y, Xh) slice."""
     hr = hr_ref[0]
@@ -212,20 +254,16 @@ def deconvolve_pallas_supported(shape: tuple[int, int, int]) -> bool:
     # Pass A working set: slice + rfft/DFT matrices + two spectrum slices,
     # doubled for Mosaic's pipeline buffering.
     pass_a = (y * x + 2 * x * xh + 2 * y * y + 6 * y * xh) * f32 * 2
-    # Pass B: three input slabs + two output slabs + four (Z, Z) matrices
-    # + per-column temporaries.
-    pass_b = (5 * z * yb * xh + 4 * z * z + 6 * z * xh) * f32 * 2
+    # Pass B: up to four input slabs (complex filters) + two output slabs +
+    # four (Z, Z) matrices + per-column temporaries.
+    pass_b = (6 * z * yb * xh + 4 * z * z + 6 * z * xh) * f32 * 2
     pass_c = (6 * y * xh + 2 * y * y + 2 * x * xh + y * x) * f32 * 2
     return max(pass_a, pass_b, pass_c) < _VMEM_BUDGET_BYTES
 
 
-def deconvolve_zyx_pallas(
-    zyx_data: jax.Array,
-    transfer_function_half: jax.Array,
-    regularization_strength: float = 1e-3,
-) -> jax.Array:
-    """Fused Tikhonov inverse filter; bit-parity with the XLA rfftn path to
-    ~1e-5 relative (dense f32 DFT vs split-radix FFT rounding)."""
+def _run_fourier_pipeline(zyx_data: jax.Array, z_filter_kernel, filter_arrays):
+    """Shared 3-pass driver: forward YX, a caller-supplied fused Z-DFT +
+    filter + iDFT-Z kernel over y-slabs, inverse YX."""
     z, y, x = zyx_data.shape
     xh = x // 2 + 1
     prec = _precision()
@@ -239,7 +277,6 @@ def deconvolve_zyx_pallas(
     ax, bx = (jnp.asarray(m) for m in _irfft_mats(x))
 
     v = zyx_data.astype(jnp.float32)
-    tf = transfer_function_half.astype(jnp.float32)
 
     def full(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -266,7 +303,7 @@ def deconvolve_zyx_pallas(
 
     yb = _y_slab(y)
     spec_yslab = pl.BlockSpec((z, yb, xh), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    # Five (Z, yb, Xh) slabs double-buffered blow the 16 MB default scoped
+    # Several (Z, yb, Xh) slabs double-buffered blow the 16 MB default scoped
     # VMEM budget at flagship shapes; the kernel is MXU-bound, so trading
     # pipeline headroom for big slabs is the right side of the bargain.
     pass_b_params = (
@@ -279,19 +316,11 @@ def deconvolve_zyx_pallas(
         }
     )
     hr, hi = pl.pallas_call(
-        partial(
-            _z_filter_kernel, yb=yb, reg=float(regularization_strength), prec=prec
-        ),
+        partial(z_filter_kernel, yb=yb, prec=prec),
         grid=(y // yb,),
-        in_specs=[
-            spec_yslab,
-            spec_yslab,
-            spec_yslab,
-            full((z, z)),
-            full((z, z)),
-            full((z, z)),
-            full((z, z)),
-        ],
+        in_specs=[spec_yslab, spec_yslab]
+        + [spec_yslab] * len(filter_arrays)
+        + [full((z, z))] * 4,
         out_specs=(spec_yslab, spec_yslab),
         out_shape=(
             jax.ShapeDtypeStruct((z, y, xh), jnp.float32),
@@ -301,7 +330,7 @@ def deconvolve_zyx_pallas(
         input_output_aliases={0: 0, 1: 1},
         interpret=interpret,
         **pass_b_params,
-    )(gr, gi, tf, wzr, wzi, izr, izi)
+    )(gr, gi, *filter_arrays, wzr, wzi, izr, izi)
 
     out = pl.pallas_call(
         partial(_inv_yx_kernel, prec=prec),
@@ -319,3 +348,42 @@ def deconvolve_zyx_pallas(
         interpret=interpret,
     )(hr, hi, iyr, iyi, ax, bx)
     return out
+
+
+def deconvolve_zyx_pallas(
+    zyx_data: jax.Array,
+    transfer_function_half: jax.Array,
+    regularization_strength: float = 1e-3,
+) -> jax.Array:
+    """Fused Tikhonov inverse filter; bit-parity with the XLA rfftn path to
+    ~1e-5 relative (dense f32 DFT vs split-radix FFT rounding)."""
+    tf = transfer_function_half.astype(jnp.float32)
+    return _run_fourier_pipeline(
+        zyx_data,
+        partial(_z_filter_kernel, reg=float(regularization_strength)),
+        (tf,),
+    )
+
+
+def fourier_filter_zyx_pallas(
+    zyx_data: jax.Array,
+    filter_half_real: jax.Array,
+    filter_half_imag: jax.Array,
+) -> jax.Array:
+    """Apply a HERMITIAN complex frequency filter to a real volume:
+    ``real(ifftn(fftn(v) * F))`` on the rfft half-spectrum.
+
+    The phase-reconstruction inverse filter ``conj(H)/(|H|^2 + reg)`` is
+    Hermitian because the WOTF H is the FFT of a real defocus kernel
+    (recon/optics.py::phase_wotf_3d), so the half spectrum carries the whole
+    operation. The filter halves arrive as split (re, im) f32 arrays sliced
+    to ``[..., : X // 2 + 1]``.
+    """
+    return _run_fourier_pipeline(
+        zyx_data,
+        _z_complex_filter_kernel,
+        (
+            filter_half_real.astype(jnp.float32),
+            filter_half_imag.astype(jnp.float32),
+        ),
+    )

@@ -168,14 +168,37 @@ def phase_wotf_3d(
     return H / n_z
 
 
-@partial(jax.jit, static_argnames=("regularization_strength",))
+@partial(jax.jit, static_argnames=("regularization_strength", "assume_hermitian"))
 def tikhonov_inverse_3d(
     zyx_data: jax.Array,
     transfer_function: jax.Array,
     regularization_strength: float = 1e-3,
+    assume_hermitian: bool = False,
 ) -> jax.Array:
-    """f = Re{IFFT3( FFT3(data) conj(H) / (|H|^2 + reg) )}."""
-    data_hat = jnp.fft.fftn(zyx_data.astype(jnp.float32))
+    """f = Re{IFFT3( FFT3(data) conj(H) / (|H|^2 + reg) )}.
+
+    With ``assume_hermitian=True`` (valid for the WOTFs built here — H is
+    the FFT of a real defocus kernel) the TPU path runs the fused Pallas
+    matmul-DFT pipeline on the rfft half-spectrum; otherwise (or on CPU /
+    ineligible shapes) XLA's complex FFTs handle the general case.
+    """
+    zyx_data = zyx_data.astype(jnp.float32)
+    if assume_hermitian:
+        from biahub_tpu.kernels.pallas_fft import (
+            deconvolve_pallas_supported,
+            fourier_filter_zyx_pallas,
+        )
+
+        if deconvolve_pallas_supported(zyx_data.shape):
+            xh = zyx_data.shape[-1] // 2 + 1
+            H_half = transfer_function[..., :xh]
+            filt = jnp.conj(H_half) / (
+                jnp.abs(H_half) ** 2 + regularization_strength
+            )
+            return fourier_filter_zyx_pallas(
+                zyx_data, jnp.real(filt), jnp.imag(filt)
+            )
+    data_hat = jnp.fft.fftn(zyx_data)
     H = transfer_function
     filt = jnp.conj(H) / (jnp.abs(H) ** 2 + regularization_strength)
     return jnp.real(jnp.fft.ifftn(data_hat * filt))

@@ -113,3 +113,47 @@ def test_supported_gates_degenerate_and_oversized_shapes(monkeypatch):
     assert not deconvolve_pallas_supported((256, 256, 8192))  # DFT mats > VMEM
     monkeypatch.setenv("BIAHUB_TPU_NO_PALLAS", "1")
     assert not deconvolve_pallas_supported((16, 16, 16))
+
+
+def test_complex_hermitian_filter_matches_xla(monkeypatch):
+    """fourier_filter_zyx_pallas == real(ifftn(fftn(v) * F)) for Hermitian F
+    (the phase-reconstruction inverse filter shape)."""
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    from biahub_tpu.kernels.pallas_fft import fourier_filter_zyx_pallas
+
+    shape = (8, 16, 24)
+    rng = np.random.default_rng(21)
+    vol = rng.standard_normal(shape, dtype=np.float32)
+    # Hermitian complex filter: FFT of a real kernel, Tikhonov-inverted
+    H = np.fft.fftn(rng.standard_normal(shape).astype(np.float32))
+    filt = np.conj(H) / (np.abs(H) ** 2 + 1e-2)
+
+    want = np.real(np.fft.ifftn(np.fft.fftn(vol) * filt)).astype(np.float32)
+    xh = shape[-1] // 2 + 1
+    got = np.asarray(
+        fourier_filter_zyx_pallas(
+            jnp.asarray(vol),
+            jnp.asarray(np.real(filt[..., :xh]).astype(np.float32)),
+            jnp.asarray(np.imag(filt[..., :xh]).astype(np.float32)),
+        )
+    )
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-4 * scale, rtol=0)
+
+
+def test_tikhonov_inverse_hermitian_dispatch(monkeypatch):
+    """tikhonov_inverse_3d(assume_hermitian=True) agrees with the general
+    XLA path for an in-repo-style Hermitian transfer function."""
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    from biahub_tpu.recon.optics import tikhonov_inverse_3d
+
+    shape = (8, 16, 24)
+    rng = np.random.default_rng(22)
+    vol = rng.standard_normal(shape, dtype=np.float32)
+    H = jnp.asarray(np.fft.fftn(rng.standard_normal(shape).astype(np.float32)))
+    general = np.asarray(tikhonov_inverse_3d(jnp.asarray(vol), H, 1e-2))
+    fused = np.asarray(
+        tikhonov_inverse_3d(jnp.asarray(vol), H, 1e-2, assume_hermitian=True)
+    )
+    scale = np.abs(general).max()
+    np.testing.assert_allclose(fused, general, atol=2e-4 * scale, rtol=0)

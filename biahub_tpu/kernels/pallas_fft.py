@@ -127,15 +127,18 @@ def _dot(a, b, prec):
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=precision)
 
 
-def _fwd_yx_kernel(v_ref, cx_ref, sx_ref, wyr_ref, wyi_ref, gr_ref, gi_ref, *, prec):
-    """rfft along X then DFT along Y of one (Y, X) z-slice, all in VMEM."""
-    v = v_ref[0]  # (Y, X)
-    xr = _dot(v, cx_ref[:], prec)  # (Y, Xh)
-    xi = _dot(v, sx_ref[:], prec)
+def _fwd_yx_kernel(
+    v_ref, cx_ref, sx_ref, wyr_ref, wyi_ref, gr_ref, gi_ref, *, prec, zb
+):
+    """rfft along X then DFT along Y of ``zb`` (Y, X) z-slices, all in VMEM."""
     wyr = wyr_ref[:]
     wyi = wyi_ref[:]
-    gr_ref[0] = _dot(wyr, xr, prec) - _dot(wyi, xi, prec)
-    gi_ref[0] = _dot(wyr, xi, prec) + _dot(wyi, xr, prec)
+    for j in range(zb):
+        v = v_ref[j]  # (Y, X)
+        xr = _dot(v, cx_ref[:], prec)  # (Y, Xh)
+        xi = _dot(v, sx_ref[:], prec)
+        gr_ref[j] = _dot(wyr, xr, prec) - _dot(wyi, xi, prec)
+        gi_ref[j] = _dot(wyr, xi, prec) + _dot(wyi, xr, prec)
 
 
 def _z_filter_kernel(
@@ -213,15 +216,18 @@ def _z_complex_filter_kernel(
         oi_ref[:, j, :] = _dot(izr, pi, prec) + _dot(izi, pr, prec)
 
 
-def _inv_yx_kernel(hr_ref, hi_ref, iyr_ref, iyi_ref, ar_ref, ai_ref, out_ref, *, prec):
-    """Inverse DFT along Y then irfft along X of one (Y, Xh) slice."""
-    hr = hr_ref[0]
-    hi = hi_ref[0]
+def _inv_yx_kernel(
+    hr_ref, hi_ref, iyr_ref, iyi_ref, ar_ref, ai_ref, out_ref, *, prec, zb
+):
+    """Inverse DFT along Y then irfft along X of ``zb`` (Y, Xh) slices."""
     iyr = iyr_ref[:]
     iyi = iyi_ref[:]
-    rr = _dot(iyr, hr, prec) - _dot(iyi, hi, prec)
-    ri = _dot(iyr, hi, prec) + _dot(iyi, hr, prec)
-    out_ref[0] = _dot(rr, ar_ref[:], prec) + _dot(ri, ai_ref[:], prec)
+    for j in range(zb):
+        hr = hr_ref[j]
+        hi = hi_ref[j]
+        rr = _dot(iyr, hr, prec) - _dot(iyi, hi, prec)
+        ri = _dot(iyr, hi, prec) + _dot(iyi, hr, prec)
+        out_ref[j] = _dot(rr, ar_ref[:], prec) + _dot(ri, ai_ref[:], prec)
 
 
 # ---------------------------------------------------------------------------
@@ -251,9 +257,9 @@ def deconvolve_pallas_supported(shape: tuple[int, int, int]) -> bool:
     xh = x // 2 + 1
     yb = _y_slab(y)
     f32 = 4
-    # Pass A working set: slice + rfft/DFT matrices + two spectrum slices,
-    # doubled for Mosaic's pipeline buffering.
-    pass_a = (y * x + 2 * x * xh + 2 * y * y + 6 * y * xh) * f32 * 2
+    # Pass A working set: 2-slice block + rfft/DFT matrices + spectrum
+    # slices, doubled for Mosaic's pipeline buffering.
+    pass_a = (2 * y * x + 2 * x * xh + 2 * y * y + 12 * y * xh) * f32 * 2
     # Pass B: up to four input slabs (complex filters) + two output slabs +
     # four (Z, Z) matrices + per-column temporaries.
     pass_b = (6 * z * yb * xh + 4 * z * z + 6 * z * xh) * f32 * 2
@@ -281,13 +287,16 @@ def _run_fourier_pipeline(zyx_data: jax.Array, z_filter_kernel, filter_arrays):
     def full(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
-    spec_zslice = pl.BlockSpec((1, y, xh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    # Two z-slices per program amortize per-program grid/DMA overhead in the
+    # YX passes without the compile-time blowup of deeper unrolls.
+    zb = 2 if z % 2 == 0 else 1
+    spec_zslice = pl.BlockSpec((zb, y, xh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     gr, gi = pl.pallas_call(
-        partial(_fwd_yx_kernel, prec=prec),
-        grid=(z,),
+        partial(_fwd_yx_kernel, prec=prec, zb=zb),
+        grid=(z // zb,),
         in_specs=[
-            pl.BlockSpec((1, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((zb, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             full((x, xh)),
             full((x, xh)),
             full((y, y)),
@@ -333,8 +342,8 @@ def _run_fourier_pipeline(zyx_data: jax.Array, z_filter_kernel, filter_arrays):
     )(gr, gi, *filter_arrays, wzr, wzi, izr, izi)
 
     out = pl.pallas_call(
-        partial(_inv_yx_kernel, prec=prec),
-        grid=(z,),
+        partial(_inv_yx_kernel, prec=prec, zb=zb),
+        grid=(z // zb,),
         in_specs=[
             spec_zslice,
             spec_zslice,
@@ -343,7 +352,7 @@ def _run_fourier_pipeline(zyx_data: jax.Array, z_filter_kernel, filter_arrays):
             full((xh, x)),
             full((xh, x)),
         ],
-        out_specs=pl.BlockSpec((1, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((zb, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((z, y, x), jnp.float32),
         interpret=interpret,
     )(hr, hi, iyr, iyi, ax, bx)

@@ -291,6 +291,19 @@ def _run_fourier_pipeline(zyx_data: jax.Array, z_filter_kernel, filter_arrays):
     # YX passes without the compile-time blowup of deeper unrolls.
     zb = 2 if z % 2 == 0 else 1
     spec_zslice = pl.BlockSpec((zb, y, xh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    # Working sets exceed the 16 MB default scoped-VMEM budget at flagship
+    # shapes (pass B's slabs; passes A/C's 2-slice blocks under vmap); the
+    # kernels are MXU-bound, so trading pipeline headroom for big blocks is
+    # the right side of the bargain.
+    vmem_params = (
+        {}
+        if interpret
+        else {
+            "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_BUDGET_BYTES
+            )
+        }
+    )
 
     gr, gi = pl.pallas_call(
         partial(_fwd_yx_kernel, prec=prec, zb=zb),
@@ -308,22 +321,11 @@ def _run_fourier_pipeline(zyx_data: jax.Array, z_filter_kernel, filter_arrays):
             jax.ShapeDtypeStruct((z, y, xh), jnp.float32),
         ),
         interpret=interpret,
+        **vmem_params,
     )(v, cx, sx, wyr, wyi)
 
     yb = _y_slab(y)
     spec_yslab = pl.BlockSpec((z, yb, xh), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    # Several (Z, yb, Xh) slabs double-buffered blow the 16 MB default scoped
-    # VMEM budget at flagship shapes; the kernel is MXU-bound, so trading
-    # pipeline headroom for big slabs is the right side of the bargain.
-    pass_b_params = (
-        {}
-        if interpret
-        else {
-            "compiler_params": pltpu.CompilerParams(
-                vmem_limit_bytes=_VMEM_BUDGET_BYTES
-            )
-        }
-    )
     hr, hi = pl.pallas_call(
         partial(z_filter_kernel, yb=yb, prec=prec),
         grid=(y // yb,),
@@ -338,7 +340,7 @@ def _run_fourier_pipeline(zyx_data: jax.Array, z_filter_kernel, filter_arrays):
         # The forward spectrum is dead after this pass — reuse its buffers.
         input_output_aliases={0: 0, 1: 1},
         interpret=interpret,
-        **pass_b_params,
+        **vmem_params,
     )(gr, gi, *filter_arrays, wzr, wzi, izr, izi)
 
     out = pl.pallas_call(
@@ -355,6 +357,7 @@ def _run_fourier_pipeline(zyx_data: jax.Array, z_filter_kernel, filter_arrays):
         out_specs=pl.BlockSpec((zb, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((z, y, x), jnp.float32),
         interpret=interpret,
+        **vmem_params,
     )(hr, hi, iyr, iyi, ax, bx)
     return out
 

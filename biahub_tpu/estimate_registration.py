@@ -4,10 +4,20 @@ Three estimation methods mirroring the reference (reference:
 biahub/estimate_registration.py:361-603): "beads" (bead matching,
 :mod:`biahub_tpu.registration.beads`), "ants" (intensity optimization, here
 the JAX multi-resolution optimizer in
-:mod:`biahub_tpu.registration.intensity`), and "manual" (interactive napari
-click-pair selection — GUI-only in the reference; here the non-GUI math is
-exposed as :func:`registration_from_point_pairs` and the CLI raises a clear
-error when invoked headless without pre-picked points).
+:mod:`biahub_tpu.registration.intensity`), and "manual" (the reference's
+user-assisted napari flow, biahub/estimate_registration.py:60-358),
+reachable two ways — like estimate-deskew:
+
+- headless with point files (``--source-points``/``--target-points`` CSVs
+  or .npy exported from any viewer; source points picked on the
+  pre-aligned overlay, exactly the frame the napari flow records),
+- interactively (:func:`user_assisted_registration`) when napari is
+  installed: focus-slice jump, pre-rotation/flip/scale compound overlay,
+  alternating click-pair collection, live registered preview.
+
+The fit math (:func:`manual_transform_from_picked_points`) is shared by
+both: 3D similarity, or the reference's Euclidean variant — 2D YX rigid fit
+plus a z translation taken from the first point pair.
 """
 
 from __future__ import annotations
@@ -45,7 +55,95 @@ __all__ = [
     "estimate_registration",
     "estimate_registration_cli",
     "registration_from_point_pairs",
+    "manual_compound_affine",
+    "manual_transform_from_picked_points",
+    "user_assisted_registration",
 ]
+
+# Focus-finding constants of the reference's manual flow
+# (reference: biahub/estimate_registration.py:42-46).
+NA_DETECTION_SOURCE = 1.35
+NA_DETECTION_TARGET = 1.35
+WAVELENGTH_EMISSION_SOURCE_CHANNEL = 0.45  # um
+WAVELENGTH_EMISSION_TARGET_CHANNEL = 0.6  # um
+FOCUS_SLICE_ROI_WIDTH = 150
+
+COLOR_CYCLE = [
+    "white",
+    "cyan",
+    "lime",
+    "orchid",
+    "blue",
+    "orange",
+    "yellow",
+    "magenta",
+]
+
+
+def manual_compound_affine(
+    source_shape_zyx: tuple[int, int, int],
+    target_shape_zyx: tuple[int, int, int],
+    source_voxel_size,
+    target_voxel_size,
+    pre_affine_90degree_rotation: int = 0,
+    pre_affine_fliplr: bool = False,
+) -> np.ndarray:
+    """Pre-alignment compound affine of the manual flow: voxel-size rescale ∘
+    optional 90° in-plane rotation ∘ optional left-right flip (flip first)
+    (reference: biahub/estimate_registration.py:159-192).
+    """
+    sz = float(source_voxel_size[-3]) / float(target_voxel_size[-3])
+    syx = float(source_voxel_size[-1]) / float(target_voxel_size[-1])
+    scaling_affine = get_3D_rescaling_matrix(
+        target_shape_zyx, (sz, syx, syx), target_shape_zyx
+    )
+    rotate90_affine = get_3D_rotation_matrix(
+        source_shape_zyx, 90.0 * pre_affine_90degree_rotation, target_shape_zyx
+    )
+    fliplr_affine = (
+        get_3D_fliplr_matrix(source_shape_zyx, target_shape_zyx)
+        if pre_affine_fliplr
+        else np.eye(4)
+    )
+    return scaling_affine @ rotate90_affine @ fliplr_affine
+
+
+def manual_transform_from_picked_points(
+    source_points: np.ndarray,
+    target_points: np.ndarray,
+    compound_affine: np.ndarray,
+    similarity: bool = False,
+) -> np.ndarray:
+    """Output→input registration matrix from clicked point pairs.
+
+    ``source_points`` are in the PRE-ALIGNED display frame (picked on the
+    compound-affine overlay, as the napari flow records them). Similarity
+    fits all three axes; Euclidean mirrors the reference exactly — a 2D YX
+    rigid fit plus a z translation from the FIRST point pair
+    (reference: biahub/estimate_registration.py:306-333).
+    """
+    src = np.asarray(source_points, dtype=np.float64)
+    dst = np.asarray(target_points, dtype=np.float64)
+    if src.shape != dst.shape or src.ndim != 2 or src.shape[1] != 3:
+        raise ValueError(
+            f"point arrays must both be (N, 3) ZYX; got {src.shape} vs {dst.shape}"
+        )
+    if len(src) < 3:
+        raise ValueError("need at least three point pairs")
+    if similarity:
+        fit = fit_transform(src, dst, "similarity")
+    else:
+        yx = fit_transform(src[:, 1:], dst[:, 1:], "euclidean")  # (3, 3)
+        z_translation = dst[0, 0] - src[0, 0]
+        fit = np.vstack(
+            [
+                np.array([[1.0, 0.0, 0.0, z_translation]]),
+                np.insert(yx, 0, 0.0, axis=1),
+            ]
+        )
+    # fit @ compound maps source→target points; the warp matrix
+    # (output→input, scipy convention) is its inverse.
+    return np.linalg.inv(fit @ np.asarray(compound_affine, dtype=np.float64))
 
 
 def registration_from_point_pairs(
@@ -58,36 +156,40 @@ def registration_from_point_pairs(
     similarity: bool = False,
     pre_affine_90degree_rotation: int = 0,
     pre_affine_fliplr: bool = False,
+    source_points_frame: str = "pre_aligned",
 ) -> np.ndarray:
-    """The non-GUI core of manual registration: fit a transform from clicked
-    point pairs composed with the scale/rotation/flip pre-alignment
-    (reference: biahub/estimate_registration.py:60-358).
-    """
-    # Pre-alignment: voxel-size rescale + optional 90-degree rotation + flip
-    scale = np.asarray(source_voxel_size, dtype=float) / np.asarray(
-        target_voxel_size, dtype=float
-    )
-    compound = get_3D_rescaling_matrix(source_shape_zyx, scale, target_shape_zyx)
-    if pre_affine_90degree_rotation:
-        compound = (
-            get_3D_rotation_matrix(
-                target_shape_zyx, 90.0 * pre_affine_90degree_rotation
-            )
-            @ compound
-        )
-    if pre_affine_fliplr:
-        compound = get_3D_fliplr_matrix(target_shape_zyx) @ compound
+    """Manual registration from point pairs, headless.
 
-    # Fit from the (pre-aligned) source points to the target points
-    source_points = np.asarray(source_points, dtype=np.float64)
-    target_points = np.asarray(target_points, dtype=np.float64)
-    hom = np.hstack([source_points, np.ones((len(source_points), 1))])
-    pre_aligned = (compound @ hom.T).T[:, :3]
-    fit = fit_transform(
-        pre_aligned, target_points, "similarity" if similarity else "euclidean"
+    ``source_points_frame``: ``"pre_aligned"`` (default) means the source
+    points were picked on the compound-affine overlay — the frame the napari
+    flow records (reference parity); ``"original"`` means they were picked on
+    the raw source volume (e.g. in Fiji) and are pre-aligned here first.
+    """
+    compound = manual_compound_affine(
+        source_shape_zyx,
+        target_shape_zyx,
+        source_voxel_size,
+        target_voxel_size,
+        pre_affine_90degree_rotation,
+        pre_affine_fliplr,
     )
-    # Points map source→target; the warp matrix (output→input) is its inverse
-    return np.linalg.inv(fit @ compound)
+    src = np.asarray(source_points, dtype=np.float64)
+    if source_points_frame == "original":
+        hom = np.hstack([src, np.ones((len(src), 1))])
+        src = (compound @ hom.T).T[:, :3]
+    elif source_points_frame != "pre_aligned":
+        raise ValueError(f"unknown source_points_frame {source_points_frame!r}")
+    return manual_transform_from_picked_points(
+        src, target_points, compound, similarity
+    )
+
+
+def _load_points(path: str | Path) -> np.ndarray:
+    """Load an (N, 3) ZYX points array from a .npy or headerless CSV/TSV."""
+    path = Path(path)
+    if path.suffix == ".npy":
+        return np.load(path)
+    return np.loadtxt(path, delimiter="," if path.suffix == ".csv" else None)
 
 
 def estimate_registration(
@@ -99,6 +201,8 @@ def estimate_registration(
     registration_source_channel: list[str],
     sbatch_filepath: str | None = None,
     local: bool = False,
+    source_points: str | Path | None = None,
+    target_points: str | Path | None = None,
 ):
     output_dir = Path(output_filepath).parent
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -164,13 +268,47 @@ def estimate_registration(
             output_folder_path=output_dir,
         )
     elif settings.estimation_method == "manual":
-        raise click.ClickException(
-            "Manual (user-assisted) registration needs an interactive napari "
-            "session to pick matching points, which is unavailable here. Use "
-            "estimation_method 'beads' or 'ants', or call "
-            "biahub_tpu.estimate_registration.registration_from_point_pairs "
-            "with externally picked point pairs."
-        )
+        manual = settings.manual_registration_settings
+        t_idx = manual.time_index if manual else 0
+        similarity = settings.affine_transform_settings.transform_type == "similarity"
+        rot90 = manual.affine_90degree_rotation if manual else 0
+        fliplr = manual.affine_fliplr if manual else False
+        if source_points is not None or target_points is not None:
+            if source_points is None or target_points is None:
+                raise click.ClickException(
+                    "--source-points and --target-points must be given together"
+                )
+            tform = registration_from_point_pairs(
+                source_points=_load_points(source_points),
+                target_points=_load_points(target_points),
+                source_shape_zyx=source_data.shape[-3:],
+                target_shape_zyx=target_data.shape[-3:],
+                source_voxel_size=source_voxel_size,
+                target_voxel_size=target_voxel_size,
+                similarity=similarity,
+                pre_affine_90degree_rotation=rot90,
+                pre_affine_fliplr=fliplr,
+            )
+            transforms = [tform.tolist()]
+        else:
+            try:
+                transforms = user_assisted_registration(
+                    source_channel_volume=np.asarray(
+                        source_data[t_idx, source_channel_index]
+                    ),
+                    source_channel_name=source_channel_name,
+                    source_channel_voxel_size=source_voxel_size,
+                    target_channel_volume=np.asarray(
+                        target_data[t_idx, target_channel_index]
+                    ),
+                    target_channel_name=target_channel_name,
+                    target_channel_voxel_size=target_voxel_size,
+                    similarity=similarity,
+                    pre_affine_90degree_rotation=rot90,
+                    pre_affine_fliplr=fliplr,
+                )
+            except RuntimeError as exc:
+                raise click.ClickException(str(exc)) from None
     else:
         raise ValueError(
             f"Unknown estimation method: {settings.estimation_method}. "
@@ -242,6 +380,20 @@ def estimate_registration(
     "config file will be used.",
     required=False,
 )
+@click.option(
+    "--source-points",
+    type=click.Path(exists=True),
+    default=None,
+    help="Manual method, headless: (N, 3) ZYX source point file (.csv/.npy) "
+    "picked on the pre-aligned overlay (the frame the napari flow records).",
+)
+@click.option(
+    "--target-points",
+    type=click.Path(exists=True),
+    default=None,
+    help="Manual method, headless: (N, 3) ZYX target point file (.csv/.npy) "
+    "matching --source-points pair for pair.",
+)
 def estimate_registration_cli(
     source_position_dirpaths: list[Path],
     target_position_dirpaths: list[Path],
@@ -251,13 +403,17 @@ def estimate_registration_cli(
     registration_source_channel: list[str],
     sbatch_filepath: str | None = None,
     local: bool = False,
+    source_points: str | None = None,
+    target_points: str | None = None,
 ):
     """Estimate the affine transformation between a source and target image for registration.
 
     Estimates registration transforms between a source (moving) and target (fixed)
-    image using (1) bead matches across timepoints, or (2) image features via
-    multi-resolution intensity optimization. The output is a configuration file
-    consumed by `stabilize` and `register`.
+    image using (1) bead matches across timepoints, (2) image features via
+    multi-resolution intensity optimization, or (3) manual point pairs — clicked
+    interactively in napari, or supplied headless via --source-points/
+    --target-points files. The output is a configuration file consumed by
+    `stabilize` and `register`.
 
     >>> biahub estimate-registration \\
         -s ./acq_name_labelfree_reconstructed.zarr/0/0/0 \\
@@ -276,6 +432,8 @@ def estimate_registration_cli(
         registration_source_channel=registration_source_channel,
         sbatch_filepath=sbatch_filepath,
         local=local,
+        source_points=source_points,
+        target_points=target_points,
     )
 
 
@@ -283,16 +441,176 @@ if __name__ == "__main__":
     estimate_registration_cli()
 
 
-def user_assisted_registration(*args, **kwargs):
-    """Reference-name stub (reference: biahub/estimate_registration.py:60-358).
+def _find_focus_slice(
+    volume: np.ndarray, na_det: float, wavelength: float, pixel_size: float
+) -> int:
+    """In-focus z index over the central ROI, falling back to the mid-slice
+    when the metric lands on an edge (reference:
+    biahub/estimate_registration.py:113-157)."""
+    from biahub_tpu.kernels.focus import focus_from_transverse_band
 
-    Manual registration needs an interactive napari session to click matching
-    point pairs, which is unavailable headless. Pick the pairs externally and
-    call :func:`registration_from_point_pairs` instead, or use the 'beads' /
-    'ants' estimation methods.
-    """
-    raise RuntimeError(
-        "user_assisted_registration requires an interactive napari session; "
-        "use registration_from_point_pairs with externally picked points, or "
-        "the 'beads'/'ants' estimation methods."
+    z, y, x = volume.shape[-3:]
+    roi = volume[
+        :,
+        max(y // 2 - FOCUS_SLICE_ROI_WIDTH, 0) : y // 2 + FOCUS_SLICE_ROI_WIDTH,
+        max(x // 2 - FOCUS_SLICE_ROI_WIDTH, 0) : x // 2 + FOCUS_SLICE_ROI_WIDTH,
+    ]
+    idx = focus_from_transverse_band(
+        roi, NA_det=na_det, lambda_ill=wavelength, pixel_size=pixel_size
     )
+    if idx in (0, z - 1):
+        idx = z // 2
+        click.echo(f"Could not determine best focus slice, using {idx}")
+    else:
+        click.echo(f"Best focus slice: {idx}")
+    return idx
+
+
+def user_assisted_registration(
+    source_channel_volume: np.ndarray,
+    source_channel_name: str,
+    source_channel_voxel_size,
+    target_channel_volume: np.ndarray,
+    target_channel_name: str,
+    target_channel_voxel_size,
+    similarity: bool = False,
+    pre_affine_90degree_rotation: int = 0,
+    pre_affine_fliplr: bool = False,
+) -> list:
+    """Interactive manual registration in napari (reference:
+    biahub/estimate_registration.py:60-358).
+
+    Shows the target volume and the compound-pre-aligned source volume, jumps
+    each point layer to its in-focus slice, collects alternating click pairs,
+    fits the transform, and previews the registered source before returning
+    ``[matrix.tolist()]``. Headless (no napari) this raises with a pointer to
+    the ``--source-points``/``--target-points`` file path.
+    """
+    try:
+        import napari  # type: ignore
+    except ImportError:
+        raise RuntimeError(
+            "user_assisted_registration requires an interactive napari "
+            "session; headless, export point pairs and pass --source-points/"
+            "--target-points (or call registration_from_point_pairs), or use "
+            "the 'beads'/'ants' estimation methods."
+        ) from None
+
+    from biahub_tpu.registration.utils import apply_affine_transform
+
+    source = np.asarray(source_channel_volume, dtype=np.float32)
+    target = np.asarray(target_channel_volume, dtype=np.float32)
+    click.echo("Finding source channel focus slice...")
+    source_focus_idx = _find_focus_slice(
+        source,
+        NA_DETECTION_SOURCE,
+        WAVELENGTH_EMISSION_SOURCE_CHANNEL,
+        source_channel_voxel_size[-1],
+    )
+    click.echo("Finding target channel focus slice...")
+    target_focus_idx = _find_focus_slice(
+        target,
+        NA_DETECTION_TARGET,
+        WAVELENGTH_EMISSION_TARGET_CHANNEL,
+        target_channel_voxel_size[-1],
+    )
+    scaling_factor_z = source_channel_voxel_size[-3] / target_channel_voxel_size[-3]
+
+    compound = manual_compound_affine(
+        source.shape,
+        target.shape,
+        source_channel_voxel_size,
+        target_channel_voxel_size,
+        pre_affine_90degree_rotation,
+        pre_affine_fliplr,
+    )
+    # Display overlay: warp the source into the target frame (output→input
+    # matrix = the compound's inverse).
+    source_pre_reg = apply_affine_transform(
+        source, np.linalg.inv(compound), target.shape
+    )
+
+    viewer = napari.Viewer()
+    viewer.add_image(target, name=f"target_{target_channel_name}")
+    points_target = viewer.add_points(
+        ndim=3,
+        name=f"pts_target_{target_channel_name}",
+        size=20,
+        face_color=COLOR_CYCLE[0],
+    )
+    source_layer = viewer.add_image(
+        source_pre_reg,
+        name=f"source_{source_channel_name}",
+        blending="additive",
+        colormap="green",
+    )
+    points_source = viewer.add_points(
+        ndim=3,
+        name=f"pts_source_{source_channel_name}",
+        size=20,
+        face_color=COLOR_CYCLE[0],
+    )
+    viewer.layers.selection.active = points_source
+    points_source.mode = "add"
+    points_target.mode = "add"
+
+    def next_on_click(layer, event):
+        """Alternate between the two point layers after each click, jumping
+        the z slider to the partner layer's last point (or its focus slice)
+        and cycling the pair color."""
+        if layer.mode != "add":
+            return
+        other = points_target if layer is points_source else points_source
+        if len(other.data) < 1:
+            focus = (
+                target_focus_idx
+                if other is points_target
+                else source_focus_idx * scaling_factor_z
+            )
+            next_step = (focus, 0, 0)
+        else:
+            next_step = (other.data[-1][0], 0, 0)
+        layer.add(layer.world_to_data(viewer.cursor.position))
+        shift = 0 if layer is points_source else 1
+        current = COLOR_CYCLE.index(layer.current_face_color)
+        other.current_face_color = COLOR_CYCLE[
+            (current + shift) % len(COLOR_CYCLE)
+        ]
+        other.mode = "add"
+        layer.selected_data = {}
+        viewer.layers.selection.active = other
+        viewer.dims.current_step = next_step
+
+    viewer.dims.current_step = (source_focus_idx * scaling_factor_z, 0, 0)
+    points_source.mouse_drag_callbacks.append(next_on_click)
+    points_target.mouse_drag_callbacks.append(next_on_click)
+
+    input(
+        "Add at least three points in the two channels by sequentially "
+        "clicking on a feature in the source channel and its corresponding "
+        "feature in target channel. Select grid mode if you prefer "
+        "side-by-side view. Press <enter> when done..."
+    )
+
+    tform = manual_transform_from_picked_points(
+        np.asarray(points_source.data),
+        np.asarray(points_target.data),
+        compound,
+        similarity=similarity,
+    )
+
+    click.echo("\nShowing registered source image in magenta")
+    registered = apply_affine_transform(source, tform, target.shape)
+    viewer.add_image(
+        registered,
+        name=f"registered_{source_channel_name}",
+        colormap="magenta",
+        blending="additive",
+    )
+    viewer.layers.remove(points_source)
+    viewer.layers.remove(points_target)
+    source_layer.visible = False
+    click.echo(f"Estimated affine transformation matrix:\n{tform}\n")
+    input("Press <Enter> to close the viewer and exit...")
+    viewer.close()
+    return [tform.tolist()]

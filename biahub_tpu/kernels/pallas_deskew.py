@@ -151,6 +151,19 @@ def deskew_zyx_pallas(
 
     # Mosaic compiles on TPU only; CPU (tests, debug mode) runs the interpreter.
     interpret = jax.default_backend() != "tpu"
+    # The caller's fused-averaging gate admits double-buffered working sets up
+    # to 64 MiB — past the ~16 MB default scoped-VMEM budget — so raise the
+    # limit explicitly (mirrors kernels/pallas_fft.py; without this, large
+    # average_window blocks would fail Mosaic compilation instead of running).
+    vmem_params = (
+        {}
+        if interpret
+        else {
+            "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024
+            )
+        }
+    )
     return pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -172,4 +185,5 @@ def deskew_zyx_pallas(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((groups, Y_out, X_out), jnp.float32),
+        **vmem_params,
     )(data)

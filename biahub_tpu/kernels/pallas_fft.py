@@ -152,30 +152,27 @@ def _z_filter_kernel(
     or_ref,
     oi_ref,
     *,
-    yb,
     reg,
     prec,
 ):
-    """DFT_z -> Tikhonov filter -> iDFT_z for a (Z, yb, Xh) spectrum slab.
+    """DFT_z -> Tikhonov filter -> iDFT_z for a flat (Z, yb*Xp) spectrum slab.
 
     The fully transformed spectrum lives only in VMEM between the two Z-DFT
-    stages — this fusion is the whole point of the kernel.
+    stages — this fusion is the whole point of the kernel. The y-slab arrives
+    with y folded into the lane axis (Xh padded to a 128 multiple so the fold
+    is a free bitcast), so the whole slab is one MXU matmul per DFT term with
+    no per-column sublane extraction — that relayout cost ~2x on pass B.
     """
-    wzr = wzr_ref[:]
-    wzi = wzi_ref[:]
-    izr = izr_ref[:]
-    izi = izi_ref[:]
-    for j in range(yb):
-        gr = gr_ref[:, j, :]  # (Z, Xh)
-        gi = gi_ref[:, j, :]
-        hr = _dot(wzr, gr, prec) - _dot(wzi, gi, prec)
-        hi = _dot(wzr, gi, prec) + _dot(wzi, gr, prec)
-        tf = tf_ref[:, j, :]
-        filt = tf / (tf * tf + reg)
-        hr = hr * filt
-        hi = hi * filt
-        or_ref[:, j, :] = _dot(izr, hr, prec) - _dot(izi, hi, prec)
-        oi_ref[:, j, :] = _dot(izr, hi, prec) + _dot(izi, hr, prec)
+    gr = gr_ref[:]  # (Z, yb*Xp)
+    gi = gi_ref[:]
+    hr = _dot(wzr_ref[:], gr, prec) - _dot(wzi_ref[:], gi, prec)
+    hi = _dot(wzr_ref[:], gi, prec) + _dot(wzi_ref[:], gr, prec)
+    tf = tf_ref[:]
+    filt = tf / (tf * tf + reg)
+    hr = hr * filt
+    hi = hi * filt
+    or_ref[:] = _dot(izr_ref[:], hr, prec) - _dot(izi_ref[:], hi, prec)
+    oi_ref[:] = _dot(izr_ref[:], hi, prec) + _dot(izi_ref[:], hr, prec)
 
 
 def _z_complex_filter_kernel(
@@ -190,30 +187,24 @@ def _z_complex_filter_kernel(
     or_ref,
     oi_ref,
     *,
-    yb,
     prec,
 ):
-    """DFT_z -> complex (Hermitian) filter multiply -> iDFT_z per y-slab.
+    """DFT_z -> complex (Hermitian) filter multiply -> iDFT_z per flat y-slab.
 
-    Same fusion as :func:`_z_filter_kernel`, with the precomputed filter
-    arriving as split (re, im) arrays — serves the phase-reconstruction
-    inverse filter (recon/optics.py::tikhonov_inverse_3d).
+    Same fusion (and lane-folded layout) as :func:`_z_filter_kernel`, with the
+    precomputed filter arriving as split (re, im) arrays — serves the
+    phase-reconstruction inverse filter (recon/optics.py::tikhonov_inverse_3d).
     """
-    wzr = wzr_ref[:]
-    wzi = wzi_ref[:]
-    izr = izr_ref[:]
-    izi = izi_ref[:]
-    for j in range(yb):
-        gr = gr_ref[:, j, :]  # (Z, Xh)
-        gi = gi_ref[:, j, :]
-        hr = _dot(wzr, gr, prec) - _dot(wzi, gi, prec)
-        hi = _dot(wzr, gi, prec) + _dot(wzi, gr, prec)
-        fr = fr_ref[:, j, :]
-        fi = fi_ref[:, j, :]
-        pr = hr * fr - hi * fi
-        pi = hr * fi + hi * fr
-        or_ref[:, j, :] = _dot(izr, pr, prec) - _dot(izi, pi, prec)
-        oi_ref[:, j, :] = _dot(izr, pi, prec) + _dot(izi, pr, prec)
+    gr = gr_ref[:]  # (Z, yb*Xp)
+    gi = gi_ref[:]
+    hr = _dot(wzr_ref[:], gr, prec) - _dot(wzi_ref[:], gi, prec)
+    hi = _dot(wzr_ref[:], gi, prec) + _dot(wzi_ref[:], gr, prec)
+    fr = fr_ref[:]
+    fi = fi_ref[:]
+    pr = hr * fr - hi * fi
+    pi = hr * fi + hi * fr
+    or_ref[:] = _dot(izr_ref[:], pr, prec) - _dot(izi_ref[:], pi, prec)
+    oi_ref[:] = _dot(izr_ref[:], pi, prec) + _dot(izi_ref[:], pr, prec)
 
 
 def _inv_yx_kernel(
@@ -239,6 +230,12 @@ def _y_slab(y: int) -> int:
     return 8 if y % 8 == 0 else y
 
 
+def _pad_lanes(n: int) -> int:
+    """Round the half-spectrum width up to a lane-tile (128) multiple so the
+    (Z, yb, Xp) -> (Z, yb*Xp) y-into-lanes fold in pass B is layout-free."""
+    return -(-n // 128) * 128
+
+
 def deconvolve_pallas_supported(shape: tuple[int, int, int]) -> bool:
     """True when the fused kernel should handle this volume shape."""
     if os.environ.get("BIAHUB_TPU_NO_PALLAS") == "1":
@@ -254,15 +251,16 @@ def deconvolve_pallas_supported(shape: tuple[int, int, int]) -> bool:
         # per-column loop explodes Mosaic compile time at scale (CLAUDE.md:
         # unrolled split-dot bodies took a 50 s compile to 20 min).
         return False
-    xh = x // 2 + 1
+    xh = _pad_lanes(x // 2 + 1)
     yb = _y_slab(y)
     f32 = 4
     # Pass A working set: 2-slice block + rfft/DFT matrices + spectrum
     # slices, doubled for Mosaic's pipeline buffering.
     pass_a = (2 * y * x + 2 * x * xh + 2 * y * y + 12 * y * xh) * f32 * 2
-    # Pass B: up to four input slabs (complex filters) + two output slabs +
-    # four (Z, Z) matrices + per-column temporaries.
-    pass_b = (6 * z * yb * xh + 4 * z * z + 6 * z * xh) * f32 * 2
+    # Pass B: up to four input slabs (complex filters) + two output slabs,
+    # double-buffered by Mosaic's pipeline, plus four (Z, Z) matrices and
+    # whole-slab temporaries (hr/hi + bf16 split halves; single-buffered).
+    pass_b = (6 * 2 * z * yb * xh + 4 * z * yb * xh + 4 * z * z) * f32
     pass_c = (6 * y * xh + 2 * y * y + 2 * x * xh + y * x) * f32 * 2
     return max(pass_a, pass_b, pass_c) < _VMEM_BUDGET_BYTES
 
@@ -272,15 +270,25 @@ def _run_fourier_pipeline(zyx_data: jax.Array, z_filter_kernel, filter_arrays):
     filter + iDFT-Z kernel over y-slabs, inverse YX."""
     z, y, x = zyx_data.shape
     xh = x // 2 + 1
+    xp = _pad_lanes(xh)
     prec = _precision()
     interpret = jax.default_backend() != "tpu"
 
-    cx, sx = (jnp.asarray(m) for m in _rfft_mats(x))
+    def padx(m: np.ndarray, axis: int) -> jnp.ndarray:
+        """Zero-pad a DFT matrix's half-spectrum axis to ``xp`` so spectra are
+        born lane-aligned; pad bins stay exactly 0 through every pass (the
+        filters are zero-padded too) and the zero rows added to the irfft
+        matrices make pass C ignore them."""
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (0, xp - xh)
+        return jnp.asarray(np.pad(m, pad))
+
+    cx, sx = (padx(m, 1) for m in _rfft_mats(x))
     wyr, wyi = (jnp.asarray(m) for m in _dft_mats(y))
     wzr, wzi = (jnp.asarray(m) for m in _dft_mats(z))
     izr, izi = (jnp.asarray(m) for m in _idft_mats(z))
     iyr, iyi = (jnp.asarray(m) for m in _idft_mats(y))
-    ax, bx = (jnp.asarray(m) for m in _irfft_mats(x))
+    ax, bx = (padx(m, 0) for m in _irfft_mats(x))
 
     v = zyx_data.astype(jnp.float32)
 
@@ -290,7 +298,7 @@ def _run_fourier_pipeline(zyx_data: jax.Array, z_filter_kernel, filter_arrays):
     # Two z-slices per program amortize per-program grid/DMA overhead in the
     # YX passes without the compile-time blowup of deeper unrolls.
     zb = 2 if z % 2 == 0 else 1
-    spec_zslice = pl.BlockSpec((zb, y, xh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_zslice = pl.BlockSpec((zb, y, xp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     # Working sets exceed the 16 MB default scoped-VMEM budget at flagship
     # shapes (pass B's slabs; passes A/C's 2-slice blocks under vmap); the
     # kernels are MXU-bound, so trading pipeline headroom for big blocks is
@@ -310,38 +318,59 @@ def _run_fourier_pipeline(zyx_data: jax.Array, z_filter_kernel, filter_arrays):
         grid=(z // zb,),
         in_specs=[
             pl.BlockSpec((zb, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            full((x, xh)),
-            full((x, xh)),
+            full((x, xp)),
+            full((x, xp)),
             full((y, y)),
             full((y, y)),
         ],
         out_specs=(spec_zslice, spec_zslice),
         out_shape=(
-            jax.ShapeDtypeStruct((z, y, xh), jnp.float32),
-            jax.ShapeDtypeStruct((z, y, xh), jnp.float32),
+            jax.ShapeDtypeStruct((z, y, xp), jnp.float32),
+            jax.ShapeDtypeStruct((z, y, xp), jnp.float32),
         ),
         interpret=interpret,
         **vmem_params,
     )(v, cx, sx, wyr, wyi)
 
     yb = _y_slab(y)
-    spec_yslab = pl.BlockSpec((z, yb, xh), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    # Fold y into the lane axis: (z, y, xp) -> (z, y*xp) is a free bitcast
+    # for row-major data because xp is lane-tile aligned. Pass B then runs one
+    # (Z, Z) @ (Z, yb*xp) matmul per DFT term over the whole slab instead of
+    # extracting yb single-sublane columns (each extraction forced a relayout
+    # that held pass B at ~2x its traffic+MXU floor).
+    def flat(a):
+        return a.reshape(z, y * xp)
+
+    def padf(f):
+        if xp != xh:
+            f = jnp.pad(f, ((0, 0), (0, 0), (0, xp - xh)))
+        return flat(f)
+
+    spec_yslab = pl.BlockSpec((z, yb * xp), lambda i: (0, i), memory_space=pltpu.VMEM)
     hr, hi = pl.pallas_call(
-        partial(z_filter_kernel, yb=yb, prec=prec),
+        partial(z_filter_kernel, prec=prec),
         grid=(y // yb,),
         in_specs=[spec_yslab, spec_yslab]
         + [spec_yslab] * len(filter_arrays)
         + [full((z, z))] * 4,
         out_specs=(spec_yslab, spec_yslab),
         out_shape=(
-            jax.ShapeDtypeStruct((z, y, xh), jnp.float32),
-            jax.ShapeDtypeStruct((z, y, xh), jnp.float32),
+            jax.ShapeDtypeStruct((z, y * xp), jnp.float32),
+            jax.ShapeDtypeStruct((z, y * xp), jnp.float32),
         ),
         # The forward spectrum is dead after this pass — reuse its buffers.
         input_output_aliases={0: 0, 1: 1},
         interpret=interpret,
         **vmem_params,
-    )(gr, gi, *filter_arrays, wzr, wzi, izr, izi)
+    )(
+        flat(gr),
+        flat(gi),
+        *[padf(f) for f in filter_arrays],
+        wzr,
+        wzi,
+        izr,
+        izi,
+    )
 
     out = pl.pallas_call(
         partial(_inv_yx_kernel, prec=prec, zb=zb),
@@ -351,14 +380,14 @@ def _run_fourier_pipeline(zyx_data: jax.Array, z_filter_kernel, filter_arrays):
             spec_zslice,
             full((y, y)),
             full((y, y)),
-            full((xh, x)),
-            full((xh, x)),
+            full((xp, x)),
+            full((xp, x)),
         ],
         out_specs=pl.BlockSpec((zb, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((z, y, x), jnp.float32),
         interpret=interpret,
         **vmem_params,
-    )(hr, hi, iyr, iyi, ax, bx)
+    )(hr.reshape(z, y, xp), hi.reshape(z, y, xp), iyr, iyi, ax, bx)
     return out
 
 

@@ -15,6 +15,14 @@ Key paths are shared verbatim between :class:`TorchUNeXt2` and the flax
 ``stage0_block1.pwconv1.weight`` -> ``stage0_block1/pwconv1/kernel``), so the
 translation is purely mechanical. Lightning checkpoints nest the weights
 under ``state_dict`` with a ``model.`` prefix; both are stripped.
+
+Scope: ONLY the in-repo twin schema loads here. Production VisCy/cytoland
+Lightning checkpoints nest weights under timm-style module paths
+(``encoder.stages.N.blocks.M...``) that this converter does NOT translate;
+they are detected up front and rejected with a pointer to the TorchScript
+fallback (virtual_stain.py loads ``ckpt_path`` via ``torch.jit.load`` when no
+``architecture`` is configured), which runs any exported VisCy model without
+weight surgery.
 """
 
 from __future__ import annotations
@@ -32,11 +40,37 @@ def _to_numpy(tensor: Any) -> np.ndarray:
     return np.asarray(tensor, dtype=np.float32)
 
 
+def _reject_foreign_schema(keys) -> None:
+    """Fail fast with an actionable error on non-twin naming schemes.
+
+    VisCy/cytoland checkpoints wrap timm ConvNeXtV2 modules, so their keys
+    look like ``model.encoder.stages.0.blocks.1.conv_dw.weight`` — a schema
+    this converter has never been validated against. Loading it structurally
+    (generic transpose rules) would produce a silently mismatched param tree,
+    which is strictly worse than an error.
+    """
+    markers = (".stages.", ".blocks.", "conv_dw", "mlp.fc", "downsample_layers")
+    hits = sorted(
+        {k for k in keys for m in markers if m in k},
+    )[:3]
+    if hits:
+        raise ValueError(
+            "checkpoint uses a VisCy/timm module schema (e.g. "
+            + ", ".join(repr(h) for h in hits)
+            + "); only the in-repo twin schema (models/torch_twin.py) converts "
+            "to flax. For production VisCy checkpoints, export the model with "
+            "torch.jit.script/trace and point ckpt_path at the TorchScript "
+            "file WITHOUT setting `architecture` in the settings YAML — "
+            "virtual-stain then runs it via the TorchScript fallback."
+        )
+
+
 def torch_state_dict_to_flax(state_dict: Mapping[str, Any]) -> dict:
     """Convert a TorchUNeXt2-schema state dict to flax variables.
 
     Returns ``{"params": tree}`` ready for ``UNeXt2().apply``.
     """
+    _reject_foreign_schema(state_dict.keys())
     params: dict = {}
     for key, value in state_dict.items():
         for prefix in ("state_dict.", "model."):
@@ -45,6 +79,10 @@ def torch_state_dict_to_flax(state_dict: Mapping[str, Any]) -> dict:
         parts = key.split(".")
         leaf = parts[-1]
         w = _to_numpy(value)
+        if leaf in ("gamma", "beta") and w.ndim > 1:
+            # GRN params are sometimes stored broadcast-shaped (1, 1, 1, C)
+            # (ConvNeXtV2 upstream convention); flax wants flat (C,).
+            w = w.reshape(-1)
         if leaf == "weight":
             if w.ndim == 5:
                 w = w.transpose(2, 3, 4, 1, 0)

@@ -9,8 +9,10 @@ Two jobs:
 2. **Checkpoint on-ramp**: torch checkpoints whose state dict follows this
    naming scheme (``stem``, ``stage{i}_block{b}.{dwconv,norm,pwconv1,grn,
    pwconv2}``, ``down{i}_{norm,conv}``, ``up{j}_conv``,
-   ``dec{j}_block{b}.{conv,norm}``, ``head``) load directly; it is also the
-   schema the converter's VisCy key-translation targets.
+   ``dec{j}_block{b}.{conv,norm}``, ``head``) load directly. Production
+   VisCy/cytoland checkpoints use timm module paths the converter does NOT
+   translate — it rejects them with a pointer to the TorchScript fallback
+   (see models/convert.py::_reject_foreign_schema).
 
 Runs on the bundled CPU torch; never imported on the TPU inference path.
 """

@@ -121,7 +121,12 @@ def sliding_window_predict(
     for place in places:
         wstart = min(max(place - offset, 0), Z - window_z)
         window = czyx[:, wstart : wstart + window_z]
-        preds = [predict_fn(window)]
+        if wstart == 0:
+            # The shape probe already ran the model on the first window —
+            # reuse it instead of paying one extra full inference per volume.
+            preds = [probe]
+        else:
+            preds = [predict_fn(window)]
         if rotation_tta:
             for k in (1, 2, 3):
                 rotated = np.rot90(window, k, axes=(-2, -1)).copy()

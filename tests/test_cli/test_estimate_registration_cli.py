@@ -160,3 +160,84 @@ def test_optimize_registration_refines_transform(tmp_path):
     opt_err = np.abs(M[:3, 3] - drift).max()
     assert opt_err < 0.5 * init_err, f"{opt_err} !< 0.5*{init_err}"
     np.testing.assert_allclose(M[:3, :3], np.eye(3), atol=0.02)
+
+
+def test_estimate_registration_manual_from_point_files(tmp_path):
+    """Manual method, headless: --source-points/--target-points files drive
+    the reference's point-pair fit (reference:
+    biahub/estimate_registration.py:60-358) and the output YAML registers
+    the source onto the target."""
+    rng = np.random.default_rng(23)
+    shape = (8, 48, 48)
+    target = rng.random(shape).astype(np.float32)
+    drift = np.array([1.0, -3.0, 4.0])
+    # Same voxel size both arms -> compound == identity; content moved by
+    # +drift means matching features sit at target = source + drift.
+    source = np.roll(target, tuple(int(d) for d in drift), axis=(0, 1, 2))
+
+    target_plate = _bead_plate(tmp_path, "target.zarr", target[None], "Phase3D")
+    source_plate = _bead_plate(tmp_path, "source.zarr", source[None], "GFP")
+
+    src_pts = rng.uniform(2, 40, size=(5, 3))
+    np.savetxt(tmp_path / "src_pts.csv", src_pts, delimiter=",")
+    np.savetxt(tmp_path / "tgt_pts.csv", src_pts + drift, delimiter=",")
+
+    config = {
+        "target_channel_name": "Phase3D",
+        "source_channel_name": "GFP",
+        "estimation_method": "manual",
+        "manual_registration_settings": {"time_index": 0},
+        "affine_transform_settings": {"transform_type": "euclidean"},
+    }
+    config_path = tmp_path / "est_reg.yml"
+    with open(config_path, "w") as f:
+        yaml.dump(config, f)
+
+    out_yml = tmp_path / "registration.yml"
+    result = CliRunner().invoke(
+        cli,
+        [
+            "estimate-registration",
+            "-s", str(source_plate / "A" / "1" / "0"),
+            "-t", str(target_plate / "A" / "1" / "0"),
+            "-c", str(config_path),
+            "-o", str(out_yml),
+            "--source-points", str(tmp_path / "src_pts.csv"),
+            "--target-points", str(tmp_path / "tgt_pts.csv"),
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    with open(out_yml) as f:
+        loaded = yaml.safe_load(f)
+    M = np.asarray(loaded["affine_transform_zyx"])
+    expected = np.eye(4)
+    expected[:3, 3] = -drift  # output->input warp translation is -motion
+    np.testing.assert_allclose(M, expected, atol=1e-6)
+
+
+def test_estimate_registration_manual_headless_without_points_errors(tmp_path):
+    """Without point files and without napari, manual mode fails with an
+    actionable message naming the headless flags."""
+    target = np.zeros((4, 16, 16), np.float32)
+    target_plate = _bead_plate(tmp_path, "t2.zarr", target[None], "Phase3D")
+    source_plate = _bead_plate(tmp_path, "s2.zarr", target[None], "GFP")
+    config = {
+        "target_channel_name": "Phase3D",
+        "source_channel_name": "GFP",
+        "estimation_method": "manual",
+    }
+    config_path = tmp_path / "cfg.yml"
+    with open(config_path, "w") as f:
+        yaml.dump(config, f)
+    result = CliRunner().invoke(
+        cli,
+        [
+            "estimate-registration",
+            "-s", str(source_plate / "A" / "1" / "0"),
+            "-t", str(target_plate / "A" / "1" / "0"),
+            "-c", str(config_path),
+            "-o", str(tmp_path / "out.yml"),
+        ],
+    )
+    assert result.exit_code != 0
+    assert "--source-points" in result.output

@@ -124,8 +124,13 @@ def test_reference_name_compatibility_aliases():
     import pytest
 
     assert np.asarray(get_tform_from_pcc([1, 2, 3]))[2][3] == -3
-    with pytest.raises(RuntimeError):
-        user_assisted_registration()
+    # Headless (no napari): the interactive flow refuses with a pointer to
+    # the --source-points/--target-points file path.
+    with pytest.raises(RuntimeError, match="napari"):
+        user_assisted_registration(
+            np.zeros((4, 8, 8), np.float32), "a", (1.0, 1.0, 1.0),
+            np.zeros((4, 8, 8), np.float32), "b", (1.0, 1.0, 1.0),
+        )
 
 
 def test_biahub_import_alias():

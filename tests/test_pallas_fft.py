@@ -50,7 +50,15 @@ def test_pallas_deconvolve_matches_numpy(shape, monkeypatch):
 
 
 def test_pallas_deconvolve_matches_xla_path(monkeypatch):
-    """The dispatching deconvolve_zyx agrees with itself across backends."""
+    """The dispatching deconvolve_zyx agrees with itself across backends.
+
+    deconvolve_zyx is @jax.jit and its env-var dispatch runs at TRACE time, so
+    each env configuration must re-trace: without jax.clear_caches() the second
+    call would hit the first trace's jit cache and the test would compare the
+    XLA path against itself (advisor finding, round 2).
+    """
+    import jax
+
     from biahub_tpu.kernels.deconvolve import deconvolve_zyx
 
     shape = (8, 16, 24)
@@ -60,10 +68,13 @@ def test_pallas_deconvolve_matches_xla_path(monkeypatch):
     tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
 
     monkeypatch.setenv("BIAHUB_TPU_NO_PALLAS", "1")
+    jax.clear_caches()
     xla = np.asarray(deconvolve_zyx(jnp.asarray(vol), jnp.asarray(tf_half)))
     monkeypatch.delenv("BIAHUB_TPU_NO_PALLAS")
     monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    jax.clear_caches()
     fused = np.asarray(deconvolve_zyx(jnp.asarray(vol), jnp.asarray(tf_half)))
+    jax.clear_caches()  # do not leak FORCE_PALLAS traces into other tests
     scale = np.abs(xla).max()
     np.testing.assert_allclose(fused, xla, atol=2e-4 * scale, rtol=0)
 

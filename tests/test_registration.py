@@ -157,3 +157,79 @@ def test_optimize_level_with_traced_warp():
     est = np.asarray(_similarity_matrix(params, center_full))
     np.testing.assert_allclose(est[:3, 3], w_true[:3, 3], atol=0.3)
     np.testing.assert_allclose(est[:3, :3], np.eye(3), atol=0.01)
+
+
+def test_manual_transform_from_picked_points_similarity():
+    """Similarity fit recovers inv(S @ compound) from clicked pairs
+    (reference: biahub/estimate_registration.py:306-333)."""
+    from biahub_tpu.estimate_registration import (
+        manual_compound_affine,
+        manual_transform_from_picked_points,
+    )
+
+    rng = np.random.default_rng(3)
+    compound = manual_compound_affine(
+        (16, 64, 64), (20, 80, 80), (2.0, 0.5, 0.5), (1.0, 0.25, 0.25),
+        pre_affine_90degree_rotation=1, pre_affine_fliplr=True,
+    )
+    theta = np.deg2rad(8.0)
+    S = np.eye(4)
+    S[0, 0] = 1.07  # uniform scale on every axis: a true 3D similarity
+    S[1:3, 1:3] = 1.07 * np.array(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+    )
+    S[:3, 3] = [1.5, -4.0, 2.5]
+    # Points as the napari flow records them: source picked on the
+    # pre-aligned overlay, target = S applied to those points.
+    src = rng.uniform(5, 60, size=(8, 3))
+    dst = (S @ np.hstack([src, np.ones((8, 1))]).T).T[:, :3]
+    got = manual_transform_from_picked_points(src, dst, compound, similarity=True)
+    np.testing.assert_allclose(got, np.linalg.inv(S @ compound), atol=1e-8)
+
+
+def test_manual_transform_euclidean_z_from_first_pair():
+    """Euclidean mode: 2D YX rigid fit + z translation from the FIRST pair."""
+    from biahub_tpu.estimate_registration import (
+        manual_transform_from_picked_points,
+    )
+
+    rng = np.random.default_rng(4)
+    src = rng.uniform(5, 60, size=(5, 3))
+    dst = src.copy()
+    dst[:, 1:] += [3.0, -2.0]
+    dst[:, 0] += 1.25
+    dst[1:, 0] += rng.uniform(-0.5, 0.5, size=4)  # z noise beyond first pair
+    got = manual_transform_from_picked_points(src, dst, np.eye(4), similarity=False)
+    expected = np.eye(4)
+    expected[:3, 3] = [-1.25, -3.0, 2.0]  # inverse of the forward translation
+    np.testing.assert_allclose(got, expected, atol=1e-7)
+
+
+def test_registration_from_point_pairs_frames_agree():
+    """original-frame points pre-aligned internally == pre-aligned input."""
+    from biahub_tpu.estimate_registration import (
+        manual_compound_affine,
+        registration_from_point_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    kwargs = dict(
+        source_shape_zyx=(12, 40, 40),
+        target_shape_zyx=(12, 40, 40),
+        source_voxel_size=(2.0, 0.5, 0.5),
+        target_voxel_size=(1.0, 0.5, 0.5),
+    )
+    compound = manual_compound_affine(
+        kwargs["source_shape_zyx"], kwargs["target_shape_zyx"],
+        kwargs["source_voxel_size"], kwargs["target_voxel_size"],
+    )
+    src_orig = rng.uniform(2, 30, size=(6, 3))
+    pre = (compound @ np.hstack([src_orig, np.ones((6, 1))]).T).T[:, :3]
+    dst = pre + [0.5, -1.0, 2.0]
+    a = registration_from_point_pairs(
+        src_orig, dst, source_points_frame="original", **kwargs
+    )
+    b = registration_from_point_pairs(
+        pre, dst, source_points_frame="pre_aligned", **kwargs
+    )
+    np.testing.assert_allclose(a, b, atol=1e-9)

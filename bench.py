@@ -103,15 +103,37 @@ def detail_benchmarks(budget_seconds: float = 420.0) -> dict:
             lambda: pcc_shifts_pairwise(refs, movs), lambda r: np.asarray(r)
         ) / 2  # per volume pair
 
-    def bench_peaks():
-        from biahub_tpu.kernels.peaks import detect_peaks
-
+    def _peaks_volume():
         vol = (10.0 * rng.random((64, 256, 256))).astype(np.float32)
         pts = rng.integers(8, 248, size=(200, 3))
         pts[:, 0] = rng.integers(8, 56, size=200)
         vol[pts[:, 0], pts[:, 1], pts[:, 2]] = 400.0
+        return vol
+
+    def bench_peaks():
+        """Host-array path: INCLUDES the host->device transfer (which is
+        ~95% of the number over the axon tunnel; see peaks_device_ms for
+        the kernel itself)."""
+        from biahub_tpu.kernels.peaks import detect_peaks
+
+        vol = _peaks_volume()
         return _timed_ms(
             lambda: detect_peaks(vol, threshold_abs=200.0, min_distance=0),
+            lambda r: None,
+            iters=3,
+        )
+
+    def bench_peaks_device():
+        """Device-resident path: the input is device_put once up front, so
+        this isolates the detection kernel from transfer — a kernel
+        regression is visible here even when transfer noise dominates
+        peaks_ms."""
+        from biahub_tpu.kernels.peaks import detect_peaks
+
+        vol_d = jax.device_put(jnp.asarray(_peaks_volume()))
+        float(vol_d[0, 0, 0])  # force the transfer to finish before timing
+        return _timed_ms(
+            lambda: detect_peaks(vol_d, threshold_abs=200.0, min_distance=0),
             lambda r: None,
             iters=3,
         )
@@ -165,31 +187,39 @@ def detail_benchmarks(budget_seconds: float = 420.0) -> dict:
 
         return _timed_ms(run, lambda r: float(r[0, 32, 128, 128])) / 4  # per volume
 
-    def bench_stitch_chunk():
-        import tempfile
-
+    def _stitch_fixture(td):
         from biahub_tpu.io.ngff import open_ome_zarr
-        from biahub_tpu.stitch import fov_edge_distance, write_output_chunk
+        from biahub_tpu.stitch import fov_edge_distance
 
         fov = (1, 1, 32, 256, 256)
+        plate = open_ome_zarr(
+            f"{td}/in.zarr", layout="hcs", mode="w", channel_names=["a"]
+        )
+        shifts = {}
+        for i, (r, c) in enumerate([("A", "1"), ("A", "2"), ("B", "1"), ("B", "2")]):
+            pos = plate.create_position(r, c, "0")
+            pos.create_image("0", rng.random(fov, np.float32))
+            shifts[f"{r}/{c}/0"] = np.array([0.0, 200.0 * (i // 2), 200.0 * (i % 2)])
+        out = open_ome_zarr(
+            f"{td}/out.zarr", layout="hcs", mode="w", channel_names=["a"]
+        )
+        out_pos = out.create_position("A", "0", "0")
+        out_pos.create_image("0", np.zeros((1, 1, 32, 456, 456), np.float32))
+        chunk = (slice(0, 32), slice(0, 256), slice(100, 356))
+        dist = fov_edge_distance(np.array(fov[-3:]))
+        return plate, shifts, fov, out_pos, chunk, dist
+
+    def bench_stitch_chunk():
+        """End-to-end chunk assembly INCLUDING zarr read/write (plates are
+        pre-created outside the timed region; the number is still dominated
+        by filesystem I/O and varies with machine load — stitch_blend_ms
+        below is the stable compute-only metric)."""
+        import tempfile
+
+        from biahub_tpu.stitch import write_output_chunk
+
         with tempfile.TemporaryDirectory() as td:
-            plate = open_ome_zarr(
-                f"{td}/in.zarr", layout="hcs", mode="w", channel_names=["a"]
-            )
-            shifts = {}
-            for i, (r, c) in enumerate([("A", "1"), ("A", "2"), ("B", "1"), ("B", "2")]):
-                pos = plate.create_position(r, c, "0")
-                pos.create_image("0", rng.random(fov, np.float32))
-                shifts[f"{r}/{c}/0"] = np.array(
-                    [0.0, 200.0 * (i // 2), 200.0 * (i % 2)]
-                )
-            out = open_ome_zarr(
-                f"{td}/out.zarr", layout="hcs", mode="w", channel_names=["a"]
-            )
-            out_pos = out.create_position("A", "0", "0")
-            out_pos.create_image("0", np.zeros((1, 1, 32, 456, 456), np.float32))
-            chunk = (slice(0, 32), slice(0, 256), slice(100, 356))
-            dist = fov_edge_distance(np.array(fov[-3:]))
+            plate, shifts, fov, out_pos, chunk, dist = _stitch_fixture(td)
 
             def run():
                 write_output_chunk(
@@ -199,13 +229,50 @@ def detail_benchmarks(budget_seconds: float = 420.0) -> dict:
 
             return _timed_ms(run, lambda r: None, iters=3)
 
+    def bench_stitch_blend():
+        """Compute-only blend math on in-memory FOVs: overlap slicing,
+        distance-transform weight maps, and weighted accumulation for one
+        456x256x32 output chunk — the stitch work that is NOT filesystem
+        I/O."""
+        from biahub_tpu.stitch import fov_edge_distance, overlap_slices
+
+        fov_extent = np.array([32, 256, 256])
+        chunk_corner = np.array([0, 0, 100])
+        chunk_extent = np.array([32, 256, 256])
+        corners = [
+            np.array([0.0, 200.0 * (i // 2), 200.0 * (i % 2)]) for i in range(4)
+        ]
+        fovs = [rng.random(tuple(fov_extent), np.float32) for _ in range(4)]
+        dist = fov_edge_distance(fov_extent)
+
+        def run():
+            pairs = []
+            for corner in corners:
+                fixed, moving = overlap_slices(
+                    chunk_corner, chunk_extent, corner, fov_extent
+                )
+                if fixed is not None:
+                    pairs.append((fixed, moving))
+            maps = np.zeros((len(pairs),) + tuple(chunk_extent), np.float32)
+            for i, (fixed, moving) in enumerate(pairs):
+                maps[(i, *fixed)] = dist[moving]
+            w = maps / (np.sum(maps, axis=0, keepdims=True) + 1e-8)
+            out = np.zeros(tuple(chunk_extent), np.float32)
+            for i, (fixed, moving) in enumerate(pairs):
+                out[fixed] += w[(i, *fixed)] * fovs[i][moving]
+            return out
+
+        return _timed_ms(run, lambda r: None, iters=3)
+
     record("deskew_ms", bench_deskew)
     record("phase_recon_ms", bench_phase_recon)
     record("pcc_ms_per_pair", bench_pcc)
     record("peaks_ms", bench_peaks)
+    record("peaks_device_ms", bench_peaks_device)
     record("optimizer_iter_ms", bench_optimizer_iter)
     record("batched_warp_ms_per_volume", bench_batched_warp)
     record("stitch_chunk_ms", bench_stitch_chunk)
+    record("stitch_blend_ms", bench_stitch_blend)
     return detail
 
 

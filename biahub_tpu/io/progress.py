@@ -4,8 +4,16 @@ The reference's ``--resume`` relies on iohub recording per-(t, c)-unit
 completion in a ``.iohub-progress/`` sibling of the store, invalidated when
 the settings hash changes (reference: biahub/cli/utils.py:66-76,
 biahub/cli/parsing.py:308-324). This is the tensorstore-era equivalent: a
-JSON record per position, marking units complete only after their chunk is
-durably written.
+JSON record per (position, writer process), marking units complete only
+after their chunk is durably written.
+
+Multi-host safety: processes stripe (t, c) units WITHIN a position
+(runtime/executor.py), so a single shared record file would be a
+read-modify-write race — the last flusher clobbers its peers' marks. Each
+process therefore owns its own record file (``<pos>.p<process_index>.json``,
+single writer, atomic replace) and completion is the UNION of every record
+for the position, so a restarted run — with any process count — sees all
+finished units.
 """
 
 from __future__ import annotations
@@ -26,7 +34,11 @@ class ProgressStore:
         # Progress lives next to the plate so deleting the plate removes it too.
         plate_root = output_position_path.parents[2]
         rel = "_".join(output_position_path.parts[-3:])
-        self.path = plate_root / ".biahub_tpu_progress" / f"{rel}.json"
+        self._dir = plate_root / ".biahub_tpu_progress"
+        self._rel = rel
+        import jax
+
+        self.path = self._dir / f"{rel}.p{jax.process_index()}.json"
         self.token = token
         self._done: set[str] = set()
         self._load()
@@ -35,16 +47,23 @@ class ProgressStore:
     def _key(t: int, c: int) -> str:
         return f"{t}.{c}"
 
+    def _read_record(self, path: Path) -> set[str]:
+        try:
+            payload = json.loads(path.read_text())
+        except (OSError, json.JSONDecodeError):
+            return set()
+        # A changed settings fingerprint invalidates prior records: the
+        # data those units wrote would now be different.
+        if payload.get("token") != self.token:
+            return set()
+        return set(payload.get("done", []))
+
     def _load(self) -> None:
-        if self.path.exists():
-            try:
-                payload = json.loads(self.path.read_text())
-            except json.JSONDecodeError:
-                return
-            # A changed settings fingerprint invalidates prior records: the
-            # data those units wrote would now be different.
-            if payload.get("token") == self.token:
-                self._done = set(payload.get("done", []))
+        # Union over every writer's record (including the pre-per-process
+        # legacy file name) so completion survives restarts that change the
+        # process count.
+        for path in sorted(self._dir.glob(f"{self._rel}*.json")):
+            self._done |= self._read_record(path)
 
     def is_done(self, t: int, c: int) -> bool:
         return self._key(t, c) in self._done
@@ -58,10 +77,11 @@ class ProgressStore:
         self._flush()
 
     def _flush(self) -> None:
-        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._dir.mkdir(parents=True, exist_ok=True)
         payload = {"token": self.token, "done": sorted(self._done)}
-        # Atomic replace so a torn write never corrupts the record.
-        fd, tmp = tempfile.mkstemp(dir=self.path.parent, suffix=".tmp")
+        # Atomic replace so a torn write never corrupts the record. This file
+        # has a single writer (this process); peers write their own files.
+        fd, tmp = tempfile.mkstemp(dir=self._dir, suffix=".tmp")
         try:
             with os.fdopen(fd, "w") as f:
                 json.dump(payload, f)

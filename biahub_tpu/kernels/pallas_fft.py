@@ -12,9 +12,11 @@ stages stay resident in VMEM:
 - **Pass A** (grid over z): per z-slice, rfft along X and full DFT along Y
   as dense MXU matmuls — one HBM read of the volume, one write of the
   (re, im) half-spectrum.
-- **Pass B** (grid over y-slabs): DFT along Z, the Tikhonov filter
-  ``tf / (tf^2 + reg)``, and the inverse DFT along Z — fused, so the fully
-  transformed spectrum never touches HBM.
+- **Pass B** (grid over ky rows, ky-major layout): DFT along Z, the Tikhonov
+  filter ``tf / (tf^2 + reg)``, and the inverse DFT along Z — fused, so the
+  fully transformed spectrum never touches HBM. The (z, ky, kx) -> (ky, z,
+  kx) transposes surrounding it are major-axis-only XLA copies; they buy
+  whole-(Z, Xh)-tile operands (no sublane extraction) for the z contraction.
 - **Pass C** (grid over z): inverse DFT along Y and irfft along X per slice,
   emitting the real volume.
 
@@ -155,24 +157,25 @@ def _z_filter_kernel(
     reg,
     prec,
 ):
-    """DFT_z -> Tikhonov filter -> iDFT_z for a flat (Z, yb*Xp) spectrum slab.
+    """DFT_z -> Tikhonov filter -> iDFT_z for one ky row of the spectrum.
 
     The fully transformed spectrum lives only in VMEM between the two Z-DFT
-    stages — this fusion is the whole point of the kernel. The y-slab arrives
-    with y folded into the lane axis (Xh padded to a 128 multiple so the fold
-    is a free bitcast), so the whole slab is one MXU matmul per DFT term with
-    no per-column sublane extraction — that relayout cost ~2x on pass B.
+    stages — this fusion is the whole point of the kernel. Spectra arrive
+    ky-major ((Y, Z, Xh), one (1, Z, Xh) block per program), so every operand
+    is a whole (Z, Xh) tile: contraction over z needs no sublane extraction
+    (the per-column relayouts of a (Z, yb, Xh) slab held pass B at ~2x its
+    floor), the kernel body is loop-free, and Xh needs no lane padding.
     """
-    gr = gr_ref[:]  # (Z, yb*Xp)
-    gi = gi_ref[:]
+    gr = gr_ref[0]  # (Z, Xh)
+    gi = gi_ref[0]
     hr = _dot(wzr_ref[:], gr, prec) - _dot(wzi_ref[:], gi, prec)
     hi = _dot(wzr_ref[:], gi, prec) + _dot(wzi_ref[:], gr, prec)
-    tf = tf_ref[:]
+    tf = tf_ref[0]
     filt = tf / (tf * tf + reg)
     hr = hr * filt
     hi = hi * filt
-    or_ref[:] = _dot(izr_ref[:], hr, prec) - _dot(izi_ref[:], hi, prec)
-    oi_ref[:] = _dot(izr_ref[:], hi, prec) + _dot(izi_ref[:], hr, prec)
+    or_ref[0] = _dot(izr_ref[:], hr, prec) - _dot(izi_ref[:], hi, prec)
+    oi_ref[0] = _dot(izr_ref[:], hi, prec) + _dot(izi_ref[:], hr, prec)
 
 
 def _z_complex_filter_kernel(
@@ -189,22 +192,22 @@ def _z_complex_filter_kernel(
     *,
     prec,
 ):
-    """DFT_z -> complex (Hermitian) filter multiply -> iDFT_z per flat y-slab.
+    """DFT_z -> complex (Hermitian) filter multiply -> iDFT_z per ky row.
 
-    Same fusion (and lane-folded layout) as :func:`_z_filter_kernel`, with the
+    Same fusion (and ky-major layout) as :func:`_z_filter_kernel`, with the
     precomputed filter arriving as split (re, im) arrays — serves the
     phase-reconstruction inverse filter (recon/optics.py::tikhonov_inverse_3d).
     """
-    gr = gr_ref[:]  # (Z, yb*Xp)
-    gi = gi_ref[:]
+    gr = gr_ref[0]  # (Z, Xh)
+    gi = gi_ref[0]
     hr = _dot(wzr_ref[:], gr, prec) - _dot(wzi_ref[:], gi, prec)
     hi = _dot(wzr_ref[:], gi, prec) + _dot(wzi_ref[:], gr, prec)
-    fr = fr_ref[:]
-    fi = fi_ref[:]
+    fr = fr_ref[0]
+    fi = fi_ref[0]
     pr = hr * fr - hi * fi
     pi = hr * fi + hi * fr
-    or_ref[:] = _dot(izr_ref[:], pr, prec) - _dot(izi_ref[:], pi, prec)
-    oi_ref[:] = _dot(izr_ref[:], pi, prec) + _dot(izi_ref[:], pr, prec)
+    or_ref[0] = _dot(izr_ref[:], pr, prec) - _dot(izi_ref[:], pi, prec)
+    oi_ref[0] = _dot(izr_ref[:], pi, prec) + _dot(izi_ref[:], pr, prec)
 
 
 def _inv_yx_kernel(
@@ -226,16 +229,6 @@ def _inv_yx_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _y_slab(y: int) -> int:
-    return 8 if y % 8 == 0 else y
-
-
-def _pad_lanes(n: int) -> int:
-    """Round the half-spectrum width up to a lane-tile (128) multiple so the
-    (Z, yb, Xp) -> (Z, yb*Xp) y-into-lanes fold in pass B is layout-free."""
-    return -(-n // 128) * 128
-
-
 def deconvolve_pallas_supported(shape: tuple[int, int, int]) -> bool:
     """True when the fused kernel should handle this volume shape."""
     if os.environ.get("BIAHUB_TPU_NO_PALLAS") == "1":
@@ -246,21 +239,15 @@ def deconvolve_pallas_supported(shape: tuple[int, int, int]) -> bool:
     z, y, x = shape
     if min(z, y, x) < 2:
         return False
-    if jax.default_backend() == "tpu" and y % 8 and y > 32:
-        # Non-multiple-of-8 Y falls back to a whole-Y slab whose unrolled
-        # per-column loop explodes Mosaic compile time at scale (CLAUDE.md:
-        # unrolled split-dot bodies took a 50 s compile to 20 min).
-        return False
-    xh = _pad_lanes(x // 2 + 1)
-    yb = _y_slab(y)
+    xh = x // 2 + 1
     f32 = 4
     # Pass A working set: 2-slice block + rfft/DFT matrices + spectrum
     # slices, doubled for Mosaic's pipeline buffering.
     pass_a = (2 * y * x + 2 * x * xh + 2 * y * y + 12 * y * xh) * f32 * 2
-    # Pass B: up to four input slabs (complex filters) + two output slabs,
-    # double-buffered by Mosaic's pipeline, plus four (Z, Z) matrices and
-    # whole-slab temporaries (hr/hi + bf16 split halves; single-buffered).
-    pass_b = (6 * 2 * z * yb * xh + 4 * z * yb * xh + 4 * z * z) * f32
+    # Pass B: per-ky-row (Z, Xh) tiles — up to four inputs (complex filters)
+    # + two outputs, double-buffered, plus four (Z, Z) matrices and the
+    # hr/hi + bf16-split temporaries (single-buffered).
+    pass_b = (6 * 2 * z * xh + 4 * z * xh + 4 * z * z) * f32
     pass_c = (6 * y * xh + 2 * y * y + 2 * x * xh + y * x) * f32 * 2
     return max(pass_a, pass_b, pass_c) < _VMEM_BUDGET_BYTES
 
@@ -270,25 +257,15 @@ def _run_fourier_pipeline(zyx_data: jax.Array, z_filter_kernel, filter_arrays):
     filter + iDFT-Z kernel over y-slabs, inverse YX."""
     z, y, x = zyx_data.shape
     xh = x // 2 + 1
-    xp = _pad_lanes(xh)
     prec = _precision()
     interpret = jax.default_backend() != "tpu"
 
-    def padx(m: np.ndarray, axis: int) -> jnp.ndarray:
-        """Zero-pad a DFT matrix's half-spectrum axis to ``xp`` so spectra are
-        born lane-aligned; pad bins stay exactly 0 through every pass (the
-        filters are zero-padded too) and the zero rows added to the irfft
-        matrices make pass C ignore them."""
-        pad = [(0, 0), (0, 0)]
-        pad[axis] = (0, xp - xh)
-        return jnp.asarray(np.pad(m, pad))
-
-    cx, sx = (padx(m, 1) for m in _rfft_mats(x))
+    cx, sx = (jnp.asarray(m) for m in _rfft_mats(x))
     wyr, wyi = (jnp.asarray(m) for m in _dft_mats(y))
     wzr, wzi = (jnp.asarray(m) for m in _dft_mats(z))
     izr, izi = (jnp.asarray(m) for m in _idft_mats(z))
     iyr, iyi = (jnp.asarray(m) for m in _idft_mats(y))
-    ax, bx = (padx(m, 0) for m in _irfft_mats(x))
+    ax, bx = (jnp.asarray(m) for m in _irfft_mats(x))
 
     v = zyx_data.astype(jnp.float32)
 
@@ -298,7 +275,7 @@ def _run_fourier_pipeline(zyx_data: jax.Array, z_filter_kernel, filter_arrays):
     # Two z-slices per program amortize per-program grid/DMA overhead in the
     # YX passes without the compile-time blowup of deeper unrolls.
     zb = 2 if z % 2 == 0 else 1
-    spec_zslice = pl.BlockSpec((zb, y, xp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_zslice = pl.BlockSpec((zb, y, xh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     # Working sets exceed the 16 MB default scoped-VMEM budget at flagship
     # shapes (pass B's slabs; passes A/C's 2-slice blocks under vmap); the
     # kernels are MXU-bound, so trading pipeline headroom for big blocks is
@@ -318,59 +295,47 @@ def _run_fourier_pipeline(zyx_data: jax.Array, z_filter_kernel, filter_arrays):
         grid=(z // zb,),
         in_specs=[
             pl.BlockSpec((zb, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            full((x, xp)),
-            full((x, xp)),
+            full((x, xh)),
+            full((x, xh)),
             full((y, y)),
             full((y, y)),
         ],
         out_specs=(spec_zslice, spec_zslice),
         out_shape=(
-            jax.ShapeDtypeStruct((z, y, xp), jnp.float32),
-            jax.ShapeDtypeStruct((z, y, xp), jnp.float32),
+            jax.ShapeDtypeStruct((z, y, xh), jnp.float32),
+            jax.ShapeDtypeStruct((z, y, xh), jnp.float32),
         ),
         interpret=interpret,
         **vmem_params,
     )(v, cx, sx, wyr, wyi)
 
-    yb = _y_slab(y)
-    # Fold y into the lane axis: (z, y, xp) -> (z, y*xp) is a free bitcast
-    # for row-major data because xp is lane-tile aligned. Pass B then runs one
-    # (Z, Z) @ (Z, yb*xp) matmul per DFT term over the whole slab instead of
-    # extracting yb single-sublane columns (each extraction forced a relayout
-    # that held pass B at ~2x its traffic+MXU floor).
-    def flat(a):
-        return a.reshape(z, y * xp)
+    # Pass B runs one program per ky ROW on ky-major spectra: each operand is
+    # then a whole (Z, Xh) tile, so the z contraction needs no sublane
+    # extraction, no lane padding, and no per-column loop. The (z, ky, kx) ->
+    # (ky, z, kx) transposes are major-axis only (the lane axis stays minor),
+    # which XLA moves at near-HBM speed — measured cheaper than either the
+    # slab relayouts (~2x pass-B cost) or lane-folding's flatten copies plus
+    # 25% pad traffic on every pass.
+    def t01(a):
+        return jnp.transpose(a, (1, 0, 2))
 
-    def padf(f):
-        if xp != xh:
-            f = jnp.pad(f, ((0, 0), (0, 0), (0, xp - xh)))
-        return flat(f)
-
-    spec_yslab = pl.BlockSpec((z, yb * xp), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec_row = pl.BlockSpec((1, z, xh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     hr, hi = pl.pallas_call(
         partial(z_filter_kernel, prec=prec),
-        grid=(y // yb,),
-        in_specs=[spec_yslab, spec_yslab]
-        + [spec_yslab] * len(filter_arrays)
+        grid=(y,),
+        in_specs=[spec_row, spec_row]
+        + [spec_row] * len(filter_arrays)
         + [full((z, z))] * 4,
-        out_specs=(spec_yslab, spec_yslab),
+        out_specs=(spec_row, spec_row),
         out_shape=(
-            jax.ShapeDtypeStruct((z, y * xp), jnp.float32),
-            jax.ShapeDtypeStruct((z, y * xp), jnp.float32),
+            jax.ShapeDtypeStruct((y, z, xh), jnp.float32),
+            jax.ShapeDtypeStruct((y, z, xh), jnp.float32),
         ),
         # The forward spectrum is dead after this pass — reuse its buffers.
         input_output_aliases={0: 0, 1: 1},
         interpret=interpret,
         **vmem_params,
-    )(
-        flat(gr),
-        flat(gi),
-        *[padf(f) for f in filter_arrays],
-        wzr,
-        wzi,
-        izr,
-        izi,
-    )
+    )(t01(gr), t01(gi), *[t01(f) for f in filter_arrays], wzr, wzi, izr, izi)
 
     out = pl.pallas_call(
         partial(_inv_yx_kernel, prec=prec, zb=zb),
@@ -380,14 +345,14 @@ def _run_fourier_pipeline(zyx_data: jax.Array, z_filter_kernel, filter_arrays):
             spec_zslice,
             full((y, y)),
             full((y, y)),
-            full((xp, x)),
-            full((xp, x)),
+            full((xh, x)),
+            full((xh, x)),
         ],
         out_specs=pl.BlockSpec((zb, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((z, y, x), jnp.float32),
         interpret=interpret,
         **vmem_params,
-    )(hr.reshape(z, y, xp), hi.reshape(z, y, xp), iyr, iyi, ax, bx)
+    )(t01(hr), t01(hi), iyr, iyi, ax, bx)
     return out
 
 

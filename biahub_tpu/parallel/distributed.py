@@ -117,13 +117,50 @@ def is_coordinator() -> bool:
     return jax.process_index() == 0
 
 
-def barrier(name: str = "biahub-barrier") -> None:
+_BARRIER_SEQ = 0
+
+
+def barrier(name: str = "biahub-barrier", timeout_s: float | None = None) -> None:
     """Block until every process reaches this point (no-op single-process).
 
     Used around output-plate creation so workers never write into a store the
     coordinator has not finished initializing.
+
+    Bounded: when a peer dies (preemption, OOM-kill), waiting forever would
+    stall the whole fleet — the reference gets its resilience from Nextflow's
+    preemption retries (reference: nextflow/nextflow.config:36-56); here the
+    survivor fails fast after ``timeout_s`` (default
+    ``BIAHUB_TPU_BARRIER_TIMEOUT_S``, 600 s) with an actionable error, and a
+    restarted run resumes from the per-unit progress records
+    (io/progress.py). Barrier ids get a per-process sequence suffix; every
+    process must call barriers in the same order (which the blocking
+    semantics require anyway), so the suffixes agree.
     """
-    if jax.process_count() > 1:
+    global _BARRIER_SEQ
+    if jax.process_count() <= 1:
+        return
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("BIAHUB_TPU_BARRIER_TIMEOUT_S", "600"))
+    client = None
+    try:
+        from jax._src import distributed as _jax_distributed
+
+        client = _jax_distributed.global_state.client
+    except Exception:  # pragma: no cover - private-API drift
+        client = None
+    if client is None:  # pragma: no cover - adopted runtimes without a client
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(name)
+        return
+    _BARRIER_SEQ += 1
+    try:
+        client.wait_at_barrier(f"{name}-{_BARRIER_SEQ}", int(timeout_s * 1000))
+    except Exception as exc:
+        raise RuntimeError(
+            f"barrier {name!r} timed out after {timeout_s:.0f} s — a peer "
+            f"process likely died (preempted/OOM). This process is exiting "
+            f"so the fleet fails fast instead of hanging; restart the run on "
+            f"all hosts and finished units will be skipped via the resume "
+            f"records. (Tune with BIAHUB_TPU_BARRIER_TIMEOUT_S.)"
+        ) from exc

@@ -63,3 +63,64 @@ def test_two_process_distributed_runtime(tmp_path):
     # Each process must report owning exactly half of the 12 units.
     assert any("multi-host: process 1/2 owns 6/12 units" in o for o in outputs)
     assert any("multi-host: process 2/2 owns 6/12 units" in o for o in outputs)
+
+
+def test_peer_death_fails_fast_and_restart_resumes(tmp_path):
+    """A killed peer must not stall the fleet: the survivor's barrier times
+    out with an actionable error (non-zero exit, promptly), and a restarted
+    run resumes from the progress records the striped pass committed."""
+    import time
+
+    worker = Path(__file__).parent / "multihost_failure_worker.py"
+    repo_root = Path(__file__).parents[1]
+    port = _free_port()
+    env = os.environ.copy()
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["CI"] = "true"
+    env["PYTHONPATH"] = f"{repo_root}{os.pathsep}{env.get('PYTHONPATH', '')}"
+    workdir = tmp_path / "work"
+    workdir.mkdir()
+    t0 = time.monotonic()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port), str(workdir)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    try:
+        outputs = [p.communicate(timeout=240)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        outputs = [p.communicate()[0] + "\n<timed out>" for p in procs]
+    elapsed = time.monotonic() - t0
+
+    assert procs[1].returncode == 0, f"peer:\n{outputs[1]}"
+    assert "WORKER-1-DYING" in outputs[1]
+    # Survivor fails fast (exit 3 from the asserted RuntimeError path), well
+    # before a heartbeat-scale stall.
+    assert procs[0].returncode == 3, f"survivor:\n{outputs[0]}"
+    assert "BARRIER-TIMEOUT-OK" in outputs[0]
+    assert elapsed < 200, f"survivor took {elapsed:.0f}s to fail"
+
+    # Restarted (single-process) run over the same store resumes: every unit
+    # was finished by the striped pass, so all are skipped.
+    import numpy as np
+
+    from biahub_tpu.io.ngff import open_ome_zarr
+    from biahub_tpu.runtime.executor import BatchRunner
+
+    in_pos = [open_ome_zarr(str(workdir / "in.zarr" / "A" / "1" / "0"))]
+    out_pos = [open_ome_zarr(str(workdir / "out.zarr" / "A" / "1" / "0"))]
+    runner = BatchRunner(cluster="debug")
+    n = runner.run_zyx(
+        lambda v: v + 1.0, in_pos, out_pos, resume=True, resume_token="failtok"
+    )
+    assert n == 0, f"restart re-ran {n} units instead of resuming"
+    written = np.asarray(out_pos[0].data[:])
+    expected = np.arange(written.size, dtype=np.float32).reshape(written.shape) + 1.0
+    np.testing.assert_allclose(written, expected, rtol=1e-6)

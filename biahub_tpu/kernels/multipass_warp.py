@@ -42,6 +42,7 @@ __all__ = [
     "make_batched_multipass_kernel",
     "make_traced_multipass_warp",
     "chunked_affine_warp_zyx",
+    "common_frame_bytes",
 ]
 
 
@@ -283,6 +284,36 @@ def _frame_from_bounds(lo: np.ndarray, hi: np.ndarray):
     off = np.floor(lo).astype(int) - 2  # common index = coord - off
     size = (np.ceil(hi).astype(int) - off) + 4
     return off, tuple(int(s) for s in size)
+
+
+def common_frame_bytes(
+    matrix, in_shape: tuple[int, int, int], out_shape: tuple[int, int, int]
+) -> int:
+    """Per-volume HBM working footprint of the COMMON-frame multipass warp.
+
+    The general warp embeds the volume into a frame spanning every pass's
+    coordinate bounds (:func:`_coord_bounds`), which for large rotations can
+    dwarf both the input and the output — a volume can fit the batch budget
+    by its in+out footprint yet blow HBM inside the warp (the gap the
+    reference avoids by splitting along X for GPU memory,
+    biahub/deskew.py:554-576). Callers add this to their budget math so
+    over-frame volumes take the chunked path, whose back-propagated per-chunk
+    boxes keep frames small. Returns 0 for matrix families that never build
+    the common frame (translation / in-plane / exact-gather fallback).
+    """
+    from biahub_tpu.kernels.affine import is_inplane_matrix, is_translation_matrix
+
+    matrix = np.asarray(matrix, dtype=np.float64)
+    if is_translation_matrix(matrix) or is_inplane_matrix(matrix):
+        return 0
+    try:
+        passes = factor_affine(matrix)
+    except ValueError:  # vanishing pivot: exact-gather fallback, in/out sized
+        return 0
+    lo, hi = _coord_bounds(passes, np.asarray(in_shape), np.asarray(out_shape))
+    _, frame_shape = _frame_from_bounds(lo, hi)
+    # Two frame-sized f32 buffers are alive while each elementary pass runs.
+    return 2 * 4 * int(np.prod(frame_shape))
 
 
 def multipass_affine_warp_zyx(

@@ -130,17 +130,44 @@ def _dot(a, b, prec):
 
 
 def _fwd_yx_kernel(
-    v_ref, cx_ref, sx_ref, wyr_ref, wyi_ref, gr_ref, gi_ref, *, prec, zb
+    v_ref, cx_ref, sx_ref, wyr_ref, wyi_ref, *out_refs, prec, zb, peel, radix
 ):
-    """rfft along X then DFT along Y of ``zb`` (Y, X) z-slices, all in VMEM."""
+    """rfft along X then DFT along Y of ``zb`` (Y, X) z-slices, all in VMEM.
+
+    ``peel``: the even-X Nyquist bin is dropped from the matmul width (so kx
+    fills lane tiles exactly — 513 lanes cost 5 MXU tile-columns, 512 cost 4)
+    and emitted separately as a cheap VPU (-1)^x reduction; its tiny y/z
+    transforms run in XLA outside. ``radix``: spectra are written to separate
+    even-z/odd-z arrays (requires zb == 2), feeding pass B's radix-2 z-DFT.
+    """
+    if radix:
+        gr_refs = (out_refs[0], out_refs[2])
+        gi_refs = (out_refs[1], out_refs[3])
+        rest = out_refs[4:]
+    else:
+        gr_refs = (out_refs[0],) * zb
+        gi_refs = (out_refs[1],) * zb
+        rest = out_refs[2:]
+    nyq_ref = rest[0] if peel else None
     wyr = wyr_ref[:]
     wyi = wyi_ref[:]
     for j in range(zb):
         v = v_ref[j]  # (Y, X)
-        xr = _dot(v, cx_ref[:], prec)  # (Y, Xh)
+        xr = _dot(v, cx_ref[:], prec)  # (Y, Xw)
         xi = _dot(v, sx_ref[:], prec)
-        gr_ref[j] = _dot(wyr, xr, prec) - _dot(wyi, xi, prec)
-        gi_ref[j] = _dot(wyr, xi, prec) + _dot(wyi, xr, prec)
+        out_j = 0 if radix else j
+        gr_refs[j][out_j] = _dot(wyr, xr, prec) - _dot(wyi, xi, prec)
+        gi_refs[j][out_j] = _dot(wyr, xi, prec) + _dot(wyi, xr, prec)
+        if peel:
+            # Nyquist bin of the rfft: sum_x v * (-1)^x, exact on the VPU.
+            sign = 1.0 - 2.0 * (
+                jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) % 2
+            ).astype(jnp.float32)
+            nyq = jnp.sum(v * sign, axis=1, keepdims=True)  # (Y, 1)
+            lane0 = (
+                jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], 128), 1) == 0
+            ).astype(jnp.float32)
+            nyq_ref[j] = nyq * lane0  # (Y, 128), data in lane 0
 
 
 def _z_filter_kernel(
@@ -210,18 +237,118 @@ def _z_complex_filter_kernel(
     oi_ref[0] = _dot(izr_ref[:], pi, prec) + _dot(izi_ref[:], pr, prec)
 
 
-def _inv_yx_kernel(
-    hr_ref, hi_ref, iyr_ref, iyi_ref, ar_ref, ai_ref, out_ref, *, prec, zb
+def _radix_z_core(er, ei, or_, oi, wzr, wzi, izr, izi, twr, twi, filt_fn, prec):
+    """Radix-2 DFT_z -> filter -> iDFT_z on even/odd (Z/2, Xw) tiles.
+
+    Decimation in time: X_lo = E + tw*O, X_hi = E - tw*O with half-size dense
+    DFTs E, O and twiddles tw[k] = exp(-2i*pi*k/Z) — (Z/2, Z/2) matmuls at
+    half the FLOPs of the dense (Z, Z) transform, and Z/2 = 128 is exactly
+    the MXU tile depth at the flagship Z = 256. The inverse mirrors it:
+    x_even = iDFT(X_lo + X_hi)/2, x_odd = iDFT(conj(tw)*(X_lo - X_hi))/2
+    (the /2 is folded into the iDFT matrices by the driver).
+    """
+    ehr = _dot(wzr, er, prec) - _dot(wzi, ei, prec)
+    ehi = _dot(wzr, ei, prec) + _dot(wzi, er, prec)
+    ohr = _dot(wzr, or_, prec) - _dot(wzi, oi, prec)
+    ohi = _dot(wzr, oi, prec) + _dot(wzi, or_, prec)
+    tr = twr * ohr - twi * ohi
+    ti = twr * ohi + twi * ohr
+    lo_r, lo_i = ehr + tr, ehi + ti
+    hi_r, hi_i = ehr - tr, ehi - ti
+    lo_r, lo_i, hi_r, hi_i = filt_fn(lo_r, lo_i, hi_r, hi_i)
+    sr, si = lo_r + hi_r, lo_i + hi_i
+    dr0, di0 = lo_r - hi_r, lo_i - hi_i
+    # conj(tw) * (lo - hi)
+    dr = twr * dr0 + twi * di0
+    di = twr * di0 - twi * dr0
+    xer = _dot(izr, sr, prec) - _dot(izi, si, prec)
+    xei = _dot(izr, si, prec) + _dot(izi, sr, prec)
+    xor_ = _dot(izr, dr, prec) - _dot(izi, di, prec)
+    xoi = _dot(izr, di, prec) + _dot(izi, dr, prec)
+    return xer, xei, xor_, xoi
+
+
+def _z_filter_kernel_radix(
+    er_ref, ei_ref, or_ref, oi_ref, tf_ref,
+    wzr_ref, wzi_ref, izr_ref, izi_ref, twr_ref, twi_ref,
+    her_ref, hei_ref, hor_ref, hoi_ref,
+    *, reg, prec, z2,
 ):
-    """Inverse DFT along Y then irfft along X of ``zb`` (Y, Xh) slices."""
+    """Radix-2 Tikhonov variant of :func:`_z_filter_kernel` (one ky row)."""
+
+    def filt(lo_r, lo_i, hi_r, hi_i):
+        tf = tf_ref[0]
+        f = tf / (tf * tf + reg)
+        return lo_r * f[:z2], lo_i * f[:z2], hi_r * f[z2:], hi_i * f[z2:]
+
+    xer, xei, xor_, xoi = _radix_z_core(
+        er_ref[0], ei_ref[0], or_ref[0], oi_ref[0],
+        wzr_ref[:], wzi_ref[:], izr_ref[:], izi_ref[:],
+        twr_ref[:], twi_ref[:], filt, prec,
+    )
+    her_ref[0], hei_ref[0], hor_ref[0], hoi_ref[0] = xer, xei, xor_, xoi
+
+
+def _z_complex_filter_kernel_radix(
+    er_ref, ei_ref, or_ref, oi_ref, fr_ref, fi_ref,
+    wzr_ref, wzi_ref, izr_ref, izi_ref, twr_ref, twi_ref,
+    her_ref, hei_ref, hor_ref, hoi_ref,
+    *, prec, z2,
+):
+    """Radix-2 complex-Hermitian-filter variant (one ky row)."""
+
+    def filt(lo_r, lo_i, hi_r, hi_i):
+        fr, fi = fr_ref[0], fi_ref[0]
+        flr, fli, fhr, fhi = fr[:z2], fi[:z2], fr[z2:], fi[z2:]
+        return (
+            lo_r * flr - lo_i * fli,
+            lo_r * fli + lo_i * flr,
+            hi_r * fhr - hi_i * fhi,
+            hi_r * fhi + hi_i * fhr,
+        )
+
+    xer, xei, xor_, xoi = _radix_z_core(
+        er_ref[0], ei_ref[0], or_ref[0], oi_ref[0],
+        wzr_ref[:], wzi_ref[:], izr_ref[:], izi_ref[:],
+        twr_ref[:], twi_ref[:], filt, prec,
+    )
+    her_ref[0], hei_ref[0], hor_ref[0], hoi_ref[0] = xer, xei, xor_, xoi
+
+
+def _inv_yx_kernel(*refs, prec, zb, peel, radix):
+    """Inverse DFT along Y then irfft along X of ``zb`` (Y, Xw) slices.
+
+    ``radix``: the spectra arrive as even-z/odd-z array pairs and the program
+    writes the two consecutive real-z slices of its (2, Y, X) output block.
+    ``peel``: the precomputed real Nyquist plane (lane 0 of a (zb, Y, 128)
+    block) is broadcast-added with the (-1)^x basis on the VPU.
+    """
+    if radix:
+        hr_refs = (refs[0], refs[2])
+        hi_refs = (refs[1], refs[3])
+        rest = refs[4:]
+    else:
+        hr_refs = (refs[0],) * zb
+        hi_refs = (refs[1],) * zb
+        rest = refs[2:]
+    iyr_ref, iyi_ref, ar_ref, ai_ref = rest[:4]
+    rest = rest[4:]
+    nyq_ref = rest[0] if peel else None
+    out_ref = rest[1] if peel else rest[0]
     iyr = iyr_ref[:]
     iyi = iyi_ref[:]
     for j in range(zb):
-        hr = hr_ref[j]
-        hi = hi_ref[j]
+        hr = hr_refs[j][0 if radix else j]
+        hi = hi_refs[j][0 if radix else j]
         rr = _dot(iyr, hr, prec) - _dot(iyi, hi, prec)
         ri = _dot(iyr, hi, prec) + _dot(iyi, hr, prec)
-        out_ref[j] = _dot(rr, ar_ref[:], prec) + _dot(ri, ai_ref[:], prec)
+        out = _dot(rr, ar_ref[:], prec) + _dot(ri, ai_ref[:], prec)
+        if peel:
+            sign = 1.0 - 2.0 * (
+                jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) % 2
+            ).astype(jnp.float32)
+            out = out + nyq_ref[j, :, 0:1] * sign
+        out_ref[j] = out
 
 
 # ---------------------------------------------------------------------------
@@ -252,34 +379,74 @@ def deconvolve_pallas_supported(shape: tuple[int, int, int]) -> bool:
     return max(pass_a, pass_b, pass_c) < _VMEM_BUDGET_BYTES
 
 
-def _run_fourier_pipeline(zyx_data: jax.Array, z_filter_kernel, filter_arrays):
-    """Shared 3-pass driver: forward YX, a caller-supplied fused Z-DFT +
-    filter + iDFT-Z kernel over y-slabs, inverse YX."""
+def _nyq_filter_chain(nyq_raw, filter_arrays, reg, x):
+    """XLA transform chain for the peeled Nyquist-kx plane.
+
+    ``nyq_raw`` (Z, Y) is the real (-1)^x reduction from pass A; the plane's
+    y/z DFTs, filter, and inverse DFTs are a 2D problem ~1000x smaller than
+    the main spectrum, so XLA f32 FFTs handle it exactly. Returns the REAL
+    plane pass C broadcast-adds with the (-1)^x basis, with the irfft's 1/X
+    normalization folded in (the Nyquist bin's Hermitian weight is 1).
+    """
+    spec = jnp.fft.fftn(nyq_raw.astype(jnp.complex64), axes=(0, 1))
+    if reg is not None:
+        tf = filter_arrays[0][..., -1]  # (Z, Y) Nyquist slice
+        spec = spec * (tf / (tf * tf + reg))
+    else:
+        fr, fi = (f[..., -1] for f in filter_arrays)
+        spec = spec * jax.lax.complex(fr, fi)
+    plane = jnp.real(jnp.fft.ifftn(spec, axes=(0, 1))) / x
+    return plane.astype(jnp.float32)
+
+
+def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None):
+    """Shared 3-pass driver: forward YX, the fused per-ky-row Z-DFT + filter
+    + iDFT-Z pass, inverse YX. ``reg`` selects the Tikhonov kernels
+    (filter_arrays = (tf,)); None selects the complex-Hermitian-filter
+    kernels (filter_arrays = (re, im)).
+
+    Two shape-gated optimizations (both exact, both on for the flagship
+    256x256x1024 FOV):
+    - **Nyquist peel** (X % 256 == 0): kx = X/2 + 1 is 1 mod 128, so the
+      dense passes waste a fifth MXU tile-column on one lane; the Nyquist
+      bin moves to a VPU reduction + tiny XLA chain and the matmuls run at
+      exactly 4 tiles.
+    - **Radix-2 z** (Z % 16 == 0): pass B's z-DFTs run as even/odd
+      half-size dense transforms + twiddles — half the MXU FLOPs, and
+      Z/2 = 128 is exactly the MXU tile depth at the flagship Z.
+    """
     z, y, x = zyx_data.shape
     xh = x // 2 + 1
+    peel = x % 2 == 0 and xh % 128 == 1 and xh > 1
+    xw = xh - 1 if peel else xh
+    radix = z % 16 == 0
+    zb = 2 if z % 2 == 0 else 1
+    z2 = z // 2
     prec = _precision()
     interpret = jax.default_backend() != "tpu"
 
-    cx, sx = (jnp.asarray(m) for m in _rfft_mats(x))
+    cx, sx = (jnp.asarray(m[:, :xw]) for m in _rfft_mats(x))
     wyr, wyi = (jnp.asarray(m) for m in _dft_mats(y))
-    wzr, wzi = (jnp.asarray(m) for m in _dft_mats(z))
-    izr, izi = (jnp.asarray(m) for m in _idft_mats(z))
     iyr, iyi = (jnp.asarray(m) for m in _idft_mats(y))
-    ax, bx = (jnp.asarray(m) for m in _irfft_mats(x))
+    ax, bx = (jnp.asarray(m[:xw]) for m in _irfft_mats(x))
+    if radix:
+        wzr, wzi = (jnp.asarray(m) for m in _dft_mats(z2))
+        izr, izi = (jnp.asarray(m / 2.0) for m in _idft_mats(z2))
+        ang = -2.0 * np.pi * np.arange(z2) / z
+        twr = jnp.asarray(np.cos(ang)[:, None].astype(np.float32))
+        twi = jnp.asarray(np.sin(ang)[:, None].astype(np.float32))
+    else:
+        wzr, wzi = (jnp.asarray(m) for m in _dft_mats(z))
+        izr, izi = (jnp.asarray(m) for m in _idft_mats(z))
 
     v = zyx_data.astype(jnp.float32)
 
     def full(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
-    # Two z-slices per program amortize per-program grid/DMA overhead in the
-    # YX passes without the compile-time blowup of deeper unrolls.
-    zb = 2 if z % 2 == 0 else 1
-    spec_zslice = pl.BlockSpec((zb, y, xh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     # Working sets exceed the 16 MB default scoped-VMEM budget at flagship
-    # shapes (pass B's slabs; passes A/C's 2-slice blocks under vmap); the
-    # kernels are MXU-bound, so trading pipeline headroom for big blocks is
-    # the right side of the bargain.
+    # shapes; the kernels are MXU-bound, so trading pipeline headroom for
+    # big blocks is the right side of the bargain.
     vmem_params = (
         {}
         if interpret
@@ -290,69 +457,114 @@ def _run_fourier_pipeline(zyx_data: jax.Array, z_filter_kernel, filter_arrays):
         }
     )
 
-    gr, gi = pl.pallas_call(
-        partial(_fwd_yx_kernel, prec=prec, zb=zb),
+    # -- Pass A ------------------------------------------------------------
+    spec_zslice = pl.BlockSpec((zb, y, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_half = pl.BlockSpec((1, y, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    if radix:
+        a_out_specs = [spec_half] * 4
+        a_out_shapes = [jax.ShapeDtypeStruct((z2, y, xw), jnp.float32)] * 4
+    else:
+        a_out_specs = [spec_zslice] * 2
+        a_out_shapes = [jax.ShapeDtypeStruct((z, y, xw), jnp.float32)] * 2
+    if peel:
+        a_out_specs.append(
+            pl.BlockSpec((zb, y, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+        a_out_shapes.append(jax.ShapeDtypeStruct((z, y, 128), jnp.float32))
+    a_out = pl.pallas_call(
+        partial(_fwd_yx_kernel, prec=prec, zb=zb, peel=peel, radix=radix),
         grid=(z // zb,),
         in_specs=[
             pl.BlockSpec((zb, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            full((x, xh)),
-            full((x, xh)),
+            full((x, xw)),
+            full((x, xw)),
             full((y, y)),
             full((y, y)),
         ],
-        out_specs=(spec_zslice, spec_zslice),
-        out_shape=(
-            jax.ShapeDtypeStruct((z, y, xh), jnp.float32),
-            jax.ShapeDtypeStruct((z, y, xh), jnp.float32),
-        ),
+        out_specs=tuple(a_out_specs),
+        out_shape=tuple(a_out_shapes),
         interpret=interpret,
         **vmem_params,
     )(v, cx, sx, wyr, wyi)
+    spectra = list(a_out[:-1] if peel else a_out)
+    nyq_plane = None
+    if peel:
+        nyq_plane = _nyq_filter_chain(a_out[-1][..., 0], filter_arrays, reg, x)
 
-    # Pass B runs one program per ky ROW on ky-major spectra: each operand is
-    # then a whole (Z, Xh) tile, so the z contraction needs no sublane
-    # extraction, no lane padding, and no per-column loop. The (z, ky, kx) ->
-    # (ky, z, kx) transposes are major-axis only (the lane axis stays minor),
-    # which XLA moves at near-HBM speed — measured cheaper than either the
-    # slab relayouts (~2x pass-B cost) or lane-folding's flatten copies plus
-    # 25% pad traffic on every pass.
+    # -- Pass B ------------------------------------------------------------
+    # One program per ky ROW on ky-major spectra: each operand is a whole
+    # (Z[/2], Xw) tile, so the z contraction needs no sublane extraction and
+    # no per-column loop. The (z, ky, kx) -> (ky, z, kx) transposes are
+    # major-axis-only XLA copies (the lane axis stays minor) — measured
+    # cheaper than slab relayouts (~2x pass-B cost) or lane-folding's
+    # flatten copies plus 25% pad traffic on every pass.
     def t01(a):
         return jnp.transpose(a, (1, 0, 2))
 
-    spec_row = pl.BlockSpec((1, z, xh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    hr, hi = pl.pallas_call(
-        partial(z_filter_kernel, prec=prec),
+    filt_main = [t01(f[..., :xw]) for f in filter_arrays]
+    zdim = z2 if radix else z
+    spec_row = pl.BlockSpec((1, zdim, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_filt = pl.BlockSpec((1, z, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    n_spec = len(spectra)
+    if radix:
+        b_kernel = (
+            partial(_z_filter_kernel_radix, reg=float(reg), prec=prec, z2=z2)
+            if reg is not None
+            else partial(_z_complex_filter_kernel_radix, prec=prec, z2=z2)
+        )
+        b_mats = [full((z2, z2))] * 4 + [full((z2, 1))] * 2
+        mats = (wzr, wzi, izr, izi, twr, twi)
+    else:
+        b_kernel = (
+            partial(_z_filter_kernel, reg=float(reg), prec=prec)
+            if reg is not None
+            else partial(_z_complex_filter_kernel, prec=prec)
+        )
+        b_mats = [full((z, z))] * 4
+        mats = (wzr, wzi, izr, izi)
+    filtered = pl.pallas_call(
+        b_kernel,
         grid=(y,),
-        in_specs=[spec_row, spec_row]
-        + [spec_row] * len(filter_arrays)
-        + [full((z, z))] * 4,
-        out_specs=(spec_row, spec_row),
-        out_shape=(
-            jax.ShapeDtypeStruct((y, z, xh), jnp.float32),
-            jax.ShapeDtypeStruct((y, z, xh), jnp.float32),
+        in_specs=[spec_row] * n_spec + [spec_filt] * len(filt_main) + b_mats,
+        out_specs=(spec_row,) * n_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((y, zdim, xw), jnp.float32) for _ in range(n_spec)
         ),
         # The forward spectrum is dead after this pass — reuse its buffers.
-        input_output_aliases={0: 0, 1: 1},
+        input_output_aliases={i: i for i in range(n_spec)},
         interpret=interpret,
         **vmem_params,
-    )(t01(gr), t01(gi), *[t01(f) for f in filter_arrays], wzr, wzi, izr, izi)
+    )(*[t01(s) for s in spectra], *filt_main, *mats)
 
+    # -- Pass C ------------------------------------------------------------
+    c_zb = 2 if radix else zb
+    c_grid = z2 if radix else z // zb
+    c_spec_in = spec_half if radix else spec_zslice
+    c_in_specs = [c_spec_in] * n_spec + [
+        full((y, y)),
+        full((y, y)),
+        full((xw, x)),
+        full((xw, x)),
+    ]
+    c_args = [t01(f) for f in filtered] + [iyr, iyi, ax, bx]
+    if peel:
+        c_in_specs.append(
+            pl.BlockSpec((c_zb, y, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+        c_args.append(
+            jnp.pad(nyq_plane[:, :, None], ((0, 0), (0, 0), (0, 127)))
+        )
     out = pl.pallas_call(
-        partial(_inv_yx_kernel, prec=prec, zb=zb),
-        grid=(z // zb,),
-        in_specs=[
-            spec_zslice,
-            spec_zslice,
-            full((y, y)),
-            full((y, y)),
-            full((xh, x)),
-            full((xh, x)),
-        ],
-        out_specs=pl.BlockSpec((zb, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        partial(_inv_yx_kernel, prec=prec, zb=c_zb, peel=peel, radix=radix),
+        grid=(c_grid,),
+        in_specs=c_in_specs,
+        out_specs=pl.BlockSpec(
+            (c_zb, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((z, y, x), jnp.float32),
         interpret=interpret,
         **vmem_params,
-    )(t01(hr), t01(hi), iyr, iyi, ax, bx)
+    )(*c_args)
     return out
 
 
@@ -365,9 +577,7 @@ def deconvolve_zyx_pallas(
     ~1e-5 relative (dense f32 DFT vs split-radix FFT rounding)."""
     tf = transfer_function_half.astype(jnp.float32)
     return _run_fourier_pipeline(
-        zyx_data,
-        partial(_z_filter_kernel, reg=float(regularization_strength)),
-        (tf,),
+        zyx_data, (tf,), reg=float(regularization_strength)
     )
 
 
@@ -387,7 +597,6 @@ def fourier_filter_zyx_pallas(
     """
     return _run_fourier_pipeline(
         zyx_data,
-        _z_complex_filter_kernel,
         (
             filter_half_real.astype(jnp.float32),
             filter_half_imag.astype(jnp.float32),

@@ -317,8 +317,17 @@ def register_cli(
         for name in source_channel_names
         if name in settings.source_channel_names
     ]
-    volume_bytes = 4 * (
-        int(np.prod(source_shape_zyx)) + int(np.prod(cropped_shape_zyx))
+    from biahub_tpu.kernels.multipass_warp import common_frame_bytes
+
+    # Budget in + out + the warp's internal common-frame footprint: a
+    # rotation's frame can dwarf both, so an "in-budget" volume could still
+    # blow HBM inside the multipass warp without this term.
+    workspace_bytes = common_frame_bytes(
+        warp_matrix, source_shape_zyx, tuple(cropped_shape_zyx)
+    )
+    volume_bytes = (
+        4 * (int(np.prod(source_shape_zyx)) + int(np.prod(cropped_shape_zyx)))
+        + workspace_bytes
     )
     if volume_bytes > runner.max_batch_bytes:
         # A single volume exceeds the HBM budget: warp output chunks whose
@@ -371,6 +380,7 @@ def register_cli(
             channel_pairs=registered_pairs,
             time_indices=time_indices,
             monitor=monitor and resolved != "debug",
+            unit_workspace_bytes=workspace_bytes,
         )
 
     # Crop-copy the non-registered target channels

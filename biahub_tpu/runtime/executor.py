@@ -254,12 +254,18 @@ class BatchRunner:
         return self.mesh.devices.size
 
     def _batch_size(
-        self, unit_shape: tuple[int, ...], n_units: int, out_bytes: int = 0
+        self,
+        unit_shape: tuple[int, ...],
+        n_units: int,
+        out_bytes: int = 0,
+        workspace_bytes: int = 0,
     ) -> int:
         # Budget the input AND output footprint: outputs can dwarf inputs
         # (keep-overhang deskew emits ~9x the input voxels), and sizing on
-        # input alone exhausts HBM at production volume sizes.
-        unit_bytes = int(np.prod(unit_shape)) * 4 + int(out_bytes)
+        # input alone exhausts HBM at production volume sizes. Kernels with
+        # large internal working sets (the multipass warp's common frame)
+        # declare them via workspace_bytes — invisible to shape tracing.
+        unit_bytes = int(np.prod(unit_shape)) * 4 + int(out_bytes) + int(workspace_bytes)
         by_mem = max(1, self.max_batch_bytes // max(unit_bytes, 1))
         b = int(min(n_units, by_mem))
         # Round up to a multiple of the device count so sharding stays even;
@@ -313,13 +319,17 @@ class BatchRunner:
         per_unit_params: Callable[[WorkUnit], dict[str, np.ndarray]] | None = None,
         progress_label: str = "",
         monitor: bool = False,
+        unit_workspace_bytes: int = 0,
     ) -> int:
         """Process work units; returns the number of units computed.
 
         ``kernel`` maps one ZYX (c_in is an int) or CZYX (c_in is a tuple)
         volume to its output volume and must be jittable; per-unit traced
         parameters (e.g. a per-timepoint transform) come from
-        ``per_unit_params``.
+        ``per_unit_params``. ``unit_workspace_bytes`` declares the kernel's
+        per-unit internal working set (e.g. the multipass warp's common
+        frame) so batch sizing doesn't overcommit HBM on intermediates that
+        shape tracing can't see.
 
         ``monitor=True`` runs the batches on a worker thread while the calling
         thread renders a live per-position job table (ctrl-C cancels the run
@@ -333,6 +343,7 @@ class BatchRunner:
         # records compute a different stripe, orphaning units.
         units = stripe_units(units)
         all_units = units
+        self._workspace_bytes = int(unit_workspace_bytes)
         progress: dict[int, ProgressStore] = {}
         if resume:
             for u in units:
@@ -456,6 +467,7 @@ class BatchRunner:
                 group.shape,
                 len(group.units),
                 self._unit_output_bytes(kernel, group, per_unit_params),
+                getattr(self, "_workspace_bytes", 0),
             )
             chunks = [
                 group.units[i : i + B] for i in range(0, len(group.units), B)

@@ -204,7 +204,22 @@ def stabilize(
                 return affine_warp_zyx(zyx, matrix, out_shape_zyx)
 
     runner = BatchRunner(cluster=resolved)
-    volume_bytes = 4 * (int(np.prod((Z, Y, X))) + int(np.prod(out_shape_zyx)))
+    from biahub_tpu.kernels.multipass_warp import common_frame_bytes
+
+    # Budget in + out + the warp's internal common-frame footprint (the worst
+    # per-timepoint matrix): a rotation's frame can dwarf both, so an
+    # "in-budget" volume could still blow HBM inside the multipass warp.
+    workspace_bytes = max(
+        (
+            common_frame_bytes(m, (Z, Y, X), tuple(out_shape_zyx))
+            for mats in per_position_mats
+            for m in mats
+        ),
+        default=0,
+    )
+    volume_bytes = (
+        4 * (int(np.prod((Z, Y, X))) + int(np.prod(out_shape_zyx))) + workspace_bytes
+    )
     if volume_bytes > runner.max_batch_bytes:
         # Over-HBM volumes: warp output chunks per unit with that unit's
         # matrix. chunked_affine_warp_zyx picks the same kernel family the
@@ -249,6 +264,7 @@ def stabilize(
         output_positions,
         per_unit_params=param_fn,
         monitor=monitor and resolved != "debug",
+        unit_workspace_bytes=workspace_bytes,
     )
     click.echo(f"Stabilized {n} (t, c) volumes")
 

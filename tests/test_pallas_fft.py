@@ -26,10 +26,12 @@ def _numpy_reference(vol, tf_half, reg):
 @pytest.mark.parametrize(
     "shape",
     [
-        (16, 24, 40),  # even everywhere, yb=8 slabs
-        (8, 7, 16),  # Y not divisible by 8 -> whole-Y slab
-        (9, 12, 33),  # odd Z and odd X (no Nyquist bin)
+        (16, 24, 40),  # radix-2 z path (z % 16 == 0), no Nyquist peel
+        (8, 7, 16),  # odd Y (one ky-row program per row), dense z
+        (9, 12, 33),  # odd Z (zb=1) and odd X (no Nyquist bin)
         (4, 6, 9),  # tiny odd X
+        (16, 8, 256),  # Nyquist peel (xh = 129) + radix-2 z combined
+        (8, 6, 256),  # Nyquist peel with the dense z kernel
     ],
 )
 def test_pallas_deconvolve_matches_numpy(shape, monkeypatch):
@@ -126,13 +128,18 @@ def test_supported_gates_degenerate_and_oversized_shapes(monkeypatch):
     assert not deconvolve_pallas_supported((16, 16, 16))
 
 
-def test_complex_hermitian_filter_matches_xla(monkeypatch):
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (8, 16, 24),  # dense z, no peel
+        (16, 8, 256),  # Nyquist peel + radix-2 z
+    ],
+)
+def test_complex_hermitian_filter_matches_xla(shape, monkeypatch):
     """fourier_filter_zyx_pallas == real(ifftn(fftn(v) * F)) for Hermitian F
     (the phase-reconstruction inverse filter shape)."""
     monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
     from biahub_tpu.kernels.pallas_fft import fourier_filter_zyx_pallas
-
-    shape = (8, 16, 24)
     rng = np.random.default_rng(21)
     vol = rng.standard_normal(shape, dtype=np.float32)
     # Hermitian complex filter: FFT of a real kernel, Tikhonov-inverted

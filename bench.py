@@ -60,25 +60,31 @@ def detail_benchmarks(budget_seconds: float = 420.0) -> dict:
             print(f"# detail bench {name} failed: {exc!r}")
 
     def bench_deskew():
+        """Batched (the production configuration: BatchRunner always
+        batches) — a single-volume dispatch would add the ~2.5 ms axon
+        per-dispatch overhead to the number and mask kernel changes (the
+        round-2 7.5-vs-10.0 ms doc/bench discrepancy was exactly that)."""
         from biahub_tpu.kernels.deskew import deskew_zyx
 
-        vol = jnp.asarray(rng.random((256, 256, 1024), np.float32))
+        vols = jnp.asarray(rng.random((2, 256, 256, 1024), np.float32))
 
         @jax.jit
-        def run_one(v):
-            out = deskew_zyx(
-                v,
-                ls_angle_deg=36.17,
-                px_to_scan_ratio=0.371,
-                keep_overhang=False,
-                average_window=3,
-            )
-            return out, jnp.sum(out[0, 0, :8])
+        def run(v):
+            out = jax.vmap(
+                lambda vv: deskew_zyx(
+                    vv,
+                    ls_angle_deg=36.17,
+                    px_to_scan_ratio=0.371,
+                    keep_overhang=False,
+                    average_window=3,
+                )
+            )(v)
+            return out, jnp.sum(out[:, 0, 0, :8])
 
         def sync(r):
             float(r[1])
 
-        return _timed_ms(lambda: run_one(vol), sync)
+        return _timed_ms(lambda: run(vols), sync) / 2  # per volume
 
     def bench_phase_recon():
         from biahub_tpu.recon.optics import tikhonov_inverse_3d

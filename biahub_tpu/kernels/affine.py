@@ -350,14 +350,21 @@ def inplane_affine_warp_zyx_pallas(
     # y-pass in (Xi, Yi, Zo): yi = b0*yo + b1*x + b2
     d = jnp.transpose(d, (1, 0, 2))  # (Xi, Yi, Zo)
     d = shear_resample_pallas(d, Yo, float(b0), float(b1), float(b2), order=1)
-    # x-pass in (Yo, Xi, Zo): xi = mxx*xo + mxy*yo + tx
+    # x-pass in (Yo, Xi, Zo): xi = mxx*xo + mxy*yo + tx. The exact domain
+    # mask of the ORIGINAL matrix rides inside this final pass: its output
+    # element (o=yo, t=zo, r=xo) has input coord i = M[i,1]*o + M[i,0]*t +
+    # M[i,2]*r + M[i,3] — skipping _exact_domain_mask's own volume pass.
     d = jnp.transpose(d, (2, 0, 1))  # (Yo, Xi, Zo)
-    d = shear_resample_pallas(d, Xo, float(mxx), float(mxy), float(tx), order=1)
-    out = jnp.transpose(d, (1, 0, 2))  # (Zo, Yo, Xo)
-    return _exact_domain_mask(
-        out, jnp.asarray(m, jnp.float32), volume.shape, tuple(output_shape),
-        float(fill),
+    a_flat = tuple(
+        float(c)
+        for i in range(3)
+        for c in (m[i, 1], m[i, 0], m[i, 2], m[i, 3])
     )
+    d = shear_resample_pallas(
+        d, Xo, float(mxx), float(mxy), float(tx), order=1,
+        mask=(a_flat, tuple(int(s) for s in volume.shape), float(fill)),
+    )
+    return jnp.transpose(d, (1, 0, 2))  # (Zo, Yo, Xo)
 
 
 def make_batched_inplane_kernel(

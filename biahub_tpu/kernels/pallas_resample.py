@@ -37,7 +37,7 @@ __all__ = ["shear_resample_pallas", "shear_resample_pallas_dyn"]
 TILE_R = 128
 
 
-def _resample_kernel(data_ref, out_ref, *, params):
+def _resample_kernel(data_ref, out_ref, *, params, mask=None):
     R_in, T, R_out, K, n_tiles, cr, co, tau, order = params
     o_idx = pl.program_id(0).astype(jnp.float32)
 
@@ -80,16 +80,38 @@ def _resample_kernel(data_ref, out_ref, *, params):
             )
 
         slab = data_ref[0, pl.ds(start, K), :]  # (K, T)
-        out_ref[0, :, pl.ds(tile * TILE_R, tile_w)] = jax.lax.dot_general(
+        res = jax.lax.dot_general(
             slab,
             w.astype(jnp.float32),
             dimension_numbers=(((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+        if mask is not None:
+            # Fold the exact whole-sample domain mask of the ORIGINAL affine
+            # into the chain's final pass: per output voxel at (o=program,
+            # t=sublane, r=lane), input coord i is A[i] . (o, t, r, 1); out
+            # of [0, in_shape[i]-1] on any axis means constant fill — the
+            # _exact_domain_mask semantics without its own 2x-volume pass.
+            a_flat, in_shape, fill = mask
+            t_io = jax.lax.broadcasted_iota(
+                jnp.int32, (T, tile_w), 0
+            ).astype(jnp.float32)
+            r_io = (
+                tile * TILE_R
+                + jax.lax.broadcasted_iota(jnp.int32, (T, tile_w), 1)
+            ).astype(jnp.float32)
+            inside = None
+            for i in range(3):
+                ao, at, ar, ac = a_flat[4 * i : 4 * i + 4]
+                c = ao * o_idx + at * t_io + ar * r_io + ac
+                ok = (c >= 0.0) & (c <= in_shape[i] - 1.0)
+                inside = ok if inside is None else inside & ok
+            res = jnp.where(inside, res, fill)
+        out_ref[0, :, pl.ds(tile * TILE_R, tile_w)] = res
 
 
-@partial(jax.jit, static_argnames=("r_out", "cr", "co", "tau", "order"))
+@partial(jax.jit, static_argnames=("r_out", "cr", "co", "tau", "order", "mask"))
 def shear_resample_pallas(
     data_ort: jax.Array,
     r_out: int,
@@ -97,12 +119,18 @@ def shear_resample_pallas(
     co: float,
     tau: float,
     order: int = 3,
+    mask=None,
 ) -> jax.Array:
     """Resample axis 1 of (O, R_in, T) data at coords cr*r + co*o + tau.
 
     Returns (O, T, r_out) — the resampled axis moves to lanes. Out-of-window
     samples contribute zero weight (the caller's frame padding guarantees
     interior coords never reach the frame edge).
+
+    ``mask`` (static): ``(a_flat, in_shape, fill)`` folds the original
+    affine's whole-sample domain mask into this pass (see _resample_kernel)
+    — chains pass it on their FINAL pass to skip the separate
+    _exact_domain_mask volume pass.
     """
     O, R_in, T = data_ort.shape
     support = 2 if order == 1 else 4
@@ -114,6 +142,7 @@ def shear_resample_pallas(
         _resample_kernel,
         params=(R_in, T, r_out, K, n_tiles, float(cr), float(co), float(tau),
                 int(order)),
+        mask=mask,
     )
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(

@@ -20,13 +20,28 @@ stages stay resident in VMEM:
 - **Pass C** (grid over z): inverse DFT along Y and irfft along X per slice,
   emitting the real volume.
 
+Three shape-gated FLOP optimizations, all exact and all on for the flagship
+256x256x1024 FOV:
+
+- **Nyquist peel** (X % 256 == 0): kx = X/2 + 1 is 1 mod 128, so the dense
+  passes would waste a fifth MXU tile-column on one lane; the Nyquist bin
+  moves to a VPU (-1)^x reduction + a tiny XLA 2D chain, and every matmul
+  runs at exactly 4 lane tiles.
+- **Radix-2 z** (Z % 16 == 0): pass B's z-DFTs run as even/odd half-size
+  dense transforms + twiddles — half the MXU FLOPs, and Z/2 = 128 is
+  exactly the MXU tile depth at the flagship Z. Passes A/C write/read the
+  even/odd-z split natively (separate arrays, no stride-2 relayout).
+- **Radix-2 y** (Y % 16 == 0): the y-DFT in pass A runs decimation-in-
+  frequency (sublane-HALF splits of the in-VMEM operand — aligned slices,
+  not stride-2), emitting ky-even/odd spectra; pass C inverts with the
+  matching decimation-in-time butterfly. Again half the y-DFT FLOPs.
+
 Spectra are carried as split (re, im) float32 arrays: Mosaic has no complex
 dtype, and the axon tunnel cannot fetch complex arrays anyway (CLAUDE.md).
 Matmul precision (``BIAHUB_TPU_FFT_PRECISION``): the default ``high`` runs a
 manual 2-term bf16 split (3 MXU passes; Mosaic has no native HIGH) at ~1e-5
-relative error — 16.3 ms/volume on the flagship 256x256x1024 FOV vs XLA
-rfftn's 44 ms; ``highest`` keeps the full f32 mantissa (6 passes, ~6e-7,
-26.1 ms) when exactness matters more than throughput.
+relative error; ``highest`` keeps the full f32 mantissa (6 passes, ~6e-7)
+when exactness matters more than throughput.
 """
 
 from __future__ import annotations
@@ -107,6 +122,15 @@ def _irfft_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _twiddles(n_half: int, n: int, sign: float) -> tuple[np.ndarray, np.ndarray]:
+    """(n_half, 1) cos/sin columns of exp(sign * 2i*pi*k/n)."""
+    ang = sign * 2.0 * np.pi * np.arange(n_half) / n
+    return (
+        np.cos(ang)[:, None].astype(np.float32),
+        np.sin(ang)[:, None].astype(np.float32),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
@@ -129,35 +153,58 @@ def _dot(a, b, prec):
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=precision)
 
 
+def _cdot(wr, wi, vr, vi, prec):
+    """(wr + i wi) @ (vr + i vi) -> (re, im), four split dots."""
+    return (
+        _dot(wr, vr, prec) - _dot(wi, vi, prec),
+        _dot(wr, vi, prec) + _dot(wi, vr, prec),
+    )
+
+
 def _fwd_yx_kernel(
-    v_ref, cx_ref, sx_ref, wyr_ref, wyi_ref, *out_refs, prec, zb, peel, radix
+    v_ref, cx_ref, sx_ref, wyr_ref, wyi_ref, *rest,
+    prec, zb, peel, radix_z, radix_y,
 ):
     """rfft along X then DFT along Y of ``zb`` (Y, X) z-slices, all in VMEM.
 
-    ``peel``: the even-X Nyquist bin is dropped from the matmul width (so kx
-    fills lane tiles exactly — 513 lanes cost 5 MXU tile-columns, 512 cost 4)
-    and emitted separately as a cheap VPU (-1)^x reduction; its tiny y/z
-    transforms run in XLA outside. ``radix``: spectra are written to separate
-    even-z/odd-z arrays (requires zb == 2), feeding pass B's radix-2 z-DFT.
+    ``radix_y``: the y-DFT runs decimation-in-frequency — sublane-half
+    splits s = lo+hi, d = tw*(lo-hi) feed two half-size dense transforms
+    emitting ky-even/odd spectra. ``radix_z`` (requires zb == 2): spectra
+    go to separate even-z/odd-z arrays for pass B's radix-2 z-DFT.
+    ``peel``: the even-X Nyquist bin is dropped from the matmul width and
+    emitted separately as a cheap VPU (-1)^x reduction.
+
+    Output ref order: for each z-parity (1 or 2), for each ky-parity (1 or
+    2): (re, im); then the Nyquist block when peeled.
     """
-    if radix:
-        gr_refs = (out_refs[0], out_refs[2])
-        gi_refs = (out_refs[1], out_refs[3])
-        rest = out_refs[4:]
-    else:
-        gr_refs = (out_refs[0],) * zb
-        gi_refs = (out_refs[1],) * zb
-        rest = out_refs[2:]
-    nyq_ref = rest[0] if peel else None
+    if radix_y:
+        twyr_ref, twyi_ref = rest[0], rest[1]
+        rest = rest[2:]
+    ny = 2 if radix_y else 1
+    nz = 2 if radix_z else 1
+    spec_refs = rest[: nz * ny * 2]
+    nyq_ref = rest[nz * ny * 2] if peel else None
     wyr = wyr_ref[:]
     wyi = wyi_ref[:]
     for j in range(zb):
         v = v_ref[j]  # (Y, X)
         xr = _dot(v, cx_ref[:], prec)  # (Y, Xw)
         xi = _dot(v, sx_ref[:], prec)
-        out_j = 0 if radix else j
-        gr_refs[j][out_j] = _dot(wyr, xr, prec) - _dot(wyi, xi, prec)
-        gi_refs[j][out_j] = _dot(wyr, xi, prec) + _dot(wyi, xr, prec)
+        if radix_y:
+            y2 = wyr.shape[0]
+            sr, si = xr[:y2] + xr[y2:], xi[:y2] + xi[y2:]
+            dr0, di0 = xr[:y2] - xr[y2:], xi[:y2] - xi[y2:]
+            twr, twi = twyr_ref[:], twyi_ref[:]
+            dr = twr * dr0 - twi * di0
+            di = twr * di0 + twi * dr0
+            results = [_cdot(wyr, wyi, sr, si, prec), _cdot(wyr, wyi, dr, di, prec)]
+        else:
+            results = [_cdot(wyr, wyi, xr, xi, prec)]
+        zpar = j if radix_z else 0
+        idx = 0 if radix_z else j
+        for kpar, (rr_, ii_) in enumerate(results):
+            spec_refs[(zpar * ny + kpar) * 2][idx] = rr_
+            spec_refs[(zpar * ny + kpar) * 2 + 1][idx] = ii_
         if peel:
             # Nyquist bin of the rfft: sum_x v * (-1)^x, exact on the VPU.
             sign = 1.0 - 2.0 * (
@@ -170,74 +217,14 @@ def _fwd_yx_kernel(
             nyq_ref[j] = nyq * lane0  # (Y, 128), data in lane 0
 
 
-def _z_filter_kernel(
-    gr_ref,
-    gi_ref,
-    tf_ref,
-    wzr_ref,
-    wzi_ref,
-    izr_ref,
-    izi_ref,
-    or_ref,
-    oi_ref,
-    *,
-    reg,
-    prec,
-):
-    """DFT_z -> Tikhonov filter -> iDFT_z for one ky row of the spectrum.
-
-    The fully transformed spectrum lives only in VMEM between the two Z-DFT
-    stages — this fusion is the whole point of the kernel. Spectra arrive
-    ky-major ((Y, Z, Xh), one (1, Z, Xh) block per program), so every operand
-    is a whole (Z, Xh) tile: contraction over z needs no sublane extraction
-    (the per-column relayouts of a (Z, yb, Xh) slab held pass B at ~2x its
-    floor), the kernel body is loop-free, and Xh needs no lane padding.
-    """
-    gr = gr_ref[0]  # (Z, Xh)
-    gi = gi_ref[0]
-    hr = _dot(wzr_ref[:], gr, prec) - _dot(wzi_ref[:], gi, prec)
-    hi = _dot(wzr_ref[:], gi, prec) + _dot(wzi_ref[:], gr, prec)
-    tf = tf_ref[0]
-    filt = tf / (tf * tf + reg)
-    hr = hr * filt
-    hi = hi * filt
-    or_ref[0] = _dot(izr_ref[:], hr, prec) - _dot(izi_ref[:], hi, prec)
-    oi_ref[0] = _dot(izr_ref[:], hi, prec) + _dot(izi_ref[:], hr, prec)
+def _dense_z_chain(gr, gi, wzr, wzi, izr, izi, filt_fn, prec):
+    """Dense DFT_z -> filter -> iDFT_z on one (Z, Xw) complex tile."""
+    hr, hi = _cdot(wzr, wzi, gr, gi, prec)
+    hr, hi = filt_fn(hr, hi)
+    return _cdot(izr, izi, hr, hi, prec)
 
 
-def _z_complex_filter_kernel(
-    gr_ref,
-    gi_ref,
-    fr_ref,
-    fi_ref,
-    wzr_ref,
-    wzi_ref,
-    izr_ref,
-    izi_ref,
-    or_ref,
-    oi_ref,
-    *,
-    prec,
-):
-    """DFT_z -> complex (Hermitian) filter multiply -> iDFT_z per ky row.
-
-    Same fusion (and ky-major layout) as :func:`_z_filter_kernel`, with the
-    precomputed filter arriving as split (re, im) arrays — serves the
-    phase-reconstruction inverse filter (recon/optics.py::tikhonov_inverse_3d).
-    """
-    gr = gr_ref[0]  # (Z, Xh)
-    gi = gi_ref[0]
-    hr = _dot(wzr_ref[:], gr, prec) - _dot(wzi_ref[:], gi, prec)
-    hi = _dot(wzr_ref[:], gi, prec) + _dot(wzi_ref[:], gr, prec)
-    fr = fr_ref[0]
-    fi = fi_ref[0]
-    pr = hr * fr - hi * fi
-    pi = hr * fi + hi * fr
-    or_ref[0] = _dot(izr_ref[:], pr, prec) - _dot(izi_ref[:], pi, prec)
-    oi_ref[0] = _dot(izr_ref[:], pi, prec) + _dot(izi_ref[:], pr, prec)
-
-
-def _radix_z_core(er, ei, or_, oi, wzr, wzi, izr, izi, twr, twi, filt_fn, prec):
+def _radix_z_chain(er, ei, or_, oi, wzr, wzi, izr, izi, twr, twi, filt_fn, prec):
     """Radix-2 DFT_z -> filter -> iDFT_z on even/odd (Z/2, Xw) tiles.
 
     Decimation in time: X_lo = E + tw*O, X_hi = E - tw*O with half-size dense
@@ -245,12 +232,11 @@ def _radix_z_core(er, ei, or_, oi, wzr, wzi, izr, izi, twr, twi, filt_fn, prec):
     half the FLOPs of the dense (Z, Z) transform, and Z/2 = 128 is exactly
     the MXU tile depth at the flagship Z = 256. The inverse mirrors it:
     x_even = iDFT(X_lo + X_hi)/2, x_odd = iDFT(conj(tw)*(X_lo - X_hi))/2
-    (the /2 is folded into the iDFT matrices by the driver).
+    (the /2 is folded into the iDFT matrices by the driver). ``filt_fn``
+    filters the CONCATENATED-k spectrum (lo;hi halves stacked on sublanes).
     """
-    ehr = _dot(wzr, er, prec) - _dot(wzi, ei, prec)
-    ehi = _dot(wzr, ei, prec) + _dot(wzi, er, prec)
-    ohr = _dot(wzr, or_, prec) - _dot(wzi, oi, prec)
-    ohi = _dot(wzr, oi, prec) + _dot(wzi, or_, prec)
+    ehr, ehi = _cdot(wzr, wzi, er, ei, prec)
+    ohr, ohi = _cdot(wzr, wzi, or_, oi, prec)
     tr = twr * ohr - twi * ohi
     ti = twr * ohi + twi * ohr
     lo_r, lo_i = ehr + tr, ehi + ti
@@ -258,90 +244,123 @@ def _radix_z_core(er, ei, or_, oi, wzr, wzi, izr, izi, twr, twi, filt_fn, prec):
     lo_r, lo_i, hi_r, hi_i = filt_fn(lo_r, lo_i, hi_r, hi_i)
     sr, si = lo_r + hi_r, lo_i + hi_i
     dr0, di0 = lo_r - hi_r, lo_i - hi_i
-    # conj(tw) * (lo - hi)
-    dr = twr * dr0 + twi * di0
+    dr = twr * dr0 + twi * di0  # conj(tw) * (lo - hi)
     di = twr * di0 - twi * dr0
-    xer = _dot(izr, sr, prec) - _dot(izi, si, prec)
-    xei = _dot(izr, si, prec) + _dot(izi, sr, prec)
-    xor_ = _dot(izr, dr, prec) - _dot(izi, di, prec)
-    xoi = _dot(izr, di, prec) + _dot(izi, dr, prec)
+    xer, xei = _cdot(izr, izi, sr, si, prec)
+    xor_, xoi = _cdot(izr, izi, dr, di, prec)
     return xer, xei, xor_, xoi
 
 
-def _z_filter_kernel_radix(
-    er_ref, ei_ref, or_ref, oi_ref, tf_ref,
-    wzr_ref, wzi_ref, izr_ref, izi_ref, twr_ref, twi_ref,
-    her_ref, hei_ref, hor_ref, hoi_ref,
-    *, reg, prec, z2,
-):
-    """Radix-2 Tikhonov variant of :func:`_z_filter_kernel` (one ky row)."""
+def _pass_b_kernel(*refs, reg, prec, radix_z, ny, n_filt):
+    """Generic pass B: per ky row (one per ky parity when split), run the
+    z-DFT -> filter -> iDFT_z chain, dense or radix-2.
 
-    def filt(lo_r, lo_i, hi_r, hi_i):
-        tf = tf_ref[0]
-        f = tf / (tf * tf + reg)
-        return lo_r * f[:z2], lo_i * f[:z2], hi_r * f[z2:], hi_i * f[z2:]
+    Ref order: spectra in (nz*ny*2) + filters (n_filt*ny) + z matrices
+    (4 dense / 6 radix) + spectra out (nz*ny*2). ``reg`` selects the
+    Tikhonov filter (n_filt == 1 per parity) vs complex (re, im) filters.
+    """
+    nz = 2 if radix_z else 1
+    nspec = nz * ny * 2
+    ins = refs[:nspec]
+    filts = refs[nspec : nspec + n_filt * ny]
+    mats = refs[nspec + n_filt * ny : -nspec]
+    outs = refs[-nspec:]
 
-    xer, xei, xor_, xoi = _radix_z_core(
-        er_ref[0], ei_ref[0], or_ref[0], oi_ref[0],
-        wzr_ref[:], wzi_ref[:], izr_ref[:], izi_ref[:],
-        twr_ref[:], twi_ref[:], filt, prec,
-    )
-    her_ref[0], hei_ref[0], hor_ref[0], hoi_ref[0] = xer, xei, xor_, xoi
+    for kpar in range(ny):
+        def filt_fn_full(hr, hi, _k=kpar):
+            if reg is not None:
+                tf = filts[_k][0]
+                f = tf / (tf * tf + reg)
+                return hr * f, hi * f
+            fr, fi = filts[2 * _k][0], filts[2 * _k + 1][0]
+            return hr * fr - hi * fi, hr * fi + hi * fr
+
+        if radix_z:
+            wzr, wzi, izr, izi, twr, twi = (m[:] for m in mats)
+            z2 = wzr.shape[0]
+
+            def filt_fn(lo_r, lo_i, hi_r, hi_i, _k=kpar):
+                if reg is not None:
+                    tf = filts[_k][0]
+                    f = tf / (tf * tf + reg)
+                    return (
+                        lo_r * f[:z2], lo_i * f[:z2],
+                        hi_r * f[z2:], hi_i * f[z2:],
+                    )
+                fr, fi = filts[2 * _k][0], filts[2 * _k + 1][0]
+                flr, fli, fhr, fhi = fr[:z2], fi[:z2], fr[z2:], fi[z2:]
+                return (
+                    lo_r * flr - lo_i * fli,
+                    lo_r * fli + lo_i * flr,
+                    hi_r * fhr - hi_i * fhi,
+                    hi_r * fhi + hi_i * fhr,
+                )
+
+            xer, xei, xor_, xoi = _radix_z_chain(
+                ins[(0 * ny + kpar) * 2][0], ins[(0 * ny + kpar) * 2 + 1][0],
+                ins[(1 * ny + kpar) * 2][0], ins[(1 * ny + kpar) * 2 + 1][0],
+                wzr, wzi, izr, izi, twr, twi, filt_fn, prec,
+            )
+            outs[(0 * ny + kpar) * 2][0] = xer
+            outs[(0 * ny + kpar) * 2 + 1][0] = xei
+            outs[(1 * ny + kpar) * 2][0] = xor_
+            outs[(1 * ny + kpar) * 2 + 1][0] = xoi
+        else:
+            wzr, wzi, izr, izi = (m[:] for m in mats)
+            xr_, xi_ = _dense_z_chain(
+                ins[kpar * 2][0], ins[kpar * 2 + 1][0],
+                wzr, wzi, izr, izi, filt_fn_full, prec,
+            )
+            outs[kpar * 2][0] = xr_
+            outs[kpar * 2 + 1][0] = xi_
 
 
-def _z_complex_filter_kernel_radix(
-    er_ref, ei_ref, or_ref, oi_ref, fr_ref, fi_ref,
-    wzr_ref, wzi_ref, izr_ref, izi_ref, twr_ref, twi_ref,
-    her_ref, hei_ref, hor_ref, hoi_ref,
-    *, prec, z2,
-):
-    """Radix-2 complex-Hermitian-filter variant (one ky row)."""
-
-    def filt(lo_r, lo_i, hi_r, hi_i):
-        fr, fi = fr_ref[0], fi_ref[0]
-        flr, fli, fhr, fhi = fr[:z2], fi[:z2], fr[z2:], fi[z2:]
-        return (
-            lo_r * flr - lo_i * fli,
-            lo_r * fli + lo_i * flr,
-            hi_r * fhr - hi_i * fhi,
-            hi_r * fhi + hi_i * fhr,
-        )
-
-    xer, xei, xor_, xoi = _radix_z_core(
-        er_ref[0], ei_ref[0], or_ref[0], oi_ref[0],
-        wzr_ref[:], wzi_ref[:], izr_ref[:], izi_ref[:],
-        twr_ref[:], twi_ref[:], filt, prec,
-    )
-    her_ref[0], hei_ref[0], hor_ref[0], hoi_ref[0] = xer, xei, xor_, xoi
-
-
-def _inv_yx_kernel(*refs, prec, zb, peel, radix):
+def _inv_yx_kernel(*refs, prec, zb, peel, radix_z, radix_y):
     """Inverse DFT along Y then irfft along X of ``zb`` (Y, Xw) slices.
 
-    ``radix``: the spectra arrive as even-z/odd-z array pairs and the program
-    writes the two consecutive real-z slices of its (2, Y, X) output block.
-    ``peel``: the precomputed real Nyquist plane (lane 0 of a (zb, Y, 128)
-    block) is broadcast-added with the (-1)^x basis on the VPU.
+    ``radix_y``: the spectra arrive ky-even/odd and the inverse runs the
+    decimation-in-time butterfly — x_lo = A + ctw*B, x_hi = A - ctw*B with
+    half-size dense inverse transforms A, B (the /2 folded into the
+    matrices) and ctw[n] = exp(+2i*pi*n/Y). ``radix_z``: the spectra arrive
+    as even-z/odd-z array pairs and the program writes the two consecutive
+    real-z slices of its (2, Y, X) output block. ``peel``: the precomputed
+    real Nyquist plane (lane 0 of a (zb, Y, 128) block) is broadcast-added
+    with the (-1)^x basis on the VPU.
     """
-    if radix:
-        hr_refs = (refs[0], refs[2])
-        hi_refs = (refs[1], refs[3])
-        rest = refs[4:]
-    else:
-        hr_refs = (refs[0],) * zb
-        hi_refs = (refs[1],) * zb
-        rest = refs[2:]
-    iyr_ref, iyi_ref, ar_ref, ai_ref = rest[:4]
-    rest = rest[4:]
+    ny = 2 if radix_y else 1
+    nz = 2 if radix_z else 1
+    spec_refs = refs[: nz * ny * 2]
+    rest = refs[nz * ny * 2 :]
+    iyr_ref, iyi_ref = rest[0], rest[1]
+    rest = rest[2:]
+    if radix_y:
+        ctwr_ref, ctwi_ref = rest[0], rest[1]
+        rest = rest[2:]
+    ar_ref, ai_ref = rest[0], rest[1]
+    rest = rest[2:]
     nyq_ref = rest[0] if peel else None
     out_ref = rest[1] if peel else rest[0]
     iyr = iyr_ref[:]
     iyi = iyi_ref[:]
     for j in range(zb):
-        hr = hr_refs[j][0 if radix else j]
-        hi = hi_refs[j][0 if radix else j]
-        rr = _dot(iyr, hr, prec) - _dot(iyi, hi, prec)
-        ri = _dot(iyr, hi, prec) + _dot(iyi, hr, prec)
+        zpar = j if radix_z else 0
+        idx = 0 if radix_z else j
+        if radix_y:
+            er = spec_refs[(zpar * ny + 0) * 2][idx]
+            ei = spec_refs[(zpar * ny + 0) * 2 + 1][idx]
+            orr = spec_refs[(zpar * ny + 1) * 2][idx]
+            ori = spec_refs[(zpar * ny + 1) * 2 + 1][idx]
+            a_r, a_i = _cdot(iyr, iyi, er, ei, prec)
+            b_r, b_i = _cdot(iyr, iyi, orr, ori, prec)
+            ctwr, ctwi = ctwr_ref[:], ctwi_ref[:]
+            p_r = ctwr * b_r - ctwi * b_i
+            p_i = ctwr * b_i + ctwi * b_r
+            rr = jnp.concatenate([a_r + p_r, a_r - p_r], axis=0)
+            ri = jnp.concatenate([a_i + p_i, a_i - p_i], axis=0)
+        else:
+            hr = spec_refs[zpar * 2][idx]
+            hi = spec_refs[zpar * 2 + 1][idx]
+            rr, ri = _cdot(iyr, iyi, hr, hi, prec)
         out = _dot(rr, ar_ref[:], prec) + _dot(ri, ai_ref[:], prec)
         if peel:
             sign = 1.0 - 2.0 * (
@@ -400,44 +419,44 @@ def _nyq_filter_chain(nyq_raw, filter_arrays, reg, x):
 
 
 def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None):
-    """Shared 3-pass driver: forward YX, the fused per-ky-row Z-DFT + filter
-    + iDFT-Z pass, inverse YX. ``reg`` selects the Tikhonov kernels
-    (filter_arrays = (tf,)); None selects the complex-Hermitian-filter
-    kernels (filter_arrays = (re, im)).
-
-    Two shape-gated optimizations (both exact, both on for the flagship
-    256x256x1024 FOV):
-    - **Nyquist peel** (X % 256 == 0): kx = X/2 + 1 is 1 mod 128, so the
-      dense passes waste a fifth MXU tile-column on one lane; the Nyquist
-      bin moves to a VPU reduction + tiny XLA chain and the matmuls run at
-      exactly 4 tiles.
-    - **Radix-2 z** (Z % 16 == 0): pass B's z-DFTs run as even/odd
-      half-size dense transforms + twiddles — half the MXU FLOPs, and
-      Z/2 = 128 is exactly the MXU tile depth at the flagship Z.
-    """
+    """Shared 3-pass driver (see the module docstring). ``reg`` selects the
+    Tikhonov kernels (filter_arrays = (tf,)); None selects the
+    complex-Hermitian-filter kernels (filter_arrays = (re, im))."""
     z, y, x = zyx_data.shape
     xh = x // 2 + 1
     peel = x % 2 == 0 and xh % 128 == 1 and xh > 1
     xw = xh - 1 if peel else xh
-    radix = z % 16 == 0
+    radix_z = z % 16 == 0
+    radix_y = y % 16 == 0
     zb = 2 if z % 2 == 0 else 1
-    z2 = z // 2
+    z2, y2 = z // 2, y // 2
+    nz = 2 if radix_z else 1
+    ny = 2 if radix_y else 1
+    yw = y2 if radix_y else y  # per-parity ky rows
+    zw = z2 if radix_z else z  # per-parity z rows
+    n_filt = 1 if reg is not None else 2
     prec = _precision()
     interpret = jax.default_backend() != "tpu"
 
     cx, sx = (jnp.asarray(m[:, :xw]) for m in _rfft_mats(x))
-    wyr, wyi = (jnp.asarray(m) for m in _dft_mats(y))
-    iyr, iyi = (jnp.asarray(m) for m in _idft_mats(y))
     ax, bx = (jnp.asarray(m[:xw]) for m in _irfft_mats(x))
-    if radix:
+    if radix_y:
+        wyr, wyi = (jnp.asarray(m) for m in _dft_mats(y2))
+        iyr, iyi = (jnp.asarray(m / 2.0) for m in _idft_mats(y2))
+        twyr, twyi = (jnp.asarray(m) for m in _twiddles(y2, y, -1.0))
+        ctwr, ctwi = (jnp.asarray(m) for m in _twiddles(y2, y, +1.0))
+    else:
+        wyr, wyi = (jnp.asarray(m) for m in _dft_mats(y))
+        iyr, iyi = (jnp.asarray(m) for m in _idft_mats(y))
+    if radix_z:
         wzr, wzi = (jnp.asarray(m) for m in _dft_mats(z2))
         izr, izi = (jnp.asarray(m / 2.0) for m in _idft_mats(z2))
-        ang = -2.0 * np.pi * np.arange(z2) / z
-        twr = jnp.asarray(np.cos(ang)[:, None].astype(np.float32))
-        twi = jnp.asarray(np.sin(ang)[:, None].astype(np.float32))
+        tzr, tzi = (jnp.asarray(m) for m in _twiddles(z2, z, -1.0))
+        b_mats_v = (wzr, wzi, izr, izi, tzr, tzi)
     else:
         wzr, wzi = (jnp.asarray(m) for m in _dft_mats(z))
         izr, izi = (jnp.asarray(m) for m in _idft_mats(z))
+        b_mats_v = (wzr, wzi, izr, izi)
 
     v = zyx_data.astype(jnp.float32)
 
@@ -458,104 +477,109 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None):
     )
 
     # -- Pass A ------------------------------------------------------------
-    spec_zslice = pl.BlockSpec((zb, y, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    spec_half = pl.BlockSpec((1, y, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    if radix:
-        a_out_specs = [spec_half] * 4
-        a_out_shapes = [jax.ShapeDtypeStruct((z2, y, xw), jnp.float32)] * 4
+    nspec = nz * ny * 2
+    if radix_z:
+        a_spec = pl.BlockSpec((1, yw, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        a_shape = jax.ShapeDtypeStruct((z2, yw, xw), jnp.float32)
     else:
-        a_out_specs = [spec_zslice] * 2
-        a_out_shapes = [jax.ShapeDtypeStruct((z, y, xw), jnp.float32)] * 2
+        a_spec = pl.BlockSpec((zb, yw, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        a_shape = jax.ShapeDtypeStruct((z, yw, xw), jnp.float32)
+    a_out_specs = [a_spec] * nspec
+    a_out_shapes = [a_shape] * nspec
     if peel:
         a_out_specs.append(
             pl.BlockSpec((zb, y, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         )
         a_out_shapes.append(jax.ShapeDtypeStruct((z, y, 128), jnp.float32))
+    a_extra = (twyr, twyi) if radix_y else ()
+    a_extra_specs = [full((y2, 1))] * 2 if radix_y else []
     a_out = pl.pallas_call(
-        partial(_fwd_yx_kernel, prec=prec, zb=zb, peel=peel, radix=radix),
+        partial(
+            _fwd_yx_kernel,
+            prec=prec, zb=zb, peel=peel, radix_z=radix_z, radix_y=radix_y,
+        ),
         grid=(z // zb,),
         in_specs=[
             pl.BlockSpec((zb, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             full((x, xw)),
             full((x, xw)),
-            full((y, y)),
-            full((y, y)),
-        ],
+            full((yw, yw)),
+            full((yw, yw)),
+        ]
+        + a_extra_specs,
         out_specs=tuple(a_out_specs),
         out_shape=tuple(a_out_shapes),
         interpret=interpret,
         **vmem_params,
-    )(v, cx, sx, wyr, wyi)
-    spectra = list(a_out[:-1] if peel else a_out)
+    )(v, cx, sx, wyr, wyi, *a_extra)
+    spectra = list(a_out[:nspec])
     nyq_plane = None
     if peel:
         nyq_plane = _nyq_filter_chain(a_out[-1][..., 0], filter_arrays, reg, x)
 
     # -- Pass B ------------------------------------------------------------
-    # One program per ky ROW on ky-major spectra: each operand is a whole
-    # (Z[/2], Xw) tile, so the z contraction needs no sublane extraction and
-    # no per-column loop. The (z, ky, kx) -> (ky, z, kx) transposes are
-    # major-axis-only XLA copies (the lane axis stays minor) — measured
-    # cheaper than slab relayouts (~2x pass-B cost) or lane-folding's
-    # flatten copies plus 25% pad traffic on every pass.
     def t01(a):
         return jnp.transpose(a, (1, 0, 2))
 
-    filt_main = [t01(f[..., :xw]) for f in filter_arrays]
-    zdim = z2 if radix else z
-    spec_row = pl.BlockSpec((1, zdim, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    spec_filt = pl.BlockSpec((1, z, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    n_spec = len(spectra)
-    if radix:
-        b_kernel = (
-            partial(_z_filter_kernel_radix, reg=float(reg), prec=prec, z2=z2)
-            if reg is not None
-            else partial(_z_complex_filter_kernel_radix, prec=prec, z2=z2)
-        )
-        b_mats = [full((z2, z2))] * 4 + [full((z2, 1))] * 2
-        mats = (wzr, wzi, izr, izi, twr, twi)
+    # Filters arrive (Z, Y, Xh): drop the peeled bin, split ky parity to
+    # match the spectra convention, and go ky-major for the per-row blocks.
+    if radix_y:
+        filt_main = []
+        for f in filter_arrays:
+            fm = f[..., :xw]
+            filt_main.extend([t01(fm[:, 0::2, :]), t01(fm[:, 1::2, :])])
+        # Reorder to (kpar, filt) = [f0_e, f1_e, f0_o, f1_o] -> per-kpar sets
+        if n_filt == 2:
+            filt_main = [filt_main[0], filt_main[2], filt_main[1], filt_main[3]]
     else:
-        b_kernel = (
-            partial(_z_filter_kernel, reg=float(reg), prec=prec)
-            if reg is not None
-            else partial(_z_complex_filter_kernel, prec=prec)
-        )
-        b_mats = [full((z, z))] * 4
-        mats = (wzr, wzi, izr, izi)
+        filt_main = [t01(f[..., :xw]) for f in filter_arrays]
+
+    spec_row = pl.BlockSpec((1, zw, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_filt = pl.BlockSpec((1, z, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    b_mats_specs = [full(tuple(m.shape)) for m in b_mats_v]
     filtered = pl.pallas_call(
-        b_kernel,
-        grid=(y,),
-        in_specs=[spec_row] * n_spec + [spec_filt] * len(filt_main) + b_mats,
-        out_specs=(spec_row,) * n_spec,
+        partial(
+            _pass_b_kernel,
+            reg=None if reg is None else float(reg),
+            prec=prec, radix_z=radix_z, ny=ny, n_filt=n_filt,
+        ),
+        grid=(yw,),
+        in_specs=[spec_row] * nspec + [spec_filt] * len(filt_main) + b_mats_specs,
+        out_specs=(spec_row,) * nspec,
         out_shape=tuple(
-            jax.ShapeDtypeStruct((y, zdim, xw), jnp.float32) for _ in range(n_spec)
+            jax.ShapeDtypeStruct((yw, zw, xw), jnp.float32) for _ in range(nspec)
         ),
         # The forward spectrum is dead after this pass — reuse its buffers.
-        input_output_aliases={i: i for i in range(n_spec)},
+        input_output_aliases={i: i for i in range(nspec)},
         interpret=interpret,
         **vmem_params,
-    )(*[t01(s) for s in spectra], *filt_main, *mats)
+    )(*[t01(s) for s in spectra], *filt_main, *b_mats_v)
 
     # -- Pass C ------------------------------------------------------------
-    c_zb = 2 if radix else zb
-    c_grid = z2 if radix else z // zb
-    c_spec_in = spec_half if radix else spec_zslice
-    c_in_specs = [c_spec_in] * n_spec + [
-        full((y, y)),
-        full((y, y)),
-        full((xw, x)),
-        full((xw, x)),
-    ]
-    c_args = [t01(f) for f in filtered] + [iyr, iyi, ax, bx]
+    c_zb = 2 if radix_z else zb
+    c_grid = z2 if radix_z else z // zb
+    c_spec_in = (
+        pl.BlockSpec((1, yw, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        if radix_z
+        else pl.BlockSpec((zb, yw, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    )
+    c_in_specs = [c_spec_in] * nspec + [full((yw, yw))] * 2
+    c_args = [t01(f) for f in filtered] + [iyr, iyi]
+    if radix_y:
+        c_in_specs += [full((y2, 1))] * 2
+        c_args += [ctwr, ctwi]
+    c_in_specs += [full((xw, x)), full((xw, x))]
+    c_args += [ax, bx]
     if peel:
         c_in_specs.append(
             pl.BlockSpec((c_zb, y, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         )
-        c_args.append(
-            jnp.pad(nyq_plane[:, :, None], ((0, 0), (0, 0), (0, 127)))
-        )
+        c_args.append(jnp.pad(nyq_plane[:, :, None], ((0, 0), (0, 0), (0, 127))))
     out = pl.pallas_call(
-        partial(_inv_yx_kernel, prec=prec, zb=c_zb, peel=peel, radix=radix),
+        partial(
+            _inv_yx_kernel,
+            prec=prec, zb=c_zb, peel=peel, radix_z=radix_z, radix_y=radix_y,
+        ),
         grid=(c_grid,),
         in_specs=c_in_specs,
         out_specs=pl.BlockSpec(

@@ -32,6 +32,8 @@ def _numpy_reference(vol, tf_half, reg):
         (4, 6, 9),  # tiny odd X
         (16, 8, 256),  # Nyquist peel (xh = 129) + radix-2 z combined
         (8, 6, 256),  # Nyquist peel with the dense z kernel
+        (16, 16, 256),  # all three: peel + radix-2 z + radix-2 y
+        (8, 32, 20),  # radix-2 y with the dense z kernel
     ],
 )
 def test_pallas_deconvolve_matches_numpy(shape, monkeypatch):
@@ -131,8 +133,9 @@ def test_supported_gates_degenerate_and_oversized_shapes(monkeypatch):
 @pytest.mark.parametrize(
     "shape",
     [
-        (8, 16, 24),  # dense z, no peel
+        (8, 16, 24),  # radix-2 y, dense z, no peel
         (16, 8, 256),  # Nyquist peel + radix-2 z
+        (16, 16, 256),  # peel + both radixes
     ],
 )
 def test_complex_hermitian_filter_matches_xla(shape, monkeypatch):

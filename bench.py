@@ -66,7 +66,7 @@ def detail_benchmarks(budget_seconds: float = 420.0) -> dict:
         round-2 7.5-vs-10.0 ms doc/bench discrepancy was exactly that)."""
         from biahub_tpu.kernels.deskew import deskew_zyx
 
-        vols = jnp.asarray(rng.random((2, 256, 256, 1024), np.float32))
+        vols = jnp.asarray(rng.random((4, 256, 256, 1024), np.float32))
 
         @jax.jit
         def run(v):
@@ -84,7 +84,7 @@ def detail_benchmarks(budget_seconds: float = 420.0) -> dict:
         def sync(r):
             float(r[1])
 
-        return _timed_ms(lambda: run(vols), sync) / 2  # per volume
+        return _timed_ms(lambda: run(vols), sync) / 4  # per volume
 
     def bench_phase_recon():
         from biahub_tpu.recon.optics import tikhonov_inverse_3d

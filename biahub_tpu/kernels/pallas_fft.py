@@ -426,8 +426,14 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None):
     xh = x // 2 + 1
     peel = x % 2 == 0 and xh % 128 == 1 and xh > 1
     xw = xh - 1 if peel else xh
-    radix_z = z % 16 == 0
-    radix_y = y % 16 == 0
+    # Radix-2 only pays when the HALF transform still fills the MXU's 128
+    # contraction depth: at n < 256 the half-size (n/2, n/2) matmuls run at
+    # n/256 utilization, eating the 2x FLOP saving (measured: it slowed the
+    # 64x256x256 phase reconstruction). Tests shrink the floor via env to
+    # exercise the radix kernels on tiny shapes in interpret mode.
+    radix_min = int(os.environ.get("BIAHUB_TPU_FFT_RADIX_MIN", "256"))
+    radix_z = z % 16 == 0 and z >= radix_min
+    radix_y = y % 16 == 0 and y >= radix_min
     zb = 2 if z % 2 == 0 else 1
     z2, y2 = z // 2, y // 2
     nz = 2 if radix_z else 1

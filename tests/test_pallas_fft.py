@@ -38,6 +38,7 @@ def _numpy_reference(vol, tf_half, reg):
 )
 def test_pallas_deconvolve_matches_numpy(shape, monkeypatch):
     monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")  # radix paths on tiny shapes
     rng = np.random.default_rng(7)
     vol = rng.standard_normal(shape, dtype=np.float32)
     psf = np.exp(
@@ -76,6 +77,7 @@ def test_pallas_deconvolve_matches_xla_path(monkeypatch):
     xla = np.asarray(deconvolve_zyx(jnp.asarray(vol), jnp.asarray(tf_half)))
     monkeypatch.delenv("BIAHUB_TPU_NO_PALLAS")
     monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")  # radix paths on tiny shapes
     jax.clear_caches()
     fused = np.asarray(deconvolve_zyx(jnp.asarray(vol), jnp.asarray(tf_half)))
     jax.clear_caches()  # do not leak FORCE_PALLAS traces into other tests
@@ -86,6 +88,7 @@ def test_pallas_deconvolve_matches_xla_path(monkeypatch):
 @pytest.mark.parametrize("mode,tol", [("highest", 1e-5), ("high", 2e-4)])
 def test_precision_modes(mode, tol, monkeypatch):
     monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")  # radix paths on tiny shapes
     monkeypatch.setenv("BIAHUB_TPU_FFT_PRECISION", mode)
     shape = (8, 16, 32)
     rng = np.random.default_rng(5)
@@ -102,6 +105,7 @@ def test_precision_modes(mode, tol, monkeypatch):
 
 def test_pallas_deconvolve_vmaps_over_channels(monkeypatch):
     monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")  # radix paths on tiny shapes
     import jax
 
     shape = (4, 8, 12)
@@ -123,6 +127,7 @@ def test_pallas_deconvolve_vmaps_over_channels(monkeypatch):
 
 def test_supported_gates_degenerate_and_oversized_shapes(monkeypatch):
     monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")  # radix paths on tiny shapes
     assert not deconvolve_pallas_supported((1, 16, 16))  # degenerate axis
     assert deconvolve_pallas_supported((256, 256, 1024))  # flagship FOV
     assert not deconvolve_pallas_supported((256, 256, 8192))  # DFT mats > VMEM
@@ -142,6 +147,7 @@ def test_complex_hermitian_filter_matches_xla(shape, monkeypatch):
     """fourier_filter_zyx_pallas == real(ifftn(fftn(v) * F)) for Hermitian F
     (the phase-reconstruction inverse filter shape)."""
     monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")  # radix paths on tiny shapes
     from biahub_tpu.kernels.pallas_fft import fourier_filter_zyx_pallas
     rng = np.random.default_rng(21)
     vol = rng.standard_normal(shape, dtype=np.float32)
@@ -166,6 +172,7 @@ def test_tikhonov_inverse_hermitian_dispatch(monkeypatch):
     """tikhonov_inverse_3d(assume_hermitian=True) agrees with the general
     XLA path for an in-repo-style Hermitian transfer function."""
     monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")  # radix paths on tiny shapes
     from biahub_tpu.recon.optics import tikhonov_inverse_3d
 
     shape = (8, 16, 24)

@@ -1,13 +1,11 @@
-"""Micro-benchmark: XLA major-axis transpose vs a Pallas shapecast kernel.
+"""Device-trace comparison: XLA major-axis transpose vs a Pallas shapecast.
 
 The FFT pipeline spends ~1.6 ms/volume on (z2, y, xw) <-> (y, z2, xw)
-transposes (XLA moves them at ~540 GB/s). This probes whether a Pallas
-kernel doing the interleave as an in-VMEM relayout beats it.
+transposes. Per-op device times from the profiler (single-op wall timings
+are swamped by the ~2.5 ms axon dispatch overhead).
 """
 
 import sys
-import time
-from functools import partial
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -18,6 +16,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from biahub_tpu.runtime.profiling import summarize_device_trace
+
 Z2, Y, XW = 128, 256, 512
 SB = 8  # z-rows per program
 
@@ -26,7 +26,6 @@ def _tkernel(in_ref, out_ref):
     out_ref[:] = jnp.swapaxes(in_ref[:], 0, 1)
 
 
-@jax.jit
 def pallas_t01(a):
     return pl.pallas_call(
         _tkernel,
@@ -43,28 +42,26 @@ def pallas_t01(a):
 
 
 @jax.jit
-def xla_t01(a):
-    return jnp.transpose(a, (1, 0, 2))
-
-
-def timeit(fn, a, iters=20):
-    out = fn(a)
-    float(out[0, 0, 0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(a)
-    float(out[0, 0, 0])
-    return (time.perf_counter() - t0) * 1e3 / iters
+def both(a):
+    b = pallas_t01(a)  # (Y, Z2, XW)
+    c = jnp.transpose(b + 1.0, (1, 0, 2))  # XLA back to (Z2, Y, XW)
+    d = pallas_t01(c + 1.0)
+    e = jnp.transpose(d + 1.0, (1, 0, 2))
+    return e, jnp.sum(e[0, 0, :8])
 
 
 rng = np.random.default_rng(0)
 a = jax.device_put(rng.random((Z2, Y, XW), np.float32))
-mb = Z2 * Y * XW * 4 / 2**20
-try:
-    t_p = timeit(pallas_t01, a)
-    ok = np.array_equal(np.asarray(pallas_t01(a)), np.asarray(xla_t01(a)))
-    print(f"pallas transpose: {t_p:.3f} ms for {mb:.0f} MB (equal={ok})")
-except Exception as exc:
-    print(f"pallas transpose failed: {type(exc).__name__}: {str(exc)[:300]}")
-t_x = timeit(xla_t01, a)
-print(f"xla    transpose: {t_x:.3f} ms for {mb:.0f} MB")
+out, p = both(a)
+float(p)
+ok = np.array_equal(
+    np.asarray(jax.jit(pallas_t01)(a)), np.asarray(jnp.transpose(a, (1, 0, 2)))
+)
+print(f"pallas transpose correct: {ok} ({Z2 * Y * XW * 4 / 2**20:.0f} MB array)")
+
+trace_dir = "/tmp/transpose_trace"
+with jax.profiler.trace(trace_dir):
+    for _ in range(10):
+        out, p = both(a)
+    float(p)
+summarize_device_trace(trace_dir, top=12)

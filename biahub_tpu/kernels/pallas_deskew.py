@@ -80,15 +80,12 @@ def _deskew_kernel(raw_ref, out_ref, *, params):
             slab = raw_ref[j, pl.ds(start, K), :]  # (K, Y)
             # Contract K on both operands -> (Y, tile_w): the MXU consumes
             # the transposed layouts natively, so no explicit VMEM transpose
-            # is needed. HIGHEST keeps the f32 mantissa (default TPU matmuls
-            # round through bf16).
-            acc = acc + jax.lax.dot_general(
-                slab,
-                w.astype(jnp.float32),
-                dimension_numbers=(((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            # is needed. Precision follows BIAHUB_TPU_WARP_PRECISION
+            # (default 'high': 3-term bf16 split, ~1e-5 rel; 'highest' for
+            # f32-mantissa parity with the XLA formulation).
+            from biahub_tpu.kernels.pallas_resample import _banded_dot
+
+            acc = acc + _banded_dot(slab, w)
         out_ref[0, :, pl.ds(tile * TILE_X, tile_w)] = (
             acc if avg == 1 else acc * (1.0 / avg)
         )

@@ -24,6 +24,7 @@ take_along_axis formulation remains the fallback (CPU, traced coefficients).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -35,6 +36,38 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["shear_resample_pallas", "shear_resample_pallas_dyn"]
 
 TILE_R = 128
+
+
+def _warp_precision() -> str:
+    """``BIAHUB_TPU_WARP_PRECISION``: ``high`` (default; 3-term bf16-split
+    dots, ~1e-5 rel — far below the multipass chain's own interpolation
+    tolerance, and ~2x the MXU throughput of HIGHEST's 6 passes) or
+    ``highest`` (full f32 mantissa, scipy bit-parity). Read at trace time."""
+    name = os.environ.get("BIAHUB_TPU_WARP_PRECISION", "high").lower()
+    assert name in ("high", "highest"), name
+    return name
+
+
+def _banded_dot(slab, w):
+    """(K, T) x (tile_w, K) -> (T, tile_w) contraction at the configured
+    warp precision (see :func:`_warp_precision`)."""
+    w = w.astype(jnp.float32)
+    dn = (((0,), (1,)), ((), ()))
+    if _warp_precision() == "high":
+        ah = slab.astype(jnp.bfloat16)
+        al = (slab - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = w.astype(jnp.bfloat16)
+        bl = (w - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def d(x, y):
+            return jax.lax.dot_general(x, y, dn, preferred_element_type=jnp.float32)
+
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
+    return jax.lax.dot_general(
+        slab, w, dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _resample_kernel(data_ref, out_ref, *, params, mask=None):
@@ -80,13 +113,7 @@ def _resample_kernel(data_ref, out_ref, *, params, mask=None):
             )
 
         slab = data_ref[0, pl.ds(start, K), :]  # (K, T)
-        res = jax.lax.dot_general(
-            slab,
-            w.astype(jnp.float32),
-            dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        res = _banded_dot(slab, w)
         if mask is not None:
             # Fold the exact whole-sample domain mask of the ORIGINAL affine
             # into the chain's final pass: per output voxel at (o=program,
@@ -207,13 +234,7 @@ def _resample_kernel_dyn(coeffs_ref, data_ref, out_ref, *, params):
             w = w * ((coords >= 0) & (coords <= R_in - 1)).astype(w.dtype)
 
         slab = data_ref[0, pl.ds(start, K), :]
-        out_ref[0, :, pl.ds(tile * TILE_R, tile_w)] = jax.lax.dot_general(
-            slab,
-            w.astype(jnp.float32),
-            dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        out_ref[0, :, pl.ds(tile * TILE_R, tile_w)] = _banded_dot(slab, w)
 
 
 @partial(jax.jit, static_argnames=("r_out", "k_bound", "order", "mask_oob"))
@@ -300,13 +321,7 @@ def _resample_kernel_dyn_deriv(coeffs_ref, data_ref, out_ref, *, params):
             )
 
         slab = data_ref[0, pl.ds(start, K), :]
-        out_ref[0, :, pl.ds(tile * TILE_R, tile_w)] = jax.lax.dot_general(
-            slab,
-            w.astype(jnp.float32),
-            dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        out_ref[0, :, pl.ds(tile * TILE_R, tile_w)] = _banded_dot(slab, w)
 
 
 def _resample_kernel_dyn_adjoint(coeffs_ref, ybar_ref, out_ref, *, params):
@@ -354,13 +369,7 @@ def _resample_kernel_dyn_adjoint(coeffs_ref, ybar_ref, out_ref, *, params):
                 + jnp.where(k == 2, 0.5 * t3 - 0.5 * t2, 0.0)
             )
         slab = ybar_ref[0, pl.ds(start, K), :]  # (K, T) window of cotangents
-        out_ref[0, :, pl.ds(tile * TILE_R, tile_w)] = jax.lax.dot_general(
-            slab,
-            w.astype(jnp.float32),
-            dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        out_ref[0, :, pl.ds(tile * TILE_R, tile_w)] = _banded_dot(slab, w)
 
 
 def _dyn_call(kernel_fn, data, r_out, coeffs, K, order):

@@ -17,6 +17,10 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["CI"] = "true"
+# Tests assert float-level parity against XLA/scipy references; pin the warp
+# matmuls to the f32-mantissa mode (production default is 'high', the 3-term
+# bf16 split — its ~1e-5 error is covered by dedicated tolerance tests).
+os.environ.setdefault("BIAHUB_TPU_WARP_PRECISION", "highest")
 
 import jax  # noqa: E402
 

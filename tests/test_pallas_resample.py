@@ -85,3 +85,30 @@ def test_dyn_kernel_mask_oob():
     np.testing.assert_allclose(out, ref, atol=1e-5)
     # Out-of-domain outputs are exactly zero
     assert np.abs(out[:, :, -5:]).max() == 0.0
+
+
+def test_high_precision_mode_tolerance(monkeypatch):
+    """The production-default 'high' warp precision (3-term bf16-split dots)
+    stays within ~1e-4 relative of the f32-mantissa mode — far below the
+    multipass chain's own interpolation tolerance."""
+    import jax
+
+    from biahub_tpu.kernels.pallas_resample import shear_resample_pallas
+
+    rng = np.random.default_rng(31)
+    import jax.numpy as jnp
+
+    data = jnp.asarray(rng.standard_normal((6, 64, 40), dtype=np.float32))
+
+    monkeypatch.setenv("BIAHUB_TPU_WARP_PRECISION", "highest")
+    jax.clear_caches()
+    exact = np.asarray(shear_resample_pallas(data, 64, 0.93, 0.02, 1.7))
+    monkeypatch.setenv("BIAHUB_TPU_WARP_PRECISION", "high")
+    jax.clear_caches()
+    fast = np.asarray(shear_resample_pallas(data, 64, 0.93, 0.02, 1.7))
+    jax.clear_caches()  # don't leak 'high' traces into parity tests
+
+    scale = np.abs(exact).max()
+    assert np.abs(fast - exact).max() / scale < 2e-4
+    # and it must NOT be bitwise identical (the fast path actually engaged)
+    assert not np.array_equal(fast, exact)

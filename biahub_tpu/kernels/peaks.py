@@ -39,10 +39,18 @@ def block_max_candidates(
         sums = jax.lax.reduce_window(
             zyx, 0.0, jax.lax.add, window, (1, 1, 1), "SAME"
         )
-        counts = jax.lax.reduce_window(
-            jnp.ones_like(zyx), 0.0, jax.lax.add, window, (1, 1, 1), "SAME"
-        )
-        smooth = sums / counts  # count_include_pad=False semantics
+        # count_include_pad=False semantics. The divisor depends only on the
+        # static shape: build it host-side as a separable outer product
+        # instead of a second full-volume reduce_window pass.
+        def c1(s):
+            lo = (k - 1) // 2  # XLA SAME low pad for stride 1
+            i = np.arange(s)
+            return (
+                np.minimum(i - lo + k - 1, s - 1) - np.maximum(i - lo, 0) + 1
+            ).astype(np.float32)
+        cz, cy, cx = (c1(s) for s in shape)
+        counts = jnp.asarray(cz[:, None, None] * cy[None, :, None] * cx)
+        smooth = sums / counts
     else:
         smooth = zyx
 
@@ -80,6 +88,27 @@ def block_max_candidates(
     return values.ravel(), flat.ravel()
 
 
+@partial(jax.jit, static_argnames=("block_size", "blur_kernel_size", "k"))
+def _block_max_topk(
+    zyx: jax.Array,
+    block_size: tuple[int, int, int],
+    blur_kernel_size: int,
+    k: int,
+):
+    """Candidates + device-side brightness top-k in ONE dispatch.
+
+    Keeping the sort on device means only 2*k scalars cross to the host —
+    the host argsort over every block candidate cost an extra full-array
+    fetch round trip per detection over the axon tunnel.
+    """
+    values, flat = block_max_candidates(
+        zyx, block_size=block_size, blur_kernel_size=blur_kernel_size
+    )
+    kk = min(int(k), int(values.size))
+    top_values, top_pos = jax.lax.top_k(values, kk)
+    return top_values, flat[top_pos]
+
+
 def detect_peaks(
     zyx_data: np.ndarray,
     block_size: int | tuple[int, int, int] = (8, 8, 8),
@@ -101,20 +130,20 @@ def detect_peaks(
         vol = zyx_data.astype(jnp.float32)  # already on device; no round trip
     else:
         vol = jnp.asarray(np.asarray(zyx_data, dtype=np.float32))
-    values, flat_idx = block_max_candidates(
+    # Candidates + brightness top-k fused into one dispatch; a single
+    # device_get fetches both tiny (k,) arrays together.
+    values_d, idx_d = _block_max_topk(
         vol,
         block_size=tuple(int(b) for b in block_size),
         blur_kernel_size=int(blur_kernel_size),
+        k=int(max_num_peaks),
     )
-    peak_value = np.asarray(values)
-    peak_idx = np.asarray(flat_idx)
-    num_peaks = len(peak_idx)
-
-    # Top max_num_peaks brightest candidates, sorted by brightness
-    order = np.argsort(peak_value)[::-1][: min(max_num_peaks, num_peaks)]
-    peak_value = peak_value[order]
-    peak_idx = peak_idx[order]
-    num_rejected_max_num_peaks = num_peaks - len(order)
+    peak_value, peak_idx = jax.device_get((values_d, idx_d))
+    num_peaks = int(np.prod([
+        (s + 2 * (b // 2) - b) // b + 1
+        for s, b in zip(zyx_shape, block_size)
+    ]))
+    num_rejected_max_num_peaks = num_peaks - len(peak_value)
 
     num_rejected_threshold_abs = 0
     if threshold_abs:

@@ -61,9 +61,16 @@ class ProgressStore:
     def _load(self) -> None:
         # Union over every writer's record (including the pre-per-process
         # legacy file name) so completion survives restarts that change the
-        # process count.
-        for path in sorted(self._dir.glob(f"{self._rel}*.json")):
-            self._done |= self._read_record(path)
+        # process count. The glob is anchored at ".p<digits>" — a bare
+        # f"{rel}*" would also match a DIFFERENT position whose name extends
+        # this one (A_1_0 vs A_1_01) and wrongly skip its unfinished units.
+        for path in sorted(self._dir.glob(f"{self._rel}.p*.json")):
+            suffix = path.name[len(self._rel) + 2 : -len(".json")]
+            if suffix.isdigit():
+                self._done |= self._read_record(path)
+        legacy = self._dir / f"{self._rel}.json"
+        if legacy.exists():
+            self._done |= self._read_record(legacy)
 
     def is_done(self, t: int, c: int) -> bool:
         return self._key(t, c) in self._done

@@ -334,3 +334,23 @@ def test_summarize_device_trace(tmp_path, capsys):
     assert rows[1] == ("copy.2", 0.5, 1)
     assert all(name != "host_thing" for name, _, _ in rows)
     assert "fusion.1" in capsys.readouterr().err
+
+
+def test_progress_records_do_not_leak_across_prefix_positions(tmp_path):
+    """A position whose name extends another's (fov '0' vs '01') must not
+    inherit its resume records — the per-process record glob is anchored."""
+    from biahub_tpu.io.progress import ProgressStore
+
+    plate = tmp_path / "p.zarr"
+    (plate / "A" / "1" / "0").mkdir(parents=True)
+    (plate / "A" / "1" / "01").mkdir(parents=True)
+
+    long_store = ProgressStore(plate / "A" / "1" / "01", token="tok")
+    long_store.mark_many_done([(0, 0), (1, 0)])
+
+    short_store = ProgressStore(plate / "A" / "1" / "0", token="tok")
+    assert not short_store.is_done(0, 0)
+    assert not short_store.is_done(1, 0)
+    # and the long position still sees its own records on reload
+    reloaded = ProgressStore(plate / "A" / "1" / "01", token="tok")
+    assert reloaded.is_done(0, 0) and reloaded.is_done(1, 0)

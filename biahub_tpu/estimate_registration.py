@@ -156,14 +156,16 @@ def registration_from_point_pairs(
     similarity: bool = False,
     pre_affine_90degree_rotation: int = 0,
     pre_affine_fliplr: bool = False,
-    source_points_frame: str = "pre_aligned",
+    source_points_frame: str = "original",
 ) -> np.ndarray:
     """Manual registration from point pairs, headless.
 
-    ``source_points_frame``: ``"pre_aligned"`` (default) means the source
-    points were picked on the compound-affine overlay — the frame the napari
-    flow records (reference parity); ``"original"`` means they were picked on
-    the raw source volume (e.g. in Fiji) and are pre-aligned here first.
+    ``source_points_frame``: ``"original"`` (default, round-2-compatible)
+    means the source points were picked on the raw source volume (e.g. in
+    Fiji) and are composed with the compound pre-alignment here;
+    ``"pre_aligned"`` means they were picked on the compound-affine overlay
+    — the frame the napari flow records (reference parity; the CLI's
+    ``--source-points`` path passes this explicitly).
     """
     compound = manual_compound_affine(
         source_shape_zyx,
@@ -185,11 +187,27 @@ def registration_from_point_pairs(
 
 
 def _load_points(path: str | Path) -> np.ndarray:
-    """Load an (N, 3) ZYX points array from a .npy or headerless CSV/TSV."""
+    """Load an (N, 3) ZYX points array from a .npy or CSV/TSV file.
+
+    Accepts headerless numeric files AND napari's "Save Points layer" export
+    (header row ``index,axis-0,axis-1,axis-2`` plus a leading index column):
+    a non-numeric first row is skipped and a 4th leading column of
+    0,1,2,... is dropped.
+    """
     path = Path(path)
     if path.suffix == ".npy":
-        return np.load(path)
-    return np.loadtxt(path, delimiter="," if path.suffix == ".csv" else None)
+        pts = np.load(path)
+    else:
+        delimiter = "," if path.suffix == ".csv" else None
+        try:
+            pts = np.loadtxt(path, delimiter=delimiter, ndmin=2)
+        except ValueError:
+            pts = np.loadtxt(path, delimiter=delimiter, skiprows=1, ndmin=2)
+    if pts.ndim == 2 and pts.shape[1] == 4 and np.array_equal(
+        pts[:, 0], np.arange(len(pts))
+    ):
+        pts = pts[:, 1:]  # napari's row-index column
+    return pts
 
 
 def estimate_registration(
@@ -203,6 +221,7 @@ def estimate_registration(
     local: bool = False,
     source_points: str | Path | None = None,
     target_points: str | Path | None = None,
+    source_points_frame: str = "pre_aligned",
 ):
     output_dir = Path(output_filepath).parent
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -288,6 +307,7 @@ def estimate_registration(
                 similarity=similarity,
                 pre_affine_90degree_rotation=rot90,
                 pre_affine_fliplr=fliplr,
+                source_points_frame=source_points_frame,
             )
             transforms = [tform.tolist()]
         else:
@@ -394,6 +414,15 @@ def estimate_registration(
     help="Manual method, headless: (N, 3) ZYX target point file (.csv/.npy) "
     "matching --source-points pair for pair.",
 )
+@click.option(
+    "--source-points-frame",
+    type=click.Choice(["pre_aligned", "original"]),
+    default="pre_aligned",
+    show_default=True,
+    help="Frame of --source-points: 'pre_aligned' = picked on the "
+    "compound-affine overlay (what the napari flow records); 'original' = "
+    "picked on the raw source volume (e.g. in Fiji).",
+)
 def estimate_registration_cli(
     source_position_dirpaths: list[Path],
     target_position_dirpaths: list[Path],
@@ -405,6 +434,7 @@ def estimate_registration_cli(
     local: bool = False,
     source_points: str | None = None,
     target_points: str | None = None,
+    source_points_frame: str = "pre_aligned",
 ):
     """Estimate the affine transformation between a source and target image for registration.
 
@@ -434,6 +464,7 @@ def estimate_registration_cli(
         local=local,
         source_points=source_points,
         target_points=target_points,
+        source_points_frame=source_points_frame,
     )
 
 

@@ -287,7 +287,7 @@ def _frame_from_bounds(lo: np.ndarray, hi: np.ndarray):
 
 
 def common_frame_bytes(
-    matrix, in_shape: tuple[int, int, int], out_shape: tuple[int, int, int]
+    matrices, in_shape: tuple[int, int, int], out_shape: tuple[int, int, int]
 ) -> int:
     """Per-volume HBM working footprint of the COMMON-frame multipass warp.
 
@@ -298,19 +298,36 @@ def common_frame_bytes(
     reference avoids by splitting along X for GPU memory,
     biahub/deskew.py:554-576). Callers add this to their budget math so
     over-frame volumes take the chunked path, whose back-propagated per-chunk
-    boxes keep frames small. Returns 0 for matrix families that never build
-    the common frame (translation / in-plane / exact-gather fallback).
+    boxes keep frames small.
+
+    ``matrices`` is one 4x4 or a sequence of them: batched kernels
+    (:func:`make_batched_multipass_kernel`) build ONE frame spanning the
+    UNION of every matrix's bounds, so the estimate unions too — the max of
+    per-matrix frames underestimates opposing-drift stacks (measured 1.9x
+    low). Returns 0 for matrix families that never build the common frame
+    (translation / in-plane / exact-gather fallback).
     """
     from biahub_tpu.kernels.affine import is_inplane_matrix, is_translation_matrix
 
-    matrix = np.asarray(matrix, dtype=np.float64)
-    if is_translation_matrix(matrix) or is_inplane_matrix(matrix):
+    mats = np.asarray(matrices, dtype=np.float64)
+    if mats.ndim == 2:
+        mats = mats[None]
+    if all(is_translation_matrix(m) or is_inplane_matrix(m) for m in mats):
         return 0
-    try:
-        passes = factor_affine(matrix)
-    except ValueError:  # vanishing pivot: exact-gather fallback, in/out sized
-        return 0
-    lo, hi = _coord_bounds(passes, np.asarray(in_shape), np.asarray(out_shape))
+    in_shape = np.asarray(in_shape)
+    out_shape = np.asarray(out_shape)
+    lo = np.full(3, np.inf)
+    hi = np.full(3, -np.inf)
+    for m in mats:
+        try:
+            passes = factor_affine(m)
+        except ValueError:  # vanishing pivot: exact-gather fallback
+            continue
+        m_lo, m_hi = _coord_bounds(passes, in_shape, out_shape)
+        lo = np.minimum(lo, m_lo)
+        hi = np.maximum(hi, m_hi)
+    if not np.isfinite(lo).all():
+        return 0  # nothing factorable: no common frame gets built
     _, frame_shape = _frame_from_bounds(lo, hi)
     # Two frame-sized f32 buffers are alive while each elementary pass runs.
     return 2 * 4 * int(np.prod(frame_shape))

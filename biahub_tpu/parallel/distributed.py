@@ -157,10 +157,18 @@ def barrier(name: str = "biahub-barrier", timeout_s: float | None = None) -> Non
     try:
         client.wait_at_barrier(f"{name}-{_BARRIER_SEQ}", int(timeout_s * 1000))
     except Exception as exc:
-        raise RuntimeError(
-            f"barrier {name!r} timed out after {timeout_s:.0f} s — a peer "
-            f"process likely died (preempted/OOM). This process is exiting "
-            f"so the fleet fails fast instead of hanging; restart the run on "
-            f"all hosts and finished units will be skipped via the resume "
-            f"records. (Tune with BIAHUB_TPU_BARRIER_TIMEOUT_S.)"
-        ) from exc
+        msg = str(exc)
+        timed_out = "DEADLINE" in msg.upper() or "TIME" in msg.upper()
+        if timed_out:
+            raise RuntimeError(
+                f"barrier {name!r} timed out after {timeout_s:.0f} s — a "
+                f"peer process likely died (preempted/OOM). This process is "
+                f"exiting so the fleet fails fast instead of hanging; "
+                f"restart the run on all hosts and finished units will be "
+                f"skipped via the resume records. (Tune with "
+                f"BIAHUB_TPU_BARRIER_TIMEOUT_S.)"
+            ) from exc
+        # Non-timeout failures (connection reset, invalid barrier state)
+        # keep the real error front and center — misreporting them as a
+        # peer death sends the operator hunting the wrong problem.
+        raise RuntimeError(f"barrier {name!r} failed: {msg}") from exc

@@ -343,7 +343,6 @@ class BatchRunner:
         # records compute a different stripe, orphaning units.
         units = stripe_units(units)
         all_units = units
-        self._workspace_bytes = int(unit_workspace_bytes)
         progress: dict[int, ProgressStore] = {}
         if resume:
             for u in units:
@@ -384,6 +383,7 @@ class BatchRunner:
             return self._execute(
                 kernel, units, input_positions, output_positions,
                 out_dtype, resume, progress, per_unit_params,
+                int(unit_workspace_bytes),
             )
 
         from biahub_tpu.cli.monitor import monitor_jobs
@@ -395,6 +395,7 @@ class BatchRunner:
                 result["n"] = self._execute(
                     kernel, units, input_positions, output_positions,
                     out_dtype, resume, progress, per_unit_params,
+                    int(unit_workspace_bytes),
                 )
             except RunCancelled:
                 result["n"] = 0
@@ -451,6 +452,7 @@ class BatchRunner:
         resume: bool,
         progress: dict[int, ProgressStore],
         per_unit_params,
+        unit_workspace_bytes: int = 0,
     ) -> int:
         # Group by input volume shape — ragged positions can't share a batch.
         groups: dict[tuple[int, ...], _Group] = {}
@@ -467,7 +469,7 @@ class BatchRunner:
                 group.shape,
                 len(group.units),
                 self._unit_output_bytes(kernel, group, per_unit_params),
-                getattr(self, "_workspace_bytes", 0),
+                unit_workspace_bytes,
             )
             chunks = [
                 group.units[i : i + B] for i in range(0, len(group.units), B)

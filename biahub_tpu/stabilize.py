@@ -206,16 +206,16 @@ def stabilize(
     runner = BatchRunner(cluster=resolved)
     from biahub_tpu.kernels.multipass_warp import common_frame_bytes
 
-    # Budget in + out + the warp's internal common-frame footprint (the worst
-    # per-timepoint matrix): a rotation's frame can dwarf both, so an
-    # "in-budget" volume could still blow HBM inside the multipass warp.
-    workspace_bytes = max(
-        (
-            common_frame_bytes(m, (Z, Y, X), tuple(out_shape_zyx))
-            for mats in per_position_mats
-            for m in mats
-        ),
-        default=0,
+    # Budget in + out + the warp's internal common-frame footprint: a
+    # rotation's frame can dwarf both, so an "in-budget" volume could still
+    # blow HBM inside the multipass warp. The batched kernel builds ONE
+    # frame spanning the UNION of every per-timepoint matrix's bounds, so
+    # the estimate unions over all of them too.
+    all_mats_flat = [m for mats in per_position_mats for m in mats]
+    workspace_bytes = (
+        common_frame_bytes(all_mats_flat, (Z, Y, X), tuple(out_shape_zyx))
+        if all_mats_flat
+        else 0
     )
     volume_bytes = (
         4 * (int(np.prod((Z, Y, X))) + int(np.prod(out_shape_zyx))) + workspace_bytes

@@ -241,3 +241,49 @@ def test_estimate_registration_manual_headless_without_points_errors(tmp_path):
     )
     assert result.exit_code != 0
     assert "--source-points" in result.output
+
+
+def test_load_points_handles_napari_export(tmp_path):
+    """napari's 'Save Points layer' CSV (header + index column) loads
+    identically to a bare numeric file (round-3 review finding)."""
+    from biahub_tpu.estimate_registration import _load_points
+
+    pts = np.array([[1.0, 2.5, 3.0], [4.0, 5.0, 6.5], [7.0, 8.0, 9.0]])
+    bare = tmp_path / "bare.csv"
+    np.savetxt(bare, pts, delimiter=",")
+    napari_style = tmp_path / "napari.csv"
+    with open(napari_style, "w") as f:
+        f.write("index,axis-0,axis-1,axis-2\n")
+        for i, p in enumerate(pts):
+            f.write(f"{i},{p[0]},{p[1]},{p[2]}\n")
+    np.testing.assert_array_equal(_load_points(bare), pts)
+    np.testing.assert_array_equal(_load_points(napari_style), pts)
+
+
+def test_registration_from_point_pairs_default_is_round2_compatible():
+    """The default source_points_frame is 'original' (round-2 semantics):
+    raw-frame points are composed with the compound pre-alignment."""
+    from biahub_tpu.estimate_registration import (
+        manual_compound_affine,
+        registration_from_point_pairs,
+    )
+
+    kwargs = dict(
+        source_shape_zyx=(12, 40, 40),
+        target_shape_zyx=(12, 40, 40),
+        source_voxel_size=(2.0, 0.5, 0.5),
+        target_voxel_size=(1.0, 0.5, 0.5),
+    )
+    compound = manual_compound_affine(
+        kwargs["source_shape_zyx"], kwargs["target_shape_zyx"],
+        kwargs["source_voxel_size"], kwargs["target_voxel_size"],
+    )
+    rng = np.random.default_rng(7)
+    src_orig = rng.uniform(2, 30, size=(6, 3))
+    pre = (compound @ np.hstack([src_orig, np.ones((6, 1))]).T).T[:, :3]
+    dst = pre + [0.5, -1.0, 2.0]
+    default = registration_from_point_pairs(src_orig, dst, **kwargs)
+    explicit = registration_from_point_pairs(
+        src_orig, dst, source_points_frame="original", **kwargs
+    )
+    np.testing.assert_allclose(default, explicit, atol=0)

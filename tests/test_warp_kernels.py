@@ -530,3 +530,20 @@ def test_register_chunks_when_common_frame_exceeds_budget(
     assert "chunks" in out_small
     scale = np.abs(full).max()
     assert np.abs(chunked - full).max() / scale < 0.02
+
+
+def test_common_frame_bytes_unions_over_batched_matrices():
+    """Opposing-drift stacks share ONE batched union frame; the estimate
+    must cover it, not just the worst single matrix (round-3 review)."""
+    from biahub_tpu.kernels.multipass_warp import common_frame_bytes
+
+    shape = (32, 128, 128)
+    R3 = Rotation.from_euler("xyz", [10, -8, 12], degrees=True).as_matrix()
+    a = np.eye(4); a[:3, :3] = R3; a[:3, 3] = [0, -40, -40]
+    b = np.eye(4); b[:3, :3] = R3; b[:3, 3] = [0, +40, +40]
+    single = max(
+        common_frame_bytes(a, shape, shape), common_frame_bytes(b, shape, shape)
+    )
+    union = common_frame_bytes([a, b], shape, shape)
+    assert union >= single
+    assert union > 1.3 * single  # measured 1.49x for this pair

@@ -1,0 +1,264 @@
+"""Spatially-sharded deconvolution: one volume split across a device mesh.
+
+The single-chip engine (kernels/pallas_fft.py) holds the whole volume and its
+spectrum in one chip's HBM. Volumes beyond that fall back to host-streamed
+X-slabs on one chip — correct, but serial. On a pod, this module instead
+shards ONE volume's FFT across a mesh axis with ICI collectives (the
+distributed-transpose FFT decomposition):
+
+- **Pass A** is z-slice-local: each device runs the rfft_X + DFT_Y Pallas
+  pass on its own z-slab.
+- **all_to_all #1** reshards the spectrum from z-slabs to ky-row shards
+  (the classic FFT "transpose" step, riding ICI).
+- **Pass B** is ky-row-local: each device filters its ky rows with the full
+  global-Z DFT chain.
+- **all_to_all #2** reshards back to z-slabs for the local inverse pass C.
+- The peeled Nyquist plane (Z, Y) is tiny; it is all_gathered, transformed
+  replicated in XLA, and re-sliced.
+
+Per-shard compute reuses the exact single-chip Pallas kernels (radix-2 y and
+the Nyquist peel included); radix-2 z is disabled because the global-z
+even/odd split does not commute with z-slab sharding. Numerics therefore
+match the single-chip engine to the same ~1e-5 ('high') tolerance.
+
+Requirements: Z, Y (and Y/2 when the y-radix engages) divisible by the mesh
+axis size. No reference analog — the reference tops out at one GPU per
+volume (biahub/deconvolve.py:121-131); this is the TPU-native scale-out for
+FOVs beyond one chip's HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
+
+from biahub_tpu.kernels.pallas_fft import (
+    _VMEM_BUDGET_BYTES,
+    _dft_mats,
+    _fwd_yx_kernel,
+    _idft_mats,
+    _inv_yx_kernel,
+    _irfft_mats,
+    _nyq_filter_chain,
+    _pass_b_kernel,
+    _precision,
+    _rfft_mats,
+    _twiddles,
+)
+
+__all__ = ["deconvolve_zyx_sharded", "sharded_fft_supported"]
+
+
+def sharded_fft_supported(shape, n_devices: int) -> bool:
+    """True when (Z, Y, X) cleanly shards across ``n_devices``."""
+    z, y, x = shape
+    if z % n_devices or y % n_devices:
+        return False
+    return min(z, y, x) >= 2
+
+
+def _t01(a):
+    return jnp.transpose(a, (1, 0, 2))
+
+
+def deconvolve_zyx_sharded(
+    volume: jax.Array,
+    transfer_function_half: jax.Array,
+    mesh,
+    axis_name: str = "space",
+    regularization_strength: float = 1e-3,
+) -> jax.Array:
+    """Tikhonov-deconvolve one ZYX volume sharded over ``mesh[axis_name]``.
+
+    ``volume`` may be a global array (jit + shard_map partition it) and the
+    result comes back sharded the same way; the transfer function is
+    replicated. See the module docstring for the decomposition.
+    """
+    n = int(mesh.shape[axis_name])
+    z, y, x = (int(s) for s in volume.shape)
+    if not sharded_fft_supported((z, y, x), n):
+        raise ValueError(
+            f"volume {volume.shape} does not shard over {n} devices: Z and Y "
+            "must be divisible by the mesh axis size"
+        )
+    reg = float(regularization_strength)
+    xh = x // 2 + 1
+    peel = x % 2 == 0 and xh % 128 == 1 and xh > 1
+    xw = xh - 1 if peel else xh
+    import os
+
+    radix_min = int(os.environ.get("BIAHUB_TPU_FFT_RADIX_MIN", "256"))
+    y2 = y // 2
+    radix_y = y % 16 == 0 and y >= radix_min and y2 % n == 0
+    ny = 2 if radix_y else 1
+    yw = y2 if radix_y else y  # per-parity ky rows (global)
+    yw_l = yw // n
+    z_l = z // n
+    zb = 2 if z_l % 2 == 0 else 1
+    prec = _precision()
+    interpret = jax.default_backend() != "tpu"
+
+    cx, sx = (jnp.asarray(m[:, :xw]) for m in _rfft_mats(x))
+    ax, bx = (jnp.asarray(m[:xw]) for m in _irfft_mats(x))
+    if radix_y:
+        wyr, wyi = (jnp.asarray(m) for m in _dft_mats(y2))
+        iyr, iyi = (jnp.asarray(m / 2.0) for m in _idft_mats(y2))
+        twy = tuple(jnp.asarray(m) for m in _twiddles(y2, y, -1.0))
+        ctw = tuple(jnp.asarray(m) for m in _twiddles(y2, y, +1.0))
+    else:
+        wyr, wyi = (jnp.asarray(m) for m in _dft_mats(y))
+        iyr, iyi = (jnp.asarray(m) for m in _idft_mats(y))
+        twy = ()
+        ctw = ()
+    wzr, wzi = (jnp.asarray(m) for m in _dft_mats(z))
+    izr, izi = (jnp.asarray(m) for m in _idft_mats(z))
+
+    tf = transfer_function_half.astype(jnp.float32)
+    # ky-major, parity-split filter rows, sharded over the mesh axis so each
+    # device receives exactly its pass-B rows.
+    if radix_y:
+        filt_sharded = [_t01(tf[:, 0::2, :xw]), _t01(tf[:, 1::2, :xw])]
+    else:
+        filt_sharded = [_t01(tf[..., :xw])]
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    vmem_params = (
+        {}
+        if interpret
+        else {
+            "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_BUDGET_BYTES
+            )
+        }
+    )
+    nspec = ny * 2
+
+    def shard_step(v_shard, tf_full, *filt_shards):
+        # ---- pass A on this device's z-slab --------------------------------
+        spec_zslice = pl.BlockSpec(
+            (zb, yw, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        a_out_specs = [spec_zslice] * nspec
+        a_out_shapes = [jax.ShapeDtypeStruct((z_l, yw, xw), jnp.float32)] * nspec
+        if peel:
+            a_out_specs.append(
+                pl.BlockSpec((zb, y, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            )
+            a_out_shapes.append(jax.ShapeDtypeStruct((z_l, y, 128), jnp.float32))
+        a_out = pl.pallas_call(
+            partial(
+                _fwd_yx_kernel,
+                prec=prec, zb=zb, peel=peel, radix_z=False, radix_y=radix_y,
+            ),
+            grid=(z_l // zb,),
+            in_specs=[
+                pl.BlockSpec((zb, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                full((x, xw)),
+                full((x, xw)),
+                full((yw, yw)),
+                full((yw, yw)),
+            ]
+            + ([full((y2, 1))] * 2 if radix_y else []),
+            out_specs=tuple(a_out_specs),
+            out_shape=tuple(a_out_shapes),
+            interpret=interpret,
+            **vmem_params,
+        )(v_shard.astype(jnp.float32), cx, sx, wyr, wyi, *twy)
+        spectra = list(a_out[:nspec])
+
+        nyq_local = None
+        if peel:
+            # Tiny (Z, Y) plane: gather it whole, transform replicated, keep
+            # this device's z rows for pass C.
+            nyq_full = jax.lax.all_gather(
+                a_out[-1][..., 0], axis_name, axis=0, tiled=True
+            )
+            plane = _nyq_filter_chain(nyq_full, (tf_full,), reg, x)
+            idx = jax.lax.axis_index(axis_name)
+            local = jax.lax.dynamic_slice_in_dim(plane, idx * z_l, z_l, axis=0)
+            nyq_local = jnp.pad(local[:, :, None], ((0, 0), (0, 0), (0, 127)))
+
+        # ---- resharding #1: z-slabs -> ky-row shards (ICI all_to_all) ------
+        # (z_l, yw, xw) split along ky, concat along z -> (z, yw_l, xw).
+        spectra = [
+            _t01(jax.lax.all_to_all(s, axis_name, 1, 0, tiled=True))
+            for s in spectra
+        ]  # each (yw_l, z, xw)
+
+        # ---- pass B on this device's ky rows (full global Z) ---------------
+        spec_row = pl.BlockSpec((1, z, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        filtered = pl.pallas_call(
+            partial(
+                _pass_b_kernel,
+                reg=reg, prec=prec, radix_z=False, ny=ny, n_filt=1,
+            ),
+            grid=(yw_l,),
+            in_specs=[spec_row] * nspec
+            + [spec_row] * len(filt_shards)
+            + [full((z, z))] * 4,
+            out_specs=(spec_row,) * nspec,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((yw_l, z, xw), jnp.float32)
+                for _ in range(nspec)
+            ),
+            input_output_aliases={i: i for i in range(nspec)},
+            interpret=interpret,
+            **vmem_params,
+        )(*spectra, *filt_shards, wzr, wzi, izr, izi)
+
+        # ---- resharding #2: ky-row shards -> z-slabs -----------------------
+        # (yw_l, z, xw) split along z, concat along ky -> (yw, z_l, xw).
+        filtered = [
+            _t01(jax.lax.all_to_all(h, axis_name, 1, 0, tiled=True))
+            for h in filtered
+        ]  # each (z_l, yw, xw)
+
+        # ---- pass C on this device's z-slab --------------------------------
+        c_in_specs = [spec_zslice] * nspec + [full((yw, yw))] * 2
+        c_args = list(filtered) + [iyr, iyi]
+        if radix_y:
+            c_in_specs += [full((y2, 1))] * 2
+            c_args += list(ctw)
+        c_in_specs += [full((xw, x)), full((xw, x))]
+        c_args += [ax, bx]
+        if peel:
+            c_in_specs.append(
+                pl.BlockSpec((zb, y, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            )
+            c_args.append(nyq_local)
+        out = pl.pallas_call(
+            partial(
+                _inv_yx_kernel,
+                prec=prec, zb=zb, peel=peel, radix_z=False, radix_y=radix_y,
+            ),
+            grid=(z_l // zb,),
+            in_specs=c_in_specs,
+            out_specs=pl.BlockSpec(
+                (zb, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((z_l, y, x), jnp.float32),
+            interpret=interpret,
+            **vmem_params,
+        )(*c_args)
+        return out
+
+    mapped = jax.shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(), P(axis_name)) if ny == 1 else (
+            P(axis_name), P(), P(axis_name), P(axis_name)
+        ),
+        out_specs=P(axis_name),
+        # The Pallas out_shapes carry no mesh-varying annotation; every op in
+        # the body is shard-local or an explicit collective.
+        check_vma=False,
+    )
+    return mapped(volume, tf, *filt_sharded)

@@ -118,12 +118,59 @@ def deconvolve(
         out_pos.update_zattrs({"biahub-deconvolve": settings.model_dump()})
 
     runner = BatchRunner(cluster=resolved)
-    n = runner.run_zyx(
-        kernel,
-        input_positions,
-        output_positions,
-        monitor=monitor and resolved != "debug",
+
+    # Spatial parallelism opt-in: with several local chips and a volume too
+    # big to batch, BIAHUB_TPU_SHARDED_FFT=1 deconvolves EACH volume sharded
+    # across all local devices via the distributed-transpose FFT
+    # (parallel/sharded_fft.py) instead of one-volume-per-chip batching.
+    import os
+
+    import jax
+
+    from biahub_tpu.parallel.sharded_fft import (
+        deconvolve_zyx_sharded,
+        sharded_fft_supported,
     )
+
+    n_local = jax.local_device_count()
+    if (
+        os.environ.get("BIAHUB_TPU_SHARDED_FFT") == "1"
+        and n_local > 1
+        and sharded_fft_supported((Z, Y, X), n_local)
+    ):
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from biahub_tpu.runtime.executor import stripe_units
+
+        mesh = Mesh(np.asarray(jax.local_devices()), ("space",))
+        click.echo(
+            f"BIAHUB_TPU_SHARDED_FFT: each volume sharded over {n_local} "
+            "local devices"
+        )
+        tf_d = jax.device_put(tf_half)
+        units = [
+            (p_idx, t, c)
+            for p_idx in range(len(input_positions))
+            for t in range(T)
+            for c in range(C)
+        ]
+        n = 0
+        for p_idx, t, c in stripe_units(units):
+            vol = np.asarray(input_positions[p_idx].data[t, c], np.float32)
+            out = deconvolve_zyx_sharded(
+                jax.numpy.asarray(vol), tf_d, mesh,
+                regularization_strength=float(settings.regularization_strength),
+            )
+            output_positions[p_idx]["0"][t, c] = np.asarray(out)
+            n += 1
+    else:
+        n = runner.run_zyx(
+            kernel,
+            input_positions,
+            output_positions,
+            monitor=monitor and resolved != "debug",
+        )
     click.echo(f"Deconvolved {n} (t, c) volumes across {len(input_positions)} positions")
 
 

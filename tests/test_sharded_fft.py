@@ -93,3 +93,54 @@ def test_sharded_rejects_undivisible_shapes():
         )
     assert not sharded_fft_supported((10, 16, 16), 8)
     assert sharded_fft_supported((16, 16, 16), 8)
+
+
+def test_deconvolve_cli_sharded_fft_path(tmp_path, monkeypatch):
+    """BIAHUB_TPU_SHARDED_FFT=1 routes the deconvolve verb through the
+    mesh-sharded engine (8 virtual devices) and matches the batched path."""
+    import yaml
+    from click.testing import CliRunner
+
+    from biahub_tpu.cli.main import cli
+    from biahub_tpu.io.ngff import TransformationMeta, open_ome_zarr
+
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")
+    rng = np.random.default_rng(29)
+    data = rng.random((1, 1, 16, 16, 32)).astype(np.float32)
+    plate_path = tmp_path / "in.zarr"
+    plate = open_ome_zarr(plate_path, layout="hcs", mode="w", channel_names=["a"])
+    plate.create_position("A", "1", "0").create_image(
+        "0", data, transform=[TransformationMeta(type="scale", scale=(1, 1, 1, 0.1, 0.1))]
+    )
+    psf = np.exp(
+        -np.sum(np.square(np.mgrid[-1:2, -1:2, -1:2] / 1.2), axis=0)
+    ).astype(np.float32)
+    psf_path = tmp_path / "psf.zarr"
+    psf_store = open_ome_zarr(psf_path, layout="hcs", mode="w", channel_names=["p"])
+    psf_store.create_position("0", "0", "0").create_image(
+        "0", psf[None, None],
+        transform=[TransformationMeta(type="scale", scale=(1, 1, 1, 0.1, 0.1))],
+    )
+    cfg = tmp_path / "decon.yml"
+    with open(cfg, "w") as f:
+        yaml.dump({"regularization_strength": 0.001}, f)
+
+    def run(out_name, sharded):
+        if sharded:
+            monkeypatch.setenv("BIAHUB_TPU_SHARDED_FFT", "1")
+        else:
+            monkeypatch.delenv("BIAHUB_TPU_SHARDED_FFT", raising=False)
+        out = tmp_path / out_name
+        result = CliRunner().invoke(
+            cli,
+            ["deconvolve", "-i", str(plate_path / "A" / "1" / "0"),
+             "-p", str(psf_path), "-c", str(cfg), "-o", str(out)],
+        )
+        assert result.exit_code == 0, result.output
+        return result.output, np.asarray(open_ome_zarr(out / "A" / "1" / "0").data[0, 0])
+
+    out_b, batched = run("batched.zarr", sharded=False)
+    out_s, sharded = run("sharded.zarr", sharded=True)
+    assert "sharded over 8 local devices" in out_s
+    scale = np.abs(batched).max()
+    np.testing.assert_allclose(sharded, batched, atol=2e-4 * scale, rtol=0)

@@ -52,7 +52,11 @@ from biahub_tpu.kernels.pallas_fft import (
     _twiddles,
 )
 
-__all__ = ["deconvolve_zyx_sharded", "sharded_fft_supported"]
+__all__ = [
+    "deconvolve_zyx_sharded",
+    "fourier_filter_zyx_sharded",
+    "sharded_fft_supported",
+]
 
 
 def sharded_fft_supported(shape, n_devices: int) -> bool:
@@ -80,6 +84,38 @@ def deconvolve_zyx_sharded(
     result comes back sharded the same way; the transfer function is
     replicated. See the module docstring for the decomposition.
     """
+    return _run_sharded(
+        volume,
+        (transfer_function_half.astype(jnp.float32),),
+        mesh,
+        axis_name,
+        reg=float(regularization_strength),
+    )
+
+
+def fourier_filter_zyx_sharded(
+    volume: jax.Array,
+    filter_half_real: jax.Array,
+    filter_half_imag: jax.Array,
+    mesh,
+    axis_name: str = "space",
+) -> jax.Array:
+    """Sharded complex-Hermitian frequency filter (the phase-reconstruction
+    inverse); the sharded analog of
+    kernels.pallas_fft.fourier_filter_zyx_pallas."""
+    return _run_sharded(
+        volume,
+        (
+            filter_half_real.astype(jnp.float32),
+            filter_half_imag.astype(jnp.float32),
+        ),
+        mesh,
+        axis_name,
+        reg=None,
+    )
+
+
+def _run_sharded(volume, filter_arrays, mesh, axis_name, reg):
     n = int(mesh.shape[axis_name])
     z, y, x = (int(s) for s in volume.shape)
     if not sharded_fft_supported((z, y, x), n):
@@ -87,7 +123,6 @@ def deconvolve_zyx_sharded(
             f"volume {volume.shape} does not shard over {n} devices: Z and Y "
             "must be divisible by the mesh axis size"
         )
-    reg = float(regularization_strength)
     xh = x // 2 + 1
     peel = x % 2 == 0 and xh % 128 == 1 and xh > 1
     xw = xh - 1 if peel else xh
@@ -119,13 +154,17 @@ def deconvolve_zyx_sharded(
     wzr, wzi = (jnp.asarray(m) for m in _dft_mats(z))
     izr, izi = (jnp.asarray(m) for m in _idft_mats(z))
 
-    tf = transfer_function_half.astype(jnp.float32)
+    n_filt = len(filter_arrays)
     # ky-major, parity-split filter rows, sharded over the mesh axis so each
-    # device receives exactly its pass-B rows.
+    # device receives exactly its pass-B rows. Order matches _pass_b_kernel:
+    # per ky parity, all filter components.
+    filt_sharded = []
     if radix_y:
-        filt_sharded = [_t01(tf[:, 0::2, :xw]), _t01(tf[:, 1::2, :xw])]
+        for kpar in range(2):
+            for f in filter_arrays:
+                filt_sharded.append(_t01(f[:, kpar::2, :xw]))
     else:
-        filt_sharded = [_t01(tf[..., :xw])]
+        filt_sharded = [_t01(f[..., :xw]) for f in filter_arrays]
 
     def full(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -141,7 +180,7 @@ def deconvolve_zyx_sharded(
     )
     nspec = ny * 2
 
-    def shard_step(v_shard, tf_full, *filt_shards):
+    def shard_step(v_shard, filters_full, *filt_shards):
         # ---- pass A on this device's z-slab --------------------------------
         spec_zslice = pl.BlockSpec(
             (zb, yw, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -181,7 +220,7 @@ def deconvolve_zyx_sharded(
             nyq_full = jax.lax.all_gather(
                 a_out[-1][..., 0], axis_name, axis=0, tiled=True
             )
-            plane = _nyq_filter_chain(nyq_full, (tf_full,), reg, x)
+            plane = _nyq_filter_chain(nyq_full, filters_full, reg, x)
             idx = jax.lax.axis_index(axis_name)
             local = jax.lax.dynamic_slice_in_dim(plane, idx * z_l, z_l, axis=0)
             nyq_local = jnp.pad(local[:, :, None], ((0, 0), (0, 0), (0, 127)))
@@ -198,7 +237,7 @@ def deconvolve_zyx_sharded(
         filtered = pl.pallas_call(
             partial(
                 _pass_b_kernel,
-                reg=reg, prec=prec, radix_z=False, ny=ny, n_filt=1,
+                reg=reg, prec=prec, radix_z=False, ny=ny, n_filt=n_filt,
             ),
             grid=(yw_l,),
             in_specs=[spec_row] * nspec
@@ -253,12 +292,10 @@ def deconvolve_zyx_sharded(
     mapped = jax.shard_map(
         shard_step,
         mesh=mesh,
-        in_specs=(P(axis_name), P(), P(axis_name)) if ny == 1 else (
-            P(axis_name), P(), P(axis_name), P(axis_name)
-        ),
+        in_specs=(P(axis_name), P()) + (P(axis_name),) * len(filt_sharded),
         out_specs=P(axis_name),
         # The Pallas out_shapes carry no mesh-varying annotation; every op in
         # the body is shard-local or an explicit collective.
         check_vma=False,
     )
-    return mapped(volume, tf, *filt_sharded)
+    return mapped(volume, tuple(filter_arrays), *filt_sharded)

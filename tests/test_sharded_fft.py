@@ -144,3 +144,29 @@ def test_deconvolve_cli_sharded_fft_path(tmp_path, monkeypatch):
     assert "sharded over 8 local devices" in out_s
     scale = np.abs(batched).max()
     np.testing.assert_allclose(sharded, batched, atol=2e-4 * scale, rtol=0)
+
+
+@pytest.mark.parametrize("shape,n", [((16, 16, 32), 8), ((8, 12, 256), 4)])
+def test_sharded_complex_filter_matches_numpy(shape, n, monkeypatch):
+    """fourier_filter_zyx_sharded == real(ifftn(fftn(v) * F)) for Hermitian
+    F, across mesh shards."""
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")
+    from biahub_tpu.parallel.sharded_fft import fourier_filter_zyx_sharded
+
+    rng = np.random.default_rng(19)
+    vol = rng.standard_normal(shape, dtype=np.float32)
+    H = np.fft.fftn(rng.standard_normal(shape).astype(np.float32))
+    filt = np.conj(H) / (np.abs(H) ** 2 + 1e-2)
+    want = np.real(np.fft.ifftn(np.fft.fftn(vol) * filt)).astype(np.float32)
+
+    xh = shape[-1] // 2 + 1
+    got = np.asarray(
+        fourier_filter_zyx_sharded(
+            jnp.asarray(vol),
+            jnp.asarray(np.real(filt[..., :xh]).astype(np.float32)),
+            jnp.asarray(np.imag(filt[..., :xh]).astype(np.float32)),
+            _mesh(n),
+        )
+    )
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-4 * scale, rtol=0)

@@ -146,24 +146,42 @@ def deconvolve(
         mesh = Mesh(np.asarray(jax.local_devices()), ("space",))
         click.echo(
             f"BIAHUB_TPU_SHARDED_FFT: each volume sharded over {n_local} "
-            "local devices"
+            "local devices (per-volume spatial parallelism; the batch "
+            "executor's job table is not available on this path)"
         )
         tf_d = jax.device_put(tf_half)
-        units = [
+        units = stripe_units([
             (p_idx, t, c)
             for p_idx in range(len(input_positions))
             for t in range(T)
             for c in range(C)
-        ]
+        ])
+        reg_strength = float(settings.regularization_strength)
+
+        def start_read(u):
+            p_idx, t, c = u
+            return input_positions[p_idx].data.read_async((t, c))
+
+        # Prefetch the next volume while the mesh computes the current one,
+        # and let tensorstore writes complete asynchronously — mirrors the
+        # batch executor's read-ahead/write-behind overlap.
         n = 0
-        for p_idx, t, c in stripe_units(units):
-            vol = np.asarray(input_positions[p_idx].data[t, c], np.float32)
+        write_futures = []
+        pending = start_read(units[0]) if units else None
+        for i, (p_idx, t, c) in enumerate(units):
+            vol = np.asarray(pending.result(), np.float32)
+            pending = start_read(units[i + 1]) if i + 1 < len(units) else None
             out = deconvolve_zyx_sharded(
                 jax.numpy.asarray(vol), tf_d, mesh,
-                regularization_strength=float(settings.regularization_strength),
+                regularization_strength=reg_strength,
             )
-            output_positions[p_idx]["0"][t, c] = np.asarray(out)
+            write_futures.append(
+                output_positions[p_idx]["0"].write_async((t, c), np.asarray(out))
+            )
             n += 1
+            click.echo(f"  sharded deconvolve {n}/{len(units)}", err=True)
+        for f in write_futures:
+            f.result()
     else:
         n = runner.run_zyx(
             kernel,

@@ -398,21 +398,23 @@ def deconvolve_pallas_supported(shape: tuple[int, int, int]) -> bool:
     return max(pass_a, pass_b, pass_c) < _VMEM_BUDGET_BYTES
 
 
-def _nyq_filter_chain(nyq_raw, filter_arrays, reg, x):
+def _nyq_filter_chain(nyq_raw, filter_planes, reg, x):
     """XLA transform chain for the peeled Nyquist-kx plane.
 
     ``nyq_raw`` (Z, Y) is the real (-1)^x reduction from pass A; the plane's
     y/z DFTs, filter, and inverse DFTs are a 2D problem ~1000x smaller than
-    the main spectrum, so XLA f32 FFTs handle it exactly. Returns the REAL
-    plane pass C broadcast-adds with the (-1)^x basis, with the irfft's 1/X
-    normalization folded in (the Nyquist bin's Hermitian weight is 1).
+    the main spectrum, so XLA f32 FFTs handle it exactly. ``filter_planes``
+    are the filters' (Z, Y) Nyquist slices (``f[..., -1]``) — planes only,
+    so sharded callers never replicate whole filter volumes. Returns the
+    REAL plane pass C broadcast-adds with the (-1)^x basis, with the irfft's
+    1/X normalization folded in (the Nyquist bin's Hermitian weight is 1).
     """
     spec = jnp.fft.fftn(nyq_raw.astype(jnp.complex64), axes=(0, 1))
     if reg is not None:
-        tf = filter_arrays[0][..., -1]  # (Z, Y) Nyquist slice
+        tf = filter_planes[0]
         spec = spec * (tf / (tf * tf + reg))
     else:
-        fr, fi = (f[..., -1] for f in filter_arrays)
+        fr, fi = filter_planes
         spec = spec * jax.lax.complex(fr, fi)
     plane = jnp.real(jnp.fft.ifftn(spec, axes=(0, 1))) / x
     return plane.astype(jnp.float32)
@@ -521,7 +523,9 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None):
     spectra = list(a_out[:nspec])
     nyq_plane = None
     if peel:
-        nyq_plane = _nyq_filter_chain(a_out[-1][..., 0], filter_arrays, reg, x)
+        nyq_plane = _nyq_filter_chain(
+            a_out[-1][..., 0], tuple(f[..., -1] for f in filter_arrays), reg, x
+        )
 
     # -- Pass B ------------------------------------------------------------
     def t01(a):

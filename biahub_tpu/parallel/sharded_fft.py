@@ -60,11 +60,28 @@ __all__ = [
 
 
 def sharded_fft_supported(shape, n_devices: int) -> bool:
-    """True when (Z, Y, X) cleanly shards across ``n_devices``."""
+    """True when (Z, Y, X) cleanly shards across ``n_devices`` AND the
+    per-shard working sets fit VMEM.
+
+    Pass B carries four dense (Z, Z) DFT matrices plus full-global-Z row
+    tiles (radix-2 z is off in sharded mode), so very deep volumes can blow
+    the scoped-VMEM budget even though they shard cleanly — those must fall
+    back to the single-chip X-slab path.
+    """
     z, y, x = shape
     if z % n_devices or y % n_devices:
         return False
-    return min(z, y, x) >= 2
+    if min(z, y, x) < 2:
+        return False
+    xh = x // 2 + 1
+    f32 = 4
+    # Pass B per-program working set at GLOBAL z: up to four (complex
+    # filter) inputs + two outputs double-buffered, four (Z, Z) matrices,
+    # and whole-row temporaries (hr/hi + bf16 split halves).
+    pass_b = (6 * 2 * z * xh + 4 * z * xh + 4 * z * z) * f32
+    # Pass A/C per-program: (zb<=2, Y, X) blocks + spectra slices + mats.
+    pass_ac = (2 * y * x + 2 * x * xh + 2 * y * y + 12 * y * xh) * f32 * 2
+    return max(pass_b, pass_ac) < _VMEM_BUDGET_BYTES
 
 
 def _t01(a):
@@ -115,14 +132,44 @@ def fourier_filter_zyx_sharded(
     )
 
 
+# Compiled programs keyed on everything that shapes the computation — the
+# deconvolve verb calls _run_sharded once per (t, c) volume, and without
+# this cache every call would rebuild and recompile the whole 3-kernel
+# shard_map program (20-300 s per compile over the axon tunnel).
+_PROGRAM_CACHE: dict = {}
+
+
 def _run_sharded(volume, filter_arrays, mesh, axis_name, reg):
     n = int(mesh.shape[axis_name])
     z, y, x = (int(s) for s in volume.shape)
     if not sharded_fft_supported((z, y, x), n):
         raise ValueError(
             f"volume {volume.shape} does not shard over {n} devices: Z and Y "
-            "must be divisible by the mesh axis size"
+            "must be divisible by the mesh axis size and the per-shard "
+            "working sets must fit VMEM"
         )
+    import os
+
+    key = (
+        mesh,
+        axis_name,
+        (z, y, x),
+        len(filter_arrays),
+        None if reg is None else float(reg),
+        _precision(),
+        os.environ.get("BIAHUB_TPU_FFT_RADIX_MIN", "256"),
+        jax.default_backend(),
+    )
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is None:
+        fn = _build_sharded_program(z, y, x, n, mesh, axis_name, reg,
+                                    len(filter_arrays))
+        _PROGRAM_CACHE[key] = fn
+    return fn(volume, *filter_arrays)
+
+
+def _build_sharded_program(z, y, x, n, mesh, axis_name, reg, n_filt_arg):
+    """Build and jit the sharded 3-pass program (cached by _run_sharded)."""
     xh = x // 2 + 1
     peel = x % 2 == 0 and xh % 128 == 1 and xh > 1
     xw = xh - 1 if peel else xh
@@ -154,17 +201,7 @@ def _run_sharded(volume, filter_arrays, mesh, axis_name, reg):
     wzr, wzi = (jnp.asarray(m) for m in _dft_mats(z))
     izr, izi = (jnp.asarray(m) for m in _idft_mats(z))
 
-    n_filt = len(filter_arrays)
-    # ky-major, parity-split filter rows, sharded over the mesh axis so each
-    # device receives exactly its pass-B rows. Order matches _pass_b_kernel:
-    # per ky parity, all filter components.
-    filt_sharded = []
-    if radix_y:
-        for kpar in range(2):
-            for f in filter_arrays:
-                filt_sharded.append(_t01(f[:, kpar::2, :xw]))
-    else:
-        filt_sharded = [_t01(f[..., :xw]) for f in filter_arrays]
+    n_filt = n_filt_arg
 
     def full(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -180,7 +217,7 @@ def _run_sharded(volume, filter_arrays, mesh, axis_name, reg):
     )
     nspec = ny * 2
 
-    def shard_step(v_shard, filters_full, *filt_shards):
+    def shard_step(v_shard, nyq_planes, *filt_shards):
         # ---- pass A on this device's z-slab --------------------------------
         spec_zslice = pl.BlockSpec(
             (zb, yw, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -220,7 +257,7 @@ def _run_sharded(volume, filter_arrays, mesh, axis_name, reg):
             nyq_full = jax.lax.all_gather(
                 a_out[-1][..., 0], axis_name, axis=0, tiled=True
             )
-            plane = _nyq_filter_chain(nyq_full, filters_full, reg, x)
+            plane = _nyq_filter_chain(nyq_full, nyq_planes, reg, x)
             idx = jax.lax.axis_index(axis_name)
             local = jax.lax.dynamic_slice_in_dim(plane, idx * z_l, z_l, axis=0)
             nyq_local = jnp.pad(local[:, :, None], ((0, 0), (0, 0), (0, 127)))
@@ -292,10 +329,27 @@ def _run_sharded(volume, filter_arrays, mesh, axis_name, reg):
     mapped = jax.shard_map(
         shard_step,
         mesh=mesh,
-        in_specs=(P(axis_name), P()) + (P(axis_name),) * len(filt_sharded),
+        in_specs=(P(axis_name), P()) + (P(axis_name),) * (n_filt * ny),
         out_specs=P(axis_name),
         # The Pallas out_shapes carry no mesh-varying annotation; every op in
         # the body is shard-local or an explicit collective.
         check_vma=False,
     )
-    return mapped(volume, tuple(filter_arrays), *filt_sharded)
+
+    def run(vol_arr, *f_arrays):
+        # ky-major, parity-split filter rows, sharded over the mesh axis so
+        # each device receives exactly its pass-B rows (order matches
+        # _pass_b_kernel: per ky parity, all filter components). Only the
+        # tiny (Z, Y) Nyquist planes are replicated — never whole filter
+        # volumes, which would defeat the per-device memory scaling this
+        # module exists for.
+        if radix_y:
+            filt_sharded = [
+                _t01(f[:, kpar::2, :xw]) for kpar in range(2) for f in f_arrays
+            ]
+        else:
+            filt_sharded = [_t01(f[..., :xw]) for f in f_arrays]
+        planes = tuple(f[..., -1] for f in f_arrays) if peel else ()
+        return mapped(vol_arr, planes, *filt_sharded)
+
+    return jax.jit(run)

@@ -36,7 +36,7 @@ def _mesh(n):
         ((16, 16, 32), 8),  # radix-2 y engages (with the test radix floor)
         ((8, 24, 20), 4),  # dense y (24 not divisible by 16)
         ((16, 16, 256), 8),  # Nyquist peel across shards
-        ((12, 8, 16), 2),  # two devices, odd per-shard z handled by zb=1
+        ((12, 8, 16), 4),  # odd per-shard z (z_l = 3) exercises zb = 1
     ],
 )
 def test_sharded_matches_numpy(shape, n, monkeypatch):
@@ -170,3 +170,39 @@ def test_sharded_complex_filter_matches_numpy(shape, n, monkeypatch):
     )
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=2e-4 * scale, rtol=0)
+
+
+def test_sharded_program_is_cached(monkeypatch):
+    """Repeated same-shape calls reuse ONE compiled program — the deconvolve
+    verb loops over (t, c) volumes and a per-call rebuild would recompile
+    for 20-300 s per volume over the axon tunnel (round-3 review)."""
+    import biahub_tpu.parallel.sharded_fft as sf
+
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")
+    sf._PROGRAM_CACHE.clear()
+    builds = []
+    orig = sf._build_sharded_program
+
+    def counting_build(*a, **k):
+        builds.append(a)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sf, "_build_sharded_program", counting_build)
+    rng = np.random.default_rng(23)
+    shape = (16, 16, 32)
+    psf = np.exp(
+        -np.sum(np.square(np.mgrid[-1:2, -1:2, -1:2] / 1.2), axis=0)
+    ).astype(np.float32)
+    tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
+    mesh = _mesh(8)
+    outs = [
+        np.asarray(
+            sf.deconvolve_zyx_sharded(
+                jnp.asarray(rng.standard_normal(shape, dtype=np.float32)),
+                jnp.asarray(tf_half), mesh,
+            )
+        )
+        for _ in range(3)
+    ]
+    assert len(builds) == 1, f"program rebuilt {len(builds)}x for same config"
+    assert all(np.isfinite(o).all() for o in outs)

@@ -54,7 +54,14 @@ def detail_benchmarks(budget_seconds: float = 420.0) -> dict:
             print(f"# detail bench {name} skipped: budget exhausted")
             return
         try:
-            detail[name] = round(fn(), 2)
+            best = fn()
+            # One post-compile repeat (budget permitting): machine-wide load
+            # spikes swing single measurements up to 2x; min-of-means is the
+            # standard load-robust estimator and the repeat skips the
+            # compile, so it costs only steady-state time.
+            if time.perf_counter() < deadline:
+                best = min(best, fn())
+            detail[name] = round(best, 2)
         except Exception as exc:  # pragma: no cover - diagnostic path
             detail[name] = None
             print(f"# detail bench {name} failed: {exc!r}")

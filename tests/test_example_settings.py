@@ -36,6 +36,7 @@ SETTINGS_MODELS = {
     "example_stabilize_timelapse_settings.yml": StabilizationSettings,
     "example_concatenate_settings.yml": ConcatenateSettings,
     "example_concatenate_multi_position.yml": ConcatenateSettings,
+    "example_concatenate_settings_organelle_dynamics.yml": ConcatenateSettings,
     "example_flat_field_settings.yml": FlatFieldCorrectionSettings,
     "example_deconvolve_settings.yml": DeconvolveSettings,
     "example_stitch_settings.yml": StitchSettings,

@@ -22,7 +22,7 @@ from __future__ import annotations
 import torch
 from torch import nn
 
-__all__ = ["TorchUNeXt2", "TorchUNet25D"]
+__all__ = ["TorchUNeXt2", "TorchUNet25D", "TorchCPnet"]
 
 
 class _ChannelLayerNorm(nn.Module):
@@ -238,3 +238,135 @@ class TorchUNet25D(nn.Module):
             x = getattr(self, f"dec{i}_block1")(x)
         x = torch.nn.functional.relu(self.squeeze(x))
         return self.head(x)
+
+
+# ---------------------------------------------------------------------------
+# CPnet twin (cellpose v2 architecture + state-dict schema; see models/cpnet.py
+# for the written-out spec). State-dict keys are cellpose's own
+# (downsample.down.res_down_N.conv.conv_T.{0,2}.*, upsample.up.res_up_N...,
+# output.{0,2}.*) so a checkpoint saved by the cellpose package converts with
+# the same mechanical rules this twin validates.
+# ---------------------------------------------------------------------------
+
+
+def _cp_batchconv(in_channels: int, out_channels: int, sz: int) -> nn.Sequential:
+    return nn.Sequential(
+        nn.BatchNorm2d(in_channels, eps=1e-5),
+        nn.ReLU(inplace=True),
+        nn.Conv2d(in_channels, out_channels, sz, padding=sz // 2),
+    )
+
+
+def _cp_batchconv0(in_channels: int, out_channels: int, sz: int) -> nn.Sequential:
+    return nn.Sequential(
+        nn.BatchNorm2d(in_channels, eps=1e-5),
+        nn.Conv2d(in_channels, out_channels, sz, padding=sz // 2),
+    )
+
+
+class _CPResDown(nn.Module):
+    def __init__(self, in_channels: int, out_channels: int, sz: int):
+        super().__init__()
+        self.conv = nn.Sequential()
+        self.proj = _cp_batchconv0(in_channels, out_channels, 1)
+        for t in range(4):
+            cin = in_channels if t == 0 else out_channels
+            self.conv.add_module(f"conv_{t}", _cp_batchconv(cin, out_channels, sz))
+
+    def forward(self, x: torch.Tensor) -> torch.Tensor:
+        x = self.proj(x) + self.conv[1](self.conv[0](x))
+        return x + self.conv[3](self.conv[2](x))
+
+
+class _CPBatchConvStyle(nn.Module):
+    def __init__(self, in_channels: int, out_channels: int, style_channels: int, sz: int):
+        super().__init__()
+        self.conv = _cp_batchconv(in_channels, out_channels, sz)
+        self.full = nn.Linear(style_channels, out_channels)
+
+    def forward(
+        self, style: torch.Tensor, x: torch.Tensor, y: torch.Tensor | None = None
+    ) -> torch.Tensor:
+        if y is not None:
+            x = x + y
+        feat = self.full(style)
+        return self.conv(x + feat.unsqueeze(-1).unsqueeze(-1))
+
+
+class _CPResUp(nn.Module):
+    def __init__(self, in_channels: int, out_channels: int, style_channels: int, sz: int):
+        super().__init__()
+        self.conv = nn.Sequential()
+        self.conv.add_module("conv_0", _cp_batchconv(in_channels, out_channels, sz))
+        for t in range(1, 4):
+            self.conv.add_module(
+                f"conv_{t}",
+                _CPBatchConvStyle(out_channels, out_channels, style_channels, sz),
+            )
+        self.proj = _cp_batchconv0(in_channels, out_channels, 1)
+
+    def forward(
+        self, x: torch.Tensor, y: torch.Tensor, style: torch.Tensor
+    ) -> torch.Tensor:
+        x = self.proj(x) + self.conv[1](style, self.conv[0](x), y=y)
+        return x + self.conv[3](style, self.conv[2](style, x))
+
+
+class _CPDownsample(nn.Module):
+    def __init__(self, nbase, sz: int):
+        super().__init__()
+        self.down = nn.Sequential()
+        self.maxpool = nn.MaxPool2d(2, stride=2)
+        for n in range(len(nbase) - 1):
+            self.down.add_module(f"res_down_{n}", _CPResDown(nbase[n], nbase[n + 1], sz))
+
+    def forward(self, x: torch.Tensor) -> list[torch.Tensor]:
+        feats = []
+        for n in range(len(self.down)):
+            y = self.maxpool(feats[n - 1]) if n > 0 else x
+            feats.append(self.down[n](y))
+        return feats
+
+
+class _CPUpsample(nn.Module):
+    def __init__(self, nbaseup, sz: int):
+        super().__init__()
+        self.upsampling = nn.Upsample(scale_factor=2, mode="nearest")
+        self.up = nn.Sequential()
+        for n in range(1, len(nbaseup)):
+            self.up.add_module(
+                f"res_up_{n - 1}",
+                _CPResUp(nbaseup[n], nbaseup[n - 1], nbaseup[-1], sz),
+            )
+
+    def forward(self, style: torch.Tensor, xd: list[torch.Tensor]) -> torch.Tensor:
+        x = self.up[-1](xd[-1], xd[-1], style)
+        for n in range(len(self.up) - 2, -1, -1):
+            x = self.upsampling(x)
+            x = self.up[n](x, xd[n], style)
+        return x
+
+
+class TorchCPnet(nn.Module):
+    """Torch twin of :class:`biahub_tpu.models.cpnet.CPnet` (cellpose schema)."""
+
+    def __init__(self, nbase=(2, 32, 64, 128, 256), nout: int = 3, sz: int = 3,
+                 style_on: bool = True):
+        super().__init__()
+        nbase = list(nbase)
+        nbaseup = nbase[1:] + [nbase[-1]]
+        self.style_on = style_on
+        self.downsample = _CPDownsample(nbase, sz)
+        self.upsample = _CPUpsample(nbaseup, sz)
+        self.output = _cp_batchconv(nbaseup[0], nout, 1)
+
+    def forward(self, x: torch.Tensor) -> tuple[torch.Tensor, torch.Tensor]:
+        feats = self.downsample(x)
+        deepest = feats[-1]
+        style = torch.nn.functional.avg_pool2d(
+            deepest, kernel_size=(deepest.shape[-2], deepest.shape[-1])
+        ).flatten(1)
+        style = style / torch.sum(style**2, dim=1, keepdim=True) ** 0.5
+        style_up = style if self.style_on else style * 0.0
+        y = self.upsample(style_up, feats)
+        return self.output(y), style

@@ -83,6 +83,47 @@ def threshold_instance_labels(
     return labels.astype(np.uint32)
 
 
+#: cellpose eval args the native CPnet engine understands (everything else in
+#: ``eval_args`` is either harmless plumbing that is ignored, or unsupported
+#: and raises — see :func:`_cpnet_eval`).
+_CPNET_EVAL_KEYS = (
+    "channels",
+    "diameter",
+    "diam_mean",
+    "cellprob_threshold",
+    "flow_threshold",
+    "min_size",
+    "niter",
+    "normalize",
+    "stitch_threshold",
+)
+_CPNET_IGNORED_KEYS = ("batch_size", "channel_axis", "z_axis", "gpu", "progress")
+
+
+def _cpnet_eval(czyx: np.ndarray, checkpoint: str, eval_args: dict) -> np.ndarray:
+    """Map cellpose-style ``eval_args`` onto the native CPnet engine."""
+    from biahub_tpu.segmentation import cpnet_segment_czyx
+
+    kwargs = {}
+    for key, value in dict(eval_args).items():
+        if key in _CPNET_EVAL_KEYS:
+            kwargs[key] = tuple(value) if key == "channels" else value
+        elif key in _CPNET_IGNORED_KEYS:
+            continue
+        elif key == "do_3D" and value:
+            raise click.ClickException(
+                "do_3D=True (orthogonal-view 3D flows) is not supported by the "
+                "native CPnet engine; use stitch_threshold for 3D objects, or "
+                "install cellpose."
+            )
+        elif key != "do_3D":
+            raise click.ClickException(
+                f"eval arg '{key}' is not understood by the native CPnet "
+                f"engine (supported: {', '.join(_CPNET_EVAL_KEYS)})."
+            )
+    return cpnet_segment_czyx(czyx, checkpoint, **kwargs)
+
+
 def segment_data(
     czyx_data: np.ndarray,
     segmentation_models: dict,
@@ -116,14 +157,23 @@ def segment_data(
             segmentation = np.stack(
                 [threshold_instance_labels(z, min_size=min_size) for z in czyx_to_segment]
             ).max(axis=0)
+        elif Path(model_args.path_to_model).is_file():
+            # A checkpoint file on disk: run it through the TPU-native CPnet
+            # engine (flax network + flow-dynamics mask reconstruction).
+            segmentation = _cpnet_eval(
+                czyx_to_segment, model_args.path_to_model, model_args.eval_args
+            )
         else:
             try:
                 from cellpose import models as cp_models
             except ImportError:
                 raise click.ClickException(
                     f"Model '{model_args.path_to_model}' requires the cellpose "
-                    "package, which is not installed. The built-in "
-                    "'threshold_otsu' model runs without it."
+                    "package, which is not installed (built-in model names like "
+                    "'cyto' are download-backed). Native alternatives: "
+                    "'threshold_otsu' (no checkpoint needed), or a path to a "
+                    "cellpose-schema CPnet .pt checkpoint, which runs on the "
+                    "TPU-native flax engine."
                 ) from None
             model = cp_models.CellposeModel(model_type=model_args.path_to_model, gpu=gpu)
             segmentation, _, _ = model.eval(

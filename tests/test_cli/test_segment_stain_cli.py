@@ -190,3 +190,73 @@ def test_virtual_stain_cli_flax_unext2(tmp_path):
     want = sliding_window_predict(torch_predict, czyx, window_z=5, step=2)
     scale = np.abs(want).max()
     np.testing.assert_allclose(pred[0], want, atol=1e-4 * scale, rtol=0)
+
+
+def test_segment_cli_native_cpnet(tmp_path):
+    """A cellpose-schema CPnet checkpoint on disk runs the native TPU engine
+    end-to-end through the CLI (reference: biahub/segment.py:92-99)."""
+    from biahub_tpu.models.torch_twin import TorchCPnet
+
+    plate_path = _plate_with_blobs(
+        tmp_path, channel_names=("GFP", "RFP"), shape=(1, 8, 48, 48)
+    )
+    torch.manual_seed(0)
+    twin = TorchCPnet(nbase=(2, 8, 16, 32, 64)).eval()
+    ckpt = tmp_path / "cpnet.pt"
+    torch.save(twin.state_dict(), ckpt)
+
+    config = {
+        "models": {
+            "cells": {
+                "path_to_model": str(ckpt),
+                "eval_args": {
+                    "channels": [1, 0],
+                    "diameter": 30,
+                    "niter": 10,
+                    "batch_size": 8,  # cellpose plumbing arg: ignored
+                },
+                "preprocessing": [],
+                "z_slice_2D": 0,
+            }
+        }
+    }
+    config_path = tmp_path / "seg_cpnet.yml"
+    with open(config_path, "w") as f:
+        yaml.dump(config, f)
+
+    out_path = tmp_path / "segmented_cpnet.zarr"
+    result = CliRunner().invoke(
+        cli,
+        [
+            "segment",
+            "-i", str(plate_path / "A" / "1" / "0"),
+            "-c", str(config_path),
+            "-o", str(out_path),
+            "--local",
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    out = open_ome_zarr(out_path)["A/1/0"]
+    assert "cells_labels" in out.channel_names
+    # Random weights: labels may be empty, but shape/dtype/plumbing must hold.
+    labels = np.asarray(out.data[0, 0])
+    assert labels.shape == (1, 48, 48)
+
+
+def test_segment_cli_cpnet_rejects_do_3d(tmp_path):
+    from click.testing import CliRunner as _CR
+
+    from biahub_tpu.models.torch_twin import TorchCPnet
+    from biahub_tpu.segment import _cpnet_eval
+
+    import click
+    import pytest as _pytest
+
+    torch.manual_seed(0)
+    twin = TorchCPnet(nbase=(2, 8, 16, 32, 64)).eval()
+    ckpt = tmp_path / "cpnet.pt"
+    torch.save(twin.state_dict(), ckpt)
+    with _pytest.raises(click.ClickException, match="do_3D"):
+        _cpnet_eval(
+            np.zeros((1, 1, 32, 32), np.float32), str(ckpt), {"do_3D": True}
+        )

@@ -330,9 +330,12 @@ def track_one_position(
         position_key, input_images, z_slices, blank_frames_path, z_slicing, pixel_size
     )
 
-    max_distance = float(
-        tracking_config.get("linking_config", {}).get("max_distance", 50.0)
-    )
+    linking_config = tracking_config.get("linking_config", {})
+    max_distance = float(linking_config.get("max_distance", 50.0))
+    # Extension over ultrack's schema: gap closing across blank frames
+    # (ultrack gets this from its windowed ILP; the native engine runs a
+    # global segment-linking pass, tracking/engine.py::close_track_gaps).
+    max_gap = int(linking_config.get("max_gap", 0))
     min_size = int(
         tracking_config.get("segmentation_config", {}).get("min_area", 4)
     )
@@ -340,7 +343,7 @@ def track_one_position(
     if cellpose_config is not None:
         labels = cellpose_segmentation(data_dict, cellpose_config)
         tracking_labels, tracks_df = track_from_labels(
-            labels, scale=scale, max_distance=max_distance
+            labels, scale=scale, max_distance=max_distance, max_gap=max_gap
         )
     else:
         foreground, contour = detect_foreground_segmentation(data_dict)
@@ -351,7 +354,7 @@ def track_one_position(
             contour = contour.mean(axis=1)
         tracking_labels, tracks_df = track_from_foreground_contour(
             foreground, contour, scale=scale, max_distance=max_distance,
-            min_size=min_size,
+            min_size=min_size, max_gap=max_gap,
         )
 
     csv_path = Path(output_dirpath) / Path(*position_key) / f"tracks_{fov}.csv"
@@ -552,9 +555,15 @@ def run_ultrack(tracking_config, foreground, contour, scale, databaset_path=None
                 getattr(linking, "max_distance", None)
                 or (linking.get("max_distance", 50.0) if isinstance(linking, dict) else 50.0)
             )
+            max_gap = int(
+                getattr(linking, "max_gap", 0)
+                or (linking.get("max_gap", 0) if isinstance(linking, dict) else 0)
+            )
+        else:
+            max_gap = 0
         labels, tracks_df = track_from_foreground_contour(
             np.asarray(foreground), np.asarray(contour),
-            scale=scale, max_distance=max_distance,
+            scale=scale, max_distance=max_distance, max_gap=max_gap,
         )
         return tracks_df, labels
 

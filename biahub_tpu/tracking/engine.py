@@ -20,6 +20,7 @@ from scipy.optimize import linear_sum_assignment
 __all__ = [
     "segment_foreground_contour",
     "link_labels",
+    "close_track_gaps",
     "track_from_foreground_contour",
     "track_from_labels",
 ]
@@ -88,12 +89,15 @@ def link_labels(
     scale=(1.0, 1.0, 1.0),
     max_distance: float = 50.0,
     size_weight: float = 0.2,
+    max_gap: int = 0,
 ) -> tuple[np.ndarray, pd.DataFrame]:
     """Link per-frame instance labels into temporally consistent tracks.
 
     Consecutive frames are matched with a padded Hungarian assignment; the
     cost is the centroid distance (physical units) plus a relative size-change
     penalty, gated at ``max_distance``. Unmatched detections start new tracks.
+    With ``max_gap >= 1`` a second global pass re-joins tracks separated by up
+    to that many blank frames (:func:`close_track_gaps`).
     Returns (relabeled stack, tracks dataframe).
     """
     labels_tzyx = np.asarray(labels_tzyx)
@@ -199,7 +203,115 @@ def link_labels(
     tracks_df = pd.DataFrame(
         rows, columns=["track_id", "parent_track_id", "t", "z", "y", "x", "id", "parent_id"]
     )
+    if max_gap >= 1:
+        out, tracks_df = close_track_gaps(
+            out, tracks_df, max_distance=max_distance, max_gap=max_gap
+        )
     return out, tracks_df
+
+
+def close_track_gaps(
+    out: np.ndarray,
+    tracks_df: pd.DataFrame,
+    max_distance: float = 50.0,
+    max_gap: int = 2,
+    gap_penalty_frac: float = 0.1,
+) -> tuple[np.ndarray, pd.DataFrame]:
+    """Second-pass global segment linking: re-join tracks across blank gaps.
+
+    ultrack's ILP links detections inside a temporal window, so a cell whose
+    detection drops out for a frame or two keeps its identity; the per-frame
+    Hungarian pass cannot do that (docs/models.md tracking envelope). This
+    pass recovers it TrackMate-style: every track's END is matched against
+    every later track's START (gap of 1..``max_gap`` missing frames, same
+    ``max_distance`` gate, mild per-missing-frame penalty) with one global
+    Hungarian assignment, and matched segments are merged — the resumed
+    segment takes the earlier track's id, its first node's ``parent_id``
+    points at the earlier track's last node.
+
+    Division daughters never gap-link at their start (their parent edge is
+    the division), and a track that ended by dividing never gap-links at its
+    end.
+    """
+    if max_gap < 1 or tracks_df.empty:
+        return out, tracks_df
+    df = tracks_df
+    has_daughters = set(df.loc[df["parent_track_id"] > 0, "parent_track_id"])
+    firsts = df.loc[df.groupby("track_id")["t"].idxmin()]
+    lasts = df.loc[df.groupby("track_id")["t"].idxmax()]
+    ends = lasts[~lasts["track_id"].isin(has_daughters)]
+    starts = firsts[firsts["parent_track_id"] == -1]
+    if ends.empty or starts.empty:
+        return out, tracks_df
+
+    end_pos = ends[["z", "y", "x"]].to_numpy(float)
+    start_pos = starts[["z", "y", "x"]].to_numpy(float)
+    end_t = ends["t"].to_numpy(int)
+    start_t = starts["t"].to_numpy(int)
+    dist = np.linalg.norm(end_pos[:, None, :] - start_pos[None, :, :], axis=-1)
+    gaps = start_t[None, :] - end_t[:, None] - 1  # missing frames between them
+    same = ends["track_id"].to_numpy()[:, None] == starts["track_id"].to_numpy()[None, :]
+    valid = (gaps >= 1) & (gaps <= max_gap) & (dist <= max_distance) & ~same
+    if not valid.any():
+        return out, tracks_df
+    INVALID, UNMATCH = 1e9, 1e8  # any valid pair costs << UNMATCH << INVALID
+    cost = dist + gap_penalty_frac * max_distance * gaps
+    cost = np.where(valid, cost, INVALID)
+    n_e, n_s = cost.shape
+    # Standard rectangular-LAP padding: top-right/bottom-left diagonals let
+    # any end/start stay unmatched, bottom-right is the free dummy-dummy block.
+    padded = np.full((n_e + n_s, n_e + n_s), INVALID)
+    padded[:n_e, :n_s] = cost
+    np.fill_diagonal(padded[:n_e, n_s:], UNMATCH)
+    np.fill_diagonal(padded[n_e:, :n_s], UNMATCH)
+    padded[n_e:, n_s:] = 0.0
+    r, c = linear_sum_assignment(padded)
+    merges = [
+        (int(ends.iloc[i]["track_id"]), int(starts.iloc[j]["track_id"]),
+         int(ends.iloc[i]["id"]))
+        for i, j in zip(r, c)
+        if i < n_e and j < n_s and cost[i, j] < UNMATCH
+    ]
+    if not merges:
+        return out, tracks_df
+
+    # Union chains (A<-B, B<-C) down to the earliest track id.
+    root = {}
+
+    def find(tid):
+        while tid in root:
+            tid = root[tid]
+        return tid
+
+    stitch_parent_node = {}  # absorbed tid -> node id it resumes from
+    for keep, absorb, end_node in merges:
+        root[absorb] = find(keep)
+        stitch_parent_node[absorb] = end_node
+
+    df = df.copy()
+    old_track = df["track_id"].to_numpy()
+    df["track_id"] = [find(t) for t in old_track]
+    df["parent_track_id"] = [
+        find(t) if t > 0 else t for t in df["parent_track_id"].to_numpy()
+    ]
+    # The resumed segment's first node now continues the earlier track.
+    for absorb, end_node in stitch_parent_node.items():
+        seg = np.nonzero(old_track == absorb)[0]
+        first_idx = seg[np.argmin(df.iloc[seg]["t"].to_numpy())]
+        col = df.columns.get_loc("parent_id")
+        df.iat[first_idx, col] = end_node
+    # Daughters of a merged chain keep pointing at the (renamed) chain id via
+    # the parent_track_id remap above; parent node ids are unchanged.
+
+    out = out.copy()
+    remap = {absorb: find(absorb) for absorb in stitch_parent_node}
+    lut_size = int(out.max()) + 1
+    lut = np.arange(lut_size, dtype=out.dtype)
+    for absorb, tgt in remap.items():
+        if absorb < lut_size:
+            lut[absorb] = tgt
+    out = lut[out]
+    return out, df.reset_index(drop=True)
 
 
 def track_from_foreground_contour(
@@ -208,16 +320,18 @@ def track_from_foreground_contour(
     scale=(1.0, 1.0, 1.0),
     max_distance: float = 50.0,
     min_size: int = 4,
+    max_gap: int = 0,
 ) -> tuple[np.ndarray, pd.DataFrame]:
     """Full pipeline: foreground+contour → instances → linked tracks."""
     labels = segment_foreground_contour(foreground, contour, min_size=min_size)
-    return link_labels(labels, scale=scale, max_distance=max_distance)
+    return link_labels(labels, scale=scale, max_distance=max_distance, max_gap=max_gap)
 
 
 def track_from_labels(
     labels: np.ndarray,
     scale=(1.0, 1.0, 1.0),
     max_distance: float = 50.0,
+    max_gap: int = 0,
 ) -> tuple[np.ndarray, pd.DataFrame]:
     """Link precomputed instance labels (e.g. from cellpose) into tracks."""
-    return link_labels(labels, scale=scale, max_distance=max_distance)
+    return link_labels(labels, scale=scale, max_distance=max_distance, max_gap=max_gap)

@@ -188,3 +188,73 @@ def test_edge_f1_scoring_is_self_consistent(ndim):
     out, df = link_labels(labels, max_distance=5.0)
     assert df.track_id.nunique() == 1
     assert len(df) == 4
+
+
+def test_gap_closing_rejoins_interrupted_track():
+    """A detection hole of 1-2 frames keeps the track's identity when
+    max_gap is on (ultrack's windowed ILP does this natively; the engine's
+    close_track_gaps pass recovers it)."""
+    tracks = {
+        1: {"points": {0: (15, 10), 1: (15, 20), 2: (15, 30),
+                       # frames 3-4 missing (e.g. blank/failed detection)
+                       5: (15, 60), 6: (15, 70), 7: (15, 80)},
+            "radius": 4},
+        2: {"points": {t: (50, 10 + 10 * t) for t in range(8)}, "radius": 4},
+    }
+    labels, gt, node_gt = _scene_from_tracks(tracks)
+
+    # Without gap closing: the resumed segment is a NEW track.
+    out0, df0 = link_labels(labels, max_distance=15.0, max_gap=0)
+    assert len(set(df0["track_id"])) == 3
+
+    # With gap closing: one identity across the hole, stitched parent chain.
+    # (max_distance must admit the 30 px gap jump while staying below the
+    # 35 px inter-track separation so the division heuristic stays quiet.)
+    out2, df2 = link_labels(labels, max_distance=32.0, max_gap=2)
+    assert len(set(df2["track_id"])) == 2
+    tid_before = int(out2[0][labels[0] == [v for (t, v), g in node_gt.items()
+                                           if t == 0 and g == 1][0]].max())
+    # identity via node_gt mapping
+    votes = out2[5][labels[5] == [v for (t, v), g in node_gt.items()
+                                  if t == 5 and g == 1][0]]
+    assert int(votes.max()) == tid_before
+    # The resumed first node's parent_id points at the pre-gap last node.
+    track_rows = df2[df2["track_id"] == tid_before].sort_values("t")
+    resumed = track_rows[track_rows["t"] == 5].iloc[0]
+    pre_gap = track_rows[track_rows["t"] == 2].iloc[0]
+    assert resumed["parent_id"] == pre_gap["id"]
+
+
+def test_gap_closing_respects_max_gap_and_distance():
+    tracks = {
+        1: {"points": {0: (20, 10), 1: (20, 20),
+                       6: (20, 70), 7: (20, 80)},  # 4 missing frames
+            "radius": 4},
+    }
+    labels, gt, node_gt = _scene_from_tracks(tracks)
+    out, df = link_labels(labels, max_distance=60.0, max_gap=2)
+    assert len(set(df["track_id"])) == 2  # hole longer than max_gap stays split
+
+    tracks = {
+        1: {"points": {0: (20, 10), 1: (20, 20), 4: (20, 78), 5: (20, 88)},
+            "radius": 4},
+    }
+    labels, gt, node_gt = _scene_from_tracks(tracks)
+    out, df = link_labels(labels, max_distance=20.0, max_gap=3)
+    assert len(set(df["track_id"])) == 2  # jump longer than max_distance
+
+
+def test_gap_closing_does_not_break_divisions():
+    tracks = {
+        1: {"points": {0: (30, 10), 1: (30, 20), 2: (30, 30)}, "radius": 4},
+        2: {"points": {3: (22, 40), 4: (16, 50)}, "radius": 4, "parent": 1},
+        3: {"points": {3: (38, 40), 4: (44, 50)}, "radius": 4, "parent": 1},
+    }
+    labels, gt, node_gt = _scene_from_tracks(tracks, n_frames=5)
+    f1, precision, recall, df = _edge_f1(
+        labels, gt, node_gt, max_distance=15.0, max_gap=2
+    )
+    assert f1 == 1.0
+    # Parent ended by dividing: no gap link may leave it, daughters keep lineage
+    parent_rows = df[df["parent_track_id"] > 0]
+    assert len(set(parent_rows["track_id"])) == 2

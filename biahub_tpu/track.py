@@ -336,9 +336,12 @@ def track_one_position(
     # (ultrack gets this from its windowed ILP; the native engine runs a
     # global segment-linking pass, tracking/engine.py::close_track_gaps).
     max_gap = int(linking_config.get("max_gap", 0))
-    min_size = int(
-        tracking_config.get("segmentation_config", {}).get("min_area", 4)
-    )
+    segmentation_config = tracking_config.get("segmentation_config", {})
+    min_size = int(segmentation_config.get("min_area", 4))
+    # Extension over ultrack's schema: temporally consistent 2-level
+    # hierarchy selection (ultrack's over/under-segmentation repair
+    # equivalent, tracking/engine.py::select_hierarchy_labels).
+    hierarchy = bool(segmentation_config.get("hierarchy_selection", False))
 
     if cellpose_config is not None:
         labels = cellpose_segmentation(data_dict, cellpose_config)
@@ -354,7 +357,7 @@ def track_one_position(
             contour = contour.mean(axis=1)
         tracking_labels, tracks_df = track_from_foreground_contour(
             foreground, contour, scale=scale, max_distance=max_distance,
-            min_size=min_size, max_gap=max_gap,
+            min_size=min_size, max_gap=max_gap, hierarchy=hierarchy,
         )
 
     csv_path = Path(output_dirpath) / Path(*position_key) / f"tracks_{fov}.csv"
@@ -559,11 +562,22 @@ def run_ultrack(tracking_config, foreground, contour, scale, databaset_path=None
                 getattr(linking, "max_gap", 0)
                 or (linking.get("max_gap", 0) if isinstance(linking, dict) else 0)
             )
+            seg = getattr(tracking_config, "segmentation_config", None) or (
+                tracking_config.get("segmentation_config", {})
+                if isinstance(tracking_config, dict)
+                else {}
+            )
+            hierarchy = bool(
+                getattr(seg, "hierarchy_selection", False)
+                or (seg.get("hierarchy_selection", False) if isinstance(seg, dict) else False)
+            )
         else:
             max_gap = 0
+            hierarchy = False
         labels, tracks_df = track_from_foreground_contour(
             np.asarray(foreground), np.asarray(contour),
             scale=scale, max_distance=max_distance, max_gap=max_gap,
+            hierarchy=hierarchy,
         )
         return tracks_df, labels
 

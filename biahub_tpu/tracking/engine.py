@@ -19,6 +19,7 @@ from scipy.optimize import linear_sum_assignment
 
 __all__ = [
     "segment_foreground_contour",
+    "select_hierarchy_labels",
     "link_labels",
     "close_track_gaps",
     "track_from_foreground_contour",
@@ -70,6 +71,98 @@ def segment_foreground_contour(
             for t in range(foreground.shape[0])
         ]
     )
+
+
+def _voronoi_parts(mask: np.ndarray, prev_sl: np.ndarray, claim_ids: np.ndarray):
+    """Split ``mask`` into one part per previous object, by nearest previous
+    footprint (seeded Voronoi on the overlap pixels)."""
+    seeds = np.where(mask & np.isin(prev_sl, claim_ids), prev_sl, 0)
+    _, nearest = ndimage.distance_transform_edt(seeds == 0, return_indices=True)
+    part_lab = np.where(mask, seeds[tuple(nearest)], 0)
+    return [part_lab == i for i in claim_ids]
+
+
+def select_hierarchy_labels(
+    foreground: np.ndarray,
+    contour: np.ndarray,
+    min_size: int = 4,
+) -> np.ndarray:
+    """Temporally consistent selection over a 2-level segmentation hierarchy.
+
+    ultrack segments every frame into a hierarchy of nested candidate
+    segments and lets its ILP pick the level that is most consistent over
+    time (reference: biahub/track.py:406-477, via ultrack segment/link/solve).
+    This native equivalent keeps two levels per frame — coarse (connected
+    foreground components) and fine (marker-Voronoi split,
+    :func:`_segment_frame`) — and selects per coarse component with two
+    temporal rules in one forward sweep (density assumption: objects overlap
+    their previous-frame footprint):
+
+    * **under-segmentation repair** — if ≥2 objects selected at t-1 overlap
+      one coarse component (cells in contact), the component is split: by the
+      fine parts when the fine level separates it, else by a Voronoi
+      partition seeded from the overlapping previous footprints. Identities
+      survive contact instead of collapsing into one detection.
+    * **over-segmentation repair** — with ≤1 previous claimant, a fine split
+      is kept only when it persists in the NEXT frame's fine level (real
+      divisions separate and stay split; a one-frame seeding flicker
+      collapses back to the merged component).
+
+    Components with no previous claimant (new objects) use the fine level,
+    matching :func:`segment_foreground_contour`. Returns the selected
+    per-frame label stack (not yet temporally linked) for :func:`link_labels`.
+    """
+    foreground = np.asarray(foreground)
+    contour = np.asarray(contour)
+    T = foreground.shape[0]
+    fg = foreground > 0.5
+    fine = np.stack(
+        [_segment_frame(foreground[t], contour[t], min_size) for t in range(T)]
+    )
+    out = np.zeros(fg.shape, np.int32)
+    prev_sel = None
+    for t in range(T):
+        coarse, n_c = ndimage.label(fg[t])
+        sel = np.zeros(fg[t].shape, np.int32)
+        next_id = 1
+        for ci, sl in enumerate(ndimage.find_objects(coarse), start=1):
+            if sl is None:
+                continue
+            mask = coarse[sl] == ci
+            fine_sl = fine[t][sl]
+            fine_ids = np.unique(fine_sl[mask])
+            fine_ids = fine_ids[fine_ids != 0]
+            if prev_sel is not None:
+                prev_sl = prev_sel[sl]
+                claim_ids = np.unique(prev_sl[mask])
+                claim_ids = claim_ids[claim_ids != 0]
+            else:
+                claim_ids = np.zeros(0, np.int32)
+
+            if len(claim_ids) >= 2:
+                if len(fine_ids) >= 2:
+                    parts = [(fine_sl == i) & mask for i in fine_ids]
+                else:
+                    parts = _voronoi_parts(mask, prev_sl, claim_ids)
+            else:
+                split_ok = False
+                if len(fine_ids) >= 2:
+                    if len(claim_ids) == 0:
+                        split_ok = True  # new objects: trust the fine level
+                    elif t + 1 < T:
+                        nxt_ids = np.unique(fine[t + 1][sl][mask])
+                        split_ok = len(nxt_ids[nxt_ids != 0]) >= 2
+                parts = (
+                    [(fine_sl == i) & mask for i in fine_ids] if split_ok else [mask]
+                )
+            for pmask in parts:
+                if pmask.sum() < max(min_size, 1):
+                    continue
+                sel[sl][pmask] = next_id
+                next_id += 1
+        out[t] = sel
+        prev_sel = sel
+    return out
 
 
 def _frame_regions(labels: np.ndarray, scale) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -321,9 +414,18 @@ def track_from_foreground_contour(
     max_distance: float = 50.0,
     min_size: int = 4,
     max_gap: int = 0,
+    hierarchy: bool = False,
 ) -> tuple[np.ndarray, pd.DataFrame]:
-    """Full pipeline: foreground+contour → instances → linked tracks."""
-    labels = segment_foreground_contour(foreground, contour, min_size=min_size)
+    """Full pipeline: foreground+contour → instances → linked tracks.
+
+    ``hierarchy=True`` replaces the single-level segmentation with the
+    temporally consistent hierarchy selection (:func:`select_hierarchy_labels`)
+    — ultrack's over/under-segmentation repair equivalent.
+    """
+    if hierarchy:
+        labels = select_hierarchy_labels(foreground, contour, min_size=min_size)
+    else:
+        labels = segment_foreground_contour(foreground, contour, min_size=min_size)
     return link_labels(labels, scale=scale, max_distance=max_distance, max_gap=max_gap)
 
 

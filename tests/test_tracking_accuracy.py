@@ -258,3 +258,118 @@ def test_gap_closing_does_not_break_divisions():
     # Parent ended by dividing: no gap link may leave it, daughters keep lineage
     parent_rows = df[df["parent_track_id"] > 0]
     assert len(set(parent_rows["track_id"])) == 2
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy selection (ultrack's over/under-segmentation repair equivalent)
+# ---------------------------------------------------------------------------
+
+def _fg_contour_scene(frames, shape=(64, 96)):
+    """Build (foreground, contour) stacks from per-frame disk/core specs.
+
+    ``frames``: list of dicts with ``disks`` = [(y, x, r), ...] and optional
+    ``cores`` = [(y, x), ...]. Contour is the normalized distance to the
+    nearest core (minima = segmentation seeds); ``cores: None`` makes the
+    contour flat, so the fine level cannot split touching cells.
+    """
+    T = len(frames)
+    fg = np.zeros((T,) + shape, np.float32)
+    ct = np.zeros((T,) + shape, np.float32)
+    yy, xx = np.mgrid[: shape[0], : shape[1]]
+    for t, fr in enumerate(frames):
+        for (y, x, r) in fr["disks"]:
+            fg[t][(yy - y) ** 2 + (xx - x) ** 2 <= r * r] = 1.0
+        cores = fr.get("cores")
+        if cores is None:
+            ct[t] = 0.5
+        else:
+            d = np.min(
+                np.stack([np.hypot(yy - y, xx - x) for (y, x) in cores]), axis=0
+            )
+            ct[t] = d / max(d.max(), 1e-6)
+    return fg, ct
+
+
+def test_hierarchy_keeps_identities_through_contact():
+    """Two cells touch for two frames (flat contour: the fine level merges
+    them). Hierarchy selection splits the merged component by the previous
+    footprints (Voronoi), so both identities survive the contact — the
+    documented under-segmentation divergence vs ultrack."""
+    from biahub_tpu.tracking.engine import track_from_foreground_contour
+
+    ys1 = [16, 20, 24, 27, 27, 24, 20, 16]
+    frames = []
+    for t in range(8):
+        y1, y2 = ys1[t], 64 - ys1[t]
+        touching = (y2 - y1) <= 12
+        frames.append({
+            "disks": [(y1, 48, 6), (y2, 48, 6)],
+            "cores": None if touching else [(y1, 48), (y2, 48)],
+        })
+    fg, ct = _fg_contour_scene(frames)
+
+    out, df = track_from_foreground_contour(fg, ct, max_distance=15.0,
+                                            hierarchy=True)
+    assert df.track_id.nunique() == 2, df.track_id.unique()
+    spans = df.groupby("track_id")["t"].agg(["min", "max", "count"])
+    assert (spans["min"] == 0).all() and (spans["max"] == 7).all()
+    assert (spans["count"] == 8).all()
+    assert (df.parent_track_id == -1).all()  # no spurious divisions
+
+    # Without selection the contact frames collapse to one detection.
+    out0, df0 = track_from_foreground_contour(fg, ct, max_distance=15.0,
+                                              hierarchy=False)
+    per_frame = df0.groupby("t").size()
+    assert per_frame.loc[3] == 1  # documents the divergence being repaired
+
+
+def test_hierarchy_repairs_overseg_flicker():
+    """One cell whose fine segmentation splits in half for a single frame
+    (two seed cores at t=3 only): selection keeps the split only if it
+    persists into the next frame, so the flicker collapses back and the
+    track stays whole with no spurious division."""
+    from biahub_tpu.tracking.engine import track_from_foreground_contour
+
+    frames = []
+    for t in range(8):
+        y, x = 32, 16 + 8 * t
+        cores = [(y, x - 4), (y, x + 4)] if t == 3 else [(y, x)]
+        frames.append({"disks": [(y, x, 7)], "cores": cores})
+    fg, ct = _fg_contour_scene(frames)
+
+    # The flicker is real at the fine level …
+    from biahub_tpu.tracking.engine import segment_foreground_contour
+    fine = segment_foreground_contour(fg, ct)
+    assert len(np.unique(fine[3])) == 3  # bg + 2 parts
+
+    # … and repaired by selection.
+    out, df = track_from_foreground_contour(fg, ct, max_distance=15.0,
+                                            hierarchy=True)
+    assert df.track_id.nunique() == 1
+    assert (df.groupby("t").size() == 1).all()
+    assert (df.parent_track_id == -1).all()
+
+
+def test_hierarchy_division_of_touching_daughters():
+    """A division whose daughters stay in contact: the split persists at the
+    fine level, so selection keeps it and the linker records the division
+    (repair must not merge real daughters)."""
+    from biahub_tpu.tracking.engine import track_from_foreground_contour
+
+    frames = []
+    for t in range(4):  # parent
+        frames.append({"disks": [(32, 16 + 6 * t, 7)], "cores": [(32, 16 + 6 * t)]})
+    for t in range(4, 8):  # touching daughters (centres 12 apart, r=7)
+        x = 16 + 6 * t
+        frames.append({
+            "disks": [(26, x, 7), (38, x, 7)],
+            "cores": [(26, x), (38, x)],
+        })
+    fg, ct = _fg_contour_scene(frames)
+
+    out, df = track_from_foreground_contour(fg, ct, max_distance=15.0,
+                                            hierarchy=True)
+    assert df.track_id.nunique() == 3
+    daughters = df[df.parent_track_id > 0]
+    assert daughters.track_id.nunique() == 2
+    assert set(daughters.parent_track_id) == {int(df[df.t == 0].track_id.iloc[0])}

@@ -326,13 +326,19 @@ def inplane_affine_warp_zyx_pallas(
     output_shape: tuple[int, int, int],
     fill: float = 0.0,
 ) -> jax.Array:
-    """In-plane warp via the fused MXU shear-resample kernel (concrete matrix).
+    """In-plane warp via the fused MXU shear-resample kernels (concrete matrix).
 
-    Same three-pass factorization as :func:`inplane_affine_warp_zyx`, with
-    each linear pass running as 2-banded one-hot matmuls
-    (kernels/pallas_resample.py) instead of take_along_axis gathers.
+    Same factorization as :func:`inplane_affine_warp_zyx`, but the z- and
+    y-passes FUSE into one two-axis kernel (kernels/pallas_resample.py::
+    shear_resample2_pallas — z decouples, so E_z commutes with E_y/E_x and
+    the pass coefficients are unchanged), saving one full-volume HBM round
+    trip; and of the three remaining layout changes only the first moves the
+    lane axis (the other two permute major axes — ~2x cheaper copies).
     """
-    from biahub_tpu.kernels.pallas_resample import shear_resample_pallas
+    from biahub_tpu.kernels.pallas_resample import (
+        shear_resample2_pallas,
+        shear_resample_pallas,
+    )
 
     Zo, Yo, Xo = output_shape
     m = np.asarray(matrix, dtype=np.float64)
@@ -344,17 +350,22 @@ def inplane_affine_warp_zyx_pallas(
     b2 = ty - b1 * tx
 
     v = volume.astype(jnp.float32)
-    # z-pass: resample z, coords independent of the o axis
-    d = jnp.transpose(v, (1, 0, 2))  # (Yi, Zi, Xi)
-    d = shear_resample_pallas(d, Zo, float(mzz), 0.0, float(tz), order=1)
-    # y-pass in (Xi, Yi, Zo): yi = b0*yo + b1*x + b2
-    d = jnp.transpose(d, (1, 0, 2))  # (Xi, Yi, Zo)
-    d = shear_resample_pallas(d, Yo, float(b0), float(b1), float(b2), order=1)
+    # Fused z+y pass in (Xi, Zi, Yi): sublane axis resamples z
+    # (zi = mzz*zo + tz), lane axis resamples y (yi = b0*yo + b1*x + b2,
+    # x being the o/grid axis — still the pre-resample x, as in the 3-pass
+    # form where the y-pass preceded the x-pass).
+    d = jnp.transpose(v, (2, 0, 1))  # (Xi, Zi, Yi)
+    d = shear_resample2_pallas(
+        d, Zo, Yo,
+        (float(mzz), 0.0, float(tz)),
+        (float(b0), float(b1), float(b2)),
+        order=1,
+    )  # (Xi, Yo, Zo)
     # x-pass in (Yo, Xi, Zo): xi = mxx*xo + mxy*yo + tx. The exact domain
     # mask of the ORIGINAL matrix rides inside this final pass: its output
     # element (o=yo, t=zo, r=xo) has input coord i = M[i,1]*o + M[i,0]*t +
     # M[i,2]*r + M[i,3] — skipping _exact_domain_mask's own volume pass.
-    d = jnp.transpose(d, (2, 0, 1))  # (Yo, Xi, Zo)
+    d = jnp.transpose(d, (1, 0, 2))  # (Yo, Xi, Zo)
     a_flat = tuple(
         float(c)
         for i in range(3)
@@ -405,13 +416,20 @@ def make_batched_inplane_kernel(
         if not use_pallas:
             return inplane_affine_warp_zyx(zyx, matrix, out_shape, fill=fill)
 
-        from biahub_tpu.kernels.pallas_resample import shear_resample_pallas_dyn
+        from biahub_tpu.kernels.pallas_resample import (
+            shear_resample2_pallas_dyn,
+            shear_resample_pallas_dyn,
+        )
 
-        d = jnp.transpose(zyx.astype(jnp.float32), (1, 0, 2))  # (Yi, Zi, Xi)
-        d = shear_resample_pallas_dyn(d, out_shape[0], ip[0], k_bounds[0], order=1)
-        d = jnp.transpose(d, (1, 0, 2))  # (Xi, Yi, Zo)
-        d = shear_resample_pallas_dyn(d, out_shape[1], ip[1], k_bounds[1], order=1)
-        d = jnp.transpose(d, (2, 0, 1))  # (Yo, Xi, Zo)
+        # Fused z+y pass, then the x-pass — same layout chain as
+        # inplane_affine_warp_zyx_pallas, with traced per-matrix coeffs.
+        d = jnp.transpose(zyx.astype(jnp.float32), (2, 0, 1))  # (Xi, Zi, Yi)
+        d = shear_resample2_pallas_dyn(
+            d, out_shape[0], out_shape[1],
+            jnp.concatenate([ip[0], ip[1]]),
+            k_bounds[0], k_bounds[1], order=1,
+        )  # (Xi, Yo, Zo)
+        d = jnp.transpose(d, (1, 0, 2))  # (Yo, Xi, Zo)
         d = shear_resample_pallas_dyn(d, out_shape[2], ip[2], k_bounds[2], order=1)
         out = jnp.transpose(d, (1, 0, 2))  # (Zo, Yo, Xo)
         return _exact_domain_mask(out, matrix, in_shape, out_shape, float(fill))
@@ -495,24 +513,30 @@ def translation_warp_zyx(
         and isinstance(fill, (int, float))
         and float(fill) == 0.0
     ):
-        # Shifts may be traced (per-timepoint stabilize parameters), so each
-        # pass runs the SMEM-coefficient kernel; mask_oob reproduces the
-        # per-axis whole-sample fill (fill = 0 only).
-        from biahub_tpu.kernels.pallas_resample import shear_resample_pallas_dyn
+        # Shifts may be traced (per-timepoint stabilize parameters), so the
+        # passes run the SMEM-coefficient kernels; mask_oob reproduces the
+        # per-axis whole-sample fill (fill = 0 only). z+y fuse into the
+        # two-axis kernel — one HBM round trip fewer than three passes.
+        from biahub_tpu.kernels.pallas_resample import (
+            shear_resample2_pallas_dyn,
+            shear_resample_pallas_dyn,
+        )
 
-        def pass_coeffs(ax):
-            return jnp.stack([jnp.float32(1.0), jnp.float32(0.0), shift[ax]])
-
+        one = jnp.float32(1.0)
+        zero = jnp.float32(0.0)
         kb = 128 + 2
-        d = jnp.transpose(volume.astype(jnp.float32), (1, 0, 2))  # (Yi, Zi, Xi)
-        d = shear_resample_pallas_dyn(d, out_shape[0], pass_coeffs(0), kb,
-                                      order=1, mask_oob=True)  # (Yi, Xi, Zo)
-        d = jnp.transpose(d, (1, 0, 2))  # (Xi, Yi, Zo)
-        d = shear_resample_pallas_dyn(d, out_shape[1], pass_coeffs(1), kb,
-                                      order=1, mask_oob=True)  # (Xi, Zo, Yo)
-        d = jnp.transpose(d, (2, 0, 1))  # (Yo, Xi, Zo)
-        d = shear_resample_pallas_dyn(d, out_shape[2], pass_coeffs(2), kb,
-                                      order=1, mask_oob=True)  # (Yo, Zo, Xo)
+        d = jnp.transpose(volume.astype(jnp.float32), (2, 0, 1))  # (Xi, Zi, Yi)
+        d = shear_resample2_pallas_dyn(
+            d, out_shape[0], out_shape[1],
+            jnp.stack([one, zero, shift[0], one, zero, shift[1]]),
+            kb, kb, order=1, mask_oob=True,
+        )  # (Xi, Yo, Zo)
+        d = jnp.transpose(d, (1, 0, 2))  # (Yo, Xi, Zo)
+        d = shear_resample_pallas_dyn(
+            d, out_shape[2],
+            jnp.stack([one, zero, shift[2]]),
+            kb, order=1, mask_oob=True,
+        )  # (Yo, Zo, Xo)
         return jnp.transpose(d, (1, 0, 2))  # (Zo, Yo, Xo)
 
     def resample_axis(data, axis, size_out, delta):

@@ -33,7 +33,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["shear_resample_pallas", "shear_resample_pallas_dyn"]
+__all__ = [
+    "shear_resample_pallas",
+    "shear_resample_pallas_dyn",
+    "shear_resample2_pallas",
+    "shear_resample2_pallas_dyn",
+]
 
 TILE_R = 128
 
@@ -277,6 +282,231 @@ def shear_resample_pallas_dyn(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((O, T, r_out), jnp.float32),
     )(coeffs.astype(jnp.float32).reshape(1, 3), data_ort.astype(jnp.float32))
+
+
+def _banded_dot_left(w, slab):
+    """(tile_w, K) x (K, T) -> (tile_w, T) contraction at the configured
+    warp precision — the mirrored orientation of :func:`_banded_dot`, used
+    for the lane-axis resample of the fused two-axis kernel."""
+    w = w.astype(jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    if _warp_precision() == "high":
+        ah = w.astype(jnp.bfloat16)
+        al = (w - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = slab.astype(jnp.bfloat16)
+        bl = (slab - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def d(x, y):
+            return jax.lax.dot_general(x, y, dn, preferred_element_type=jnp.float32)
+
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
+    return jax.lax.dot_general(
+        w, slab, dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _band_weights(coords, offs, cols, order, K):
+    """Banded interpolation weight matrix shared by both fused-pass matmuls."""
+    i0 = jnp.floor(coords)
+    frac = coords - i0
+
+    def band(k, wk):
+        return wk * (cols == jnp.clip(offs + k, 0, K - 1))
+
+    if order == 1:
+        return band(0, 1.0 - frac) + band(1, frac)
+    t2 = frac * frac
+    t3 = t2 * frac
+    return (
+        band(-1, -0.5 * t3 + t2 - 0.5 * frac)
+        + band(0, 1.5 * t3 - 2.5 * t2 + 1.0)
+        + band(1, -1.5 * t3 + 2.0 * t2 + 0.5 * frac)
+        + band(2, 0.5 * t3 - 0.5 * t2)
+    )
+
+
+def _resample2_body(data_ref, out_ref, res_ref, coeffs, params):
+    """Shared body of the fused two-axis resample (static and SMEM coeffs).
+
+    Pass 1 resamples the sublane axis R of the (1, R_in, T_in) data block
+    into a (T_in, TILE_R) VMEM scratch (one banded MXU dot, exactly
+    :func:`_resample_kernel`'s tile). Pass 2 resamples the scratch's sublane
+    axis — the original LANE axis T — with a second banded dot per 128-row
+    output stripe: windows slice the scratch at 8-aligned sublane starts, the
+    fast pattern (no lane-axis gathers anywhere). One kernel thus applies two
+    elementary warp passes for a single HBM round trip.
+    """
+    (R_in, T_in, R_out, T_out, K_r, K_t, n_t_tiles, order, mask_oob) = params
+    cr, co, tau, dr, do_, dtau = coeffs
+    o_idx = pl.program_id(0).astype(jnp.float32)
+    rt = pl.program_id(1)
+
+    # ---- pass 1: resample R (data sublanes) -> res (T_in, TILE_R)
+    ro = (
+        rt * TILE_R + jax.lax.broadcasted_iota(jnp.int32, (TILE_R, 1), 0)
+    ).astype(jnp.float32)
+    coords = cr * ro + co * o_idx + tau  # (TILE_R, 1)
+    i0 = jnp.floor(coords).astype(jnp.int32)
+    lo = jnp.minimum(i0[0, 0], i0[TILE_R - 1, 0]) - 1
+    start = jnp.clip(lo, 0, max(R_in - K_r, 0))
+    start = pl.multiple_of((start // 8) * 8, 8)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, K_r), 1)
+    w = _band_weights(coords, i0 - start, cols, order, K_r)
+    if mask_oob:
+        w = w * ((coords >= 0) & (coords <= R_in - 1)).astype(w.dtype)
+    slab = data_ref[0, pl.ds(start, K_r), :]  # (K_r, T_in)
+    res_ref[:, :] = _banded_dot(slab, w)  # (T_in, TILE_R)
+
+    # ---- pass 2: resample T (scratch sublanes) per 128-row output stripe
+    for t_i in range(n_t_tiles):
+        tw = min(TILE_R, T_out - t_i * TILE_R)
+        to = (
+            t_i * TILE_R + jax.lax.broadcasted_iota(jnp.int32, (tw, 1), 0)
+        ).astype(jnp.float32)
+        c2 = dr * to + do_ * o_idx + dtau
+        j0 = jnp.floor(c2).astype(jnp.int32)
+        lo2 = jnp.minimum(j0[0, 0], j0[tw - 1, 0]) - 1
+        start2 = jnp.clip(lo2, 0, max(T_in - K_t, 0))
+        start2 = pl.multiple_of((start2 // 8) * 8, 8)
+        cols2 = jax.lax.broadcasted_iota(jnp.int32, (tw, K_t), 1)
+        w2 = _band_weights(c2, j0 - start2, cols2, order, K_t)
+        if mask_oob:
+            w2 = w2 * ((c2 >= 0) & (c2 <= T_in - 1)).astype(w2.dtype)
+        win = res_ref[pl.ds(start2, K_t), :]  # (K_t, TILE_R)
+        out_ref[0, t_i * TILE_R : t_i * TILE_R + tw, :] = _banded_dot_left(w2, win)
+
+
+def _resample2_kernel(data_ref, out_ref, res_ref, *, params, coeffs):
+    _resample2_body(data_ref, out_ref, res_ref, coeffs, params)
+
+
+def _resample2_kernel_dyn(coeffs_ref, data_ref, out_ref, res_ref, *, params):
+    coeffs = tuple(coeffs_ref[0, i] for i in range(6))
+    _resample2_body(data_ref, out_ref, res_ref, coeffs, params)
+
+
+def _resample2_specs(O, R_in, T_in, R_out, T_out):
+    n_r_tiles = -(-R_out // TILE_R)
+    data_spec = pl.BlockSpec(
+        (1, R_in, T_in), lambda o, r: (o, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, T_out, TILE_R), lambda o, r: (o, 0, r), memory_space=pltpu.VMEM
+    )
+    return (
+        (O, n_r_tiles),
+        data_spec,
+        out_spec,
+        [pltpu.VMEM((T_in, TILE_R), jnp.float32)],
+        jax.ShapeDtypeStruct((O, T_out, R_out), jnp.float32),
+    )
+
+
+def _k_window(k_bound: int, axis_size: int) -> int:
+    return min(-(-(k_bound + 8) // 8) * 8, axis_size)
+
+
+@partial(jax.jit, static_argnames=("r_out", "t_out", "rc", "tc", "order",
+                                   "mask_oob"))
+def shear_resample2_pallas(
+    data_ort: jax.Array,
+    r_out: int,
+    t_out: int,
+    rc: tuple[float, float, float],
+    tc: tuple[float, float, float],
+    order: int = 3,
+    mask_oob: bool = False,
+) -> jax.Array:
+    """Fused two-axis resample of (O, R_in, T_in) data -> (O, t_out, r_out).
+
+    Applies TWO elementary warp passes in one kernel (one HBM round trip):
+    the sublane axis R at coords ``rc[0]*r + rc[1]*o + rc[2]``, then the lane
+    axis T at coords ``tc[0]*t + tc[1]*o + tc[2]``. Both passes' coordinates
+    may depend on the grid axis ``o`` but not on each other — exactly the
+    structure of a z-decoupled (in-plane) affine's z+y passes, which is the
+    caller this serves (kernels/affine.py). ``mask_oob`` zeroes out-of-domain
+    samples per axis (scipy whole-sample constant fill with fill = 0).
+    """
+    O, R_in, T_in = data_ort.shape
+    support = 2 if order == 1 else 4
+    K_r = _k_window(int(np.ceil(TILE_R * abs(rc[0]))) + support, R_in)
+    K_t = _k_window(int(np.ceil(TILE_R * abs(tc[0]))) + support, T_in)
+    n_t_tiles = -(-t_out // TILE_R)
+
+    grid, data_spec, out_spec, scratch, out_shape = _resample2_specs(
+        O, R_in, T_in, r_out, t_out
+    )
+    kernel = partial(
+        _resample2_kernel,
+        params=(R_in, T_in, r_out, t_out, K_r, K_t, n_t_tiles, int(order),
+                bool(mask_oob)),
+        coeffs=tuple(float(c) for c in rc) + tuple(float(c) for c in tc),
+    )
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=grid,
+        in_specs=[data_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+    )(data_ort.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("r_out", "t_out", "k_bound_r", "k_bound_t",
+                                   "order", "mask_oob"))
+def shear_resample2_pallas_dyn(
+    data_ort: jax.Array,
+    r_out: int,
+    t_out: int,
+    coeffs: jax.Array,
+    k_bound_r: int,
+    k_bound_t: int,
+    order: int = 3,
+    mask_oob: bool = False,
+) -> jax.Array:
+    """Fused two-axis resample with TRACED coefficients.
+
+    ``coeffs`` is a length-6 array (cr, co, tau, dr, do, dtau) read from
+    SMEM; ``k_bound_r``/``k_bound_t`` statically bound
+    ceil(TILE_R*|slope|) + support over every coefficient set (per-matrix
+    parameters in batched stabilize/register kernels).
+    """
+    O, R_in, T_in = data_ort.shape
+    K_r = _k_window(k_bound_r, R_in)
+    K_t = _k_window(k_bound_t, T_in)
+    n_t_tiles = -(-t_out // TILE_R)
+
+    grid, data_spec, out_spec, scratch, out_shape = _resample2_specs(
+        O, R_in, T_in, r_out, t_out
+    )
+    kernel = partial(
+        _resample2_kernel_dyn,
+        params=(R_in, T_in, r_out, t_out, K_r, K_t, n_t_tiles, int(order),
+                bool(mask_oob)),
+    )
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 6), lambda o, r: (0, 0), memory_space=pltpu.SMEM),
+            data_spec,
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+    )(coeffs.astype(jnp.float32).reshape(1, 6), data_ort.astype(jnp.float32))
 
 
 def _resample_kernel_dyn_deriv(coeffs_ref, data_ref, out_ref, *, params):

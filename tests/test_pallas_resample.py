@@ -112,3 +112,74 @@ def test_high_precision_mode_tolerance(monkeypatch):
     assert np.abs(fast - exact).max() / scale < 2e-4
     # and it must NOT be bitwise identical (the fast path actually engaged)
     assert not np.array_equal(fast, exact)
+
+
+@pytest.mark.parametrize("order", [1, 3])
+@pytest.mark.parametrize("mask_oob", [False, True])
+def test_fused_two_axis_matches_chained_single_passes(order, mask_oob):
+    """shear_resample2_pallas == single R-pass then single T-pass.
+
+    The fused kernel's contract: pass 1 resamples the sublane axis, pass 2
+    the lane axis; composing the proven single-axis kernel twice (with the
+    layout transposes the fused kernel eliminates) must agree to float
+    tolerance on awkward (non-multiple-of-8/128) shapes.
+    """
+    from biahub_tpu.kernels.pallas_resample import shear_resample2_pallas
+
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal((5, 37, 29)).astype(np.float32)
+    r_out, t_out = 33, 26
+    rc = (0.91, 0.05, 1.3)
+    tc = (1.07, -0.03, -0.8)
+
+    fused = np.asarray(
+        shear_resample2_pallas(data, r_out, t_out, rc, tc, order=order,
+                               mask_oob=mask_oob)
+    )
+    assert fused.shape == (5, t_out, r_out)
+
+    # Chain of single passes: R-pass -> (O, T, R'); T is then axis 1, so a
+    # second single pass resamples it -> (O, R', T'); transpose to match.
+    p1 = shear_resample_pallas(data, r_out, *rc, order=order)
+    if mask_oob:
+        # Single kernel's mask_oob lives only in the dyn variant; emulate by
+        # zeroing out-of-domain coords of each pass on the numpy side.
+        p1 = np.array(p1)
+        for o in range(data.shape[0]):
+            for q in range(r_out):
+                c = rc[0] * q + rc[1] * o + rc[2]
+                if not (0 <= c <= data.shape[1] - 1):
+                    p1[o, :, q] = 0.0
+    p2 = np.array(shear_resample_pallas(np.asarray(p1), t_out, *tc, order=order))
+    if mask_oob:
+        for o in range(data.shape[0]):
+            for q in range(t_out):
+                c = tc[0] * q + tc[1] * o + tc[2]
+                if not (0 <= c <= p1.shape[1] - 1):
+                    p2[o, :, q] = 0.0
+    ref = np.transpose(p2, (0, 2, 1))  # (O, t_out, r_out)
+    np.testing.assert_allclose(fused, ref, atol=2e-5)
+
+
+def test_fused_two_axis_dyn_matches_static():
+    """The SMEM-coefficient fused kernel equals the static-coefficient one."""
+    import jax.numpy as jnp
+
+    from biahub_tpu.kernels.pallas_resample import (
+        shear_resample2_pallas,
+        shear_resample2_pallas_dyn,
+    )
+
+    rng = np.random.default_rng(11)
+    data = rng.standard_normal((4, 24, 31)).astype(np.float32)
+    rc = (1.02, 0.01, -0.7)
+    tc = (0.94, 0.0, 2.1)
+    static = np.asarray(
+        shear_resample2_pallas(data, 22, 28, rc, tc, order=1, mask_oob=True)
+    )
+    dyn = np.asarray(
+        shear_resample2_pallas_dyn(
+            data, 22, 28, jnp.asarray(rc + tc), 132, 132, order=1, mask_oob=True
+        )
+    )
+    np.testing.assert_allclose(dyn, static, atol=1e-6)

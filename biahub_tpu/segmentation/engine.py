@@ -39,10 +39,13 @@ __all__ = ["cpnet_segment_czyx", "stitch_labels_3d"]
 def _load_engine(checkpoint_path: str):
     from biahub_tpu.models.convert import load_cpnet_checkpoint
     from biahub_tpu.models.cpnet import CPnet
+    from biahub_tpu.virtual_stain import _jit_model_apply
 
     variables, config = load_cpnet_checkpoint(checkpoint_path)
     net = CPnet(**config)
-    apply = jax.jit(lambda x: net.apply(variables, x))
+    # Honors BIAHUB_TPU_MODEL_PRECISION like every other flax model path.
+    jitted = _jit_model_apply(net)
+    apply = lambda x: jitted(variables, x)  # noqa: E731
     return apply, config
 
 
@@ -62,42 +65,89 @@ def _assemble_channels(
 
 
 def _normalize(x: np.ndarray) -> np.ndarray:
-    """Per-channel 1-99 percentile normalisation (cellpose default)."""
-    out = np.empty_like(x)
-    for c in range(x.shape[1]):
-        lo, hi = np.percentile(x[:, c], [1.0, 99.0])
-        out[:, c] = (x[:, c] - lo) / max(hi - lo, 1e-6)
-    return out
+    """Per-plane per-channel 1-99 percentile normalisation.
+
+    cellpose's eval path normalises each 2D plane independently (its
+    ``normalize_img`` runs per image in the slice loop), so a stack with
+    depth attenuation keeps deep planes at full contrast instead of being
+    squashed by bright shallow planes' pooled percentiles.
+    """
+    lo = np.percentile(x, 1.0, axis=(2, 3), keepdims=True)
+    hi = np.percentile(x, 99.0, axis=(2, 3), keepdims=True)
+    return (x - lo) / np.maximum(hi - lo, 1e-6)
 
 
 def stitch_labels_3d(labels_zyx: np.ndarray, stitch_threshold: float) -> np.ndarray:
-    """Chain per-slice 2D labels into 3D objects by IoU >= threshold."""
+    """Chain per-slice 2D labels into 3D objects by IoU >= threshold.
+
+    One pass per slice pair: the (prev, cur) joint histogram comes from a
+    single ``bincount`` over combined indices and the remap is a LUT gather,
+    so cost is O(H*W + n_labels) per slice instead of per-label image scans.
+    """
     out = np.asarray(labels_zyx).astype(np.uint32).copy()
     next_label = int(out[0].max()) + 1
     for z in range(1, out.shape[0]):
         prev, cur = out[z - 1], out[z]
-        remap = {}
-        for lab in np.unique(cur):
-            if lab == 0:
-                continue
-            region = cur == lab
-            overlap = prev[region]
-            overlap = overlap[overlap > 0]
-            if len(overlap):
-                cand, counts = np.unique(overlap, return_counts=True)
-                best = cand[np.argmax(counts)]
-                inter = counts.max()
-                union = region.sum() + (prev == best).sum() - inter
-                if union > 0 and inter / union >= stitch_threshold:
-                    remap[int(lab)] = int(best)
-                    continue
-            remap[int(lab)] = next_label
-            next_label += 1
-        new = np.zeros_like(cur)
-        for lab, tgt in remap.items():
-            new[cur == lab] = tgt
-        out[z] = new
+        n_cur = int(cur.max())
+        if n_cur == 0:
+            continue
+        cur_sizes = np.bincount(cur.ravel(), minlength=n_cur + 1)
+        prev_sizes = np.bincount(prev.ravel())
+        # Joint histogram restricted to overlapping foreground pixels.
+        both = (cur > 0) & (prev > 0)
+        pair = prev[both].astype(np.int64) * (n_cur + 1) + cur[both]
+        counts = np.bincount(pair)
+        inter = np.zeros(n_cur + 1, np.int64)
+        best_prev = np.zeros(n_cur + 1, np.int64)
+        if counts.size:
+            nz = np.nonzero(counts)[0]
+            prev_ids, cur_ids = nz // (n_cur + 1), nz % (n_cur + 1)
+            order = np.argsort(counts[nz], kind="stable")
+            # Last write wins -> the argmax-overlap previous label per cur.
+            inter[cur_ids[order]] = counts[nz][order]
+            best_prev[cur_ids[order]] = prev_ids[order]
+        union = cur_sizes + np.where(
+            best_prev > 0, prev_sizes[best_prev], 0
+        ) - inter
+        iou = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = (best_prev > 0) & (iou >= stitch_threshold)
+        lut = np.zeros(n_cur + 1, dtype=out.dtype)
+        lut[keep] = best_prev[keep]
+        fresh = np.nonzero(~keep)[0]
+        fresh = fresh[fresh > 0]
+        lut[fresh] = np.arange(next_label, next_label + len(fresh), dtype=out.dtype)
+        next_label += len(fresh)
+        out[z] = lut[cur]
     return out
+
+
+def _apply_z_chunked(apply, x: np.ndarray, base_channels: int) -> np.ndarray:
+    """Run the network over Z in device-budgeted, shape-stable chunks.
+
+    Sizing follows the repo-wide ``BIAHUB_TPU_MAX_BATCH_BYTES`` convention:
+    the per-slice footprint is estimated from the level-0 feature maps (the
+    dominant activations — ~8 resident ``base_channels`` f32 planes through
+    the down/up paths), so huge FOVs run slab-by-slab instead of OOMing one
+    giant apply. Every chunk is edge-padded to one fixed size so the network
+    compiles exactly once per FOV shape.
+    """
+    import os
+
+    from biahub_tpu.runtime.executor import DEFAULT_MAX_BATCH_BYTES
+
+    Z = x.shape[0]
+    budget = int(os.environ.get("BIAHUB_TPU_MAX_BATCH_BYTES", DEFAULT_MAX_BATCH_BYTES))
+    per_slice = x.shape[2] * x.shape[3] * 4 * max(base_channels, 1) * 8
+    z_chunk = int(min(Z, max(1, budget // max(per_slice, 1))))
+    outs = []
+    for z0 in range(0, Z, z_chunk):
+        chunk = x[z0 : z0 + z_chunk]
+        pad_z = z_chunk - chunk.shape[0]
+        if pad_z:
+            chunk = np.pad(chunk, ((0, pad_z), (0, 0), (0, 0), (0, 0)), mode="edge")
+        y, _style = apply(jnp.asarray(chunk))
+        outs.append(np.asarray(y)[: z_chunk - pad_z])
+    return np.concatenate(outs, axis=0)
 
 
 def cpnet_segment_czyx(
@@ -129,12 +179,17 @@ def cpnet_segment_czyx(
         )
     pad_y, pad_x = (-ys) % 16, (-xs) % 16
     x = np.pad(x, ((0, 0), (0, 0), (0, pad_y), (0, pad_x)), mode="edge")
-    out, _style = apply(jnp.asarray(x))
-    out = np.asarray(out)[:, :, :ys, :xs]  # (Z, 3, ys, xs)
+    out = _apply_z_chunked(apply, x, int(config["nbase"][1]))
+    out = out[:, :, :ys, :xs]  # (Z, 3, ys, xs)
     if (ys, xs) != (Y, X):
         out = np.asarray(
             jax.image.resize(jnp.asarray(out), (Z, 3, Y, X), method="linear")
         )
+    # Flows were computed at model resolution and resized back to native
+    # pixels without magnitude rescaling, so each Euler step covers ~rescale
+    # pixels of native distance; scale the step count to compensate
+    # (cellpose's resample path uses niter = 200 / rescale the same way).
+    eff_niter = int(np.ceil(niter / rescale)) if rescale < 1.0 else int(niter)
     labels = np.stack(
         [
             compute_masks(
@@ -143,7 +198,7 @@ def cpnet_segment_czyx(
                 cellprob_threshold=cellprob_threshold,
                 flow_threshold=flow_threshold,
                 min_size=min_size,
-                niter=niter,
+                niter=eff_niter,
             )
             for z in range(Z)
         ]

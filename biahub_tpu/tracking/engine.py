@@ -82,6 +82,23 @@ def _voronoi_parts(mask: np.ndarray, prev_sl: np.ndarray, claim_ids: np.ndarray)
     return [part_lab == i for i in claim_ids]
 
 
+def _parts_persist(parts_masks, fine_other_sl: np.ndarray) -> bool:
+    """Do >= 2 of the candidate parts map onto DISTINCT fine objects in the
+    adjacent frame? Each part votes with the majority fine label under its
+    own footprint, so a label must dominate a part to count."""
+    seen: set[int] = set()
+    for pm in parts_masks:
+        vals = fine_other_sl[pm]
+        vals = vals[vals != 0]
+        if len(vals) == 0:
+            continue
+        ids_, cnt = np.unique(vals, return_counts=True)
+        seen.add(int(ids_[np.argmax(cnt)]))
+        if len(seen) >= 2:
+            return True
+    return False
+
+
 def select_hierarchy_labels(
     foreground: np.ndarray,
     contour: np.ndarray,
@@ -149,9 +166,17 @@ def select_hierarchy_labels(
                 if len(fine_ids) >= 2:
                     if len(claim_ids) == 0:
                         split_ok = True  # new objects: trust the fine level
-                    elif t + 1 < T:
-                        nxt_ids = np.unique(fine[t + 1][sl][mask])
-                        split_ok = len(nxt_ids[nxt_ids != 0]) >= 2
+                    else:
+                        # Persistence: the split is real only if the PARTS
+                        # map onto distinct fine objects in an adjacent
+                        # frame (forward when one exists, else backward).
+                        # Sampling per part — not the whole component mask —
+                        # keeps a neighbor wandering into the footprint from
+                        # faking persistence.
+                        other = t + 1 if t + 1 < T else t - 1
+                        if other >= 0:
+                            parts_m = [(fine_sl == i) & mask for i in fine_ids]
+                            split_ok = _parts_persist(parts_m, fine[other][sl])
                 parts = (
                     [(fine_sl == i) & mask for i in fine_ids] if split_ok else [mask]
                 )
@@ -395,6 +420,12 @@ def close_track_gaps(
         df.iat[first_idx, col] = end_node
     # Daughters of a merged chain keep pointing at the (renamed) chain id via
     # the parent_track_id remap above; parent node ids are unchanged.
+    # Absorbed rows carried parent_track_id = -1 (they started as fresh
+    # tracks); make every row of a merged track agree with its true origin —
+    # the minimum-t row's parent — so per-row lineage reads stay consistent.
+    origin = df.loc[df.groupby("track_id")["t"].idxmin()]
+    parent_of = dict(zip(origin["track_id"], origin["parent_track_id"]))
+    df["parent_track_id"] = df["track_id"].map(parent_of)
 
     out = out.copy()
     remap = {absorb: find(absorb) for absorb in stitch_parent_node}

@@ -408,6 +408,23 @@ def make_batched_inplane_kernel(
     in_shape = tuple(int(s) for s in in_shape)
     out_shape = tuple(int(s) for s in out_shape)
 
+    # Static slab windows covering EVERY matrix in the batch (the matrix list
+    # is concrete here even though each kernel call traces its coefficients):
+    # y rides as the fused kernel's pass-2/lane axis over o = x, x as the
+    # final pass's resampled axis over o = y_out.
+    from biahub_tpu.kernels.pallas_resample import _k_window, static_window_plan
+
+    y_window = static_window_plan(
+        [tuple(float(c) for c in p[1]) for p in params],
+        in_shape[2], out_shape[1], in_shape[1], order=1,
+        k_dyn=_k_window(k_bounds[1], in_shape[1]),
+    )
+    x_window = static_window_plan(
+        [tuple(float(c) for c in p[2]) for p in params],
+        out_shape[1], out_shape[2], in_shape[2], order=1,
+        k_dyn=_k_window(k_bounds[2], in_shape[2]),
+    )
+
     def kernel(zyx, matrix, ip):
         use_pallas = (
             jax.default_backend() == "tpu"
@@ -427,10 +444,11 @@ def make_batched_inplane_kernel(
         d = shear_resample2_pallas_dyn(
             d, out_shape[0], out_shape[1],
             jnp.concatenate([ip[0], ip[1]]),
-            k_bounds[0], k_bounds[1], order=1,
+            k_bounds[0], k_bounds[1], order=1, t_window=y_window,
         )  # (Xi, Yo, Zo)
         d = jnp.transpose(d, (1, 0, 2))  # (Yo, Xi, Zo)
-        d = shear_resample_pallas_dyn(d, out_shape[2], ip[2], k_bounds[2], order=1)
+        d = shear_resample_pallas_dyn(d, out_shape[2], ip[2], k_bounds[2],
+                                      order=1, window=x_window)
         out = jnp.transpose(d, (1, 0, 2))  # (Zo, Yo, Xo)
         return _exact_domain_mask(out, matrix, in_shape, out_shape, float(fill))
 
@@ -452,9 +470,10 @@ def affine_warp_auto(
     """
     matrix = np.asarray(matrix, dtype=np.float64)
     if order == 1 and is_translation_matrix(matrix):
+        shifts = tuple((float(s), float(s)) for s in matrix[:3, 3])
         return translation_warp_zyx(
             volume, jnp.asarray(matrix[:3, 3], dtype=jnp.float32), tuple(output_shape),
-            fill=fill,
+            fill=fill, shift_bounds=shifts,
         )
     if order == 1 and is_inplane_matrix(matrix):
         if (
@@ -487,12 +506,13 @@ def affine_warp_auto(
                            tuple(output_shape), fill=fill, order=order)
 
 
-@partial(jax.jit, static_argnames=("output_shape",))
+@partial(jax.jit, static_argnames=("output_shape", "shift_bounds"))
 def translation_warp_zyx(
     volume: jax.Array,
     shift_zyx: jax.Array,
     output_shape: tuple[int, int, int] | None = None,
     fill: float = 0.0,
+    shift_bounds=None,
 ) -> jax.Array:
     """Pure-translation fast path: separable 1D linear interpolation per axis.
 
@@ -500,6 +520,12 @@ def translation_warp_zyx(
     coord + shift. Three take_along_axis gathers instead of an 8-corner
     trilinear gather — ~2.7x less memory traffic for stabilization stacks
     where the per-timepoint transform is translation-only.
+
+    ``shift_bounds`` (static): optional per-axis ``((lo, hi), ...)`` bounds on
+    the traced shift — callers with the concrete shift list (the batched
+    stabilize dispatch) pass them so the Pallas passes run static slab
+    windows (pallas_resample.static_window_plan) instead of dynamic VMEM
+    slices.
     """
     out_shape = output_shape or volume.shape
     shift = jnp.asarray(shift_zyx, dtype=jnp.float32)
@@ -520,22 +546,35 @@ def translation_warp_zyx(
         from biahub_tpu.kernels.pallas_resample import (
             shear_resample2_pallas_dyn,
             shear_resample_pallas_dyn,
+            static_window_plan,
         )
+
+        def axis_window(ax, o_size, r_out, axis_in):
+            if shift_bounds is None:
+                return None
+            lo, hi = shift_bounds[ax]
+            return static_window_plan(
+                [(1.0, 0.0, float(lo)), (1.0, 0.0, float(hi))],
+                o_size, r_out, axis_in, order=1, k_dyn=136,
+            )
 
         one = jnp.float32(1.0)
         zero = jnp.float32(0.0)
         kb = 128 + 2
+        Zi, Yi, Xi = volume.shape
         d = jnp.transpose(volume.astype(jnp.float32), (2, 0, 1))  # (Xi, Zi, Yi)
         d = shear_resample2_pallas_dyn(
             d, out_shape[0], out_shape[1],
             jnp.stack([one, zero, shift[0], one, zero, shift[1]]),
             kb, kb, order=1, mask_oob=True,
+            t_window=axis_window(1, Xi, out_shape[1], Yi),
         )  # (Xi, Yo, Zo)
         d = jnp.transpose(d, (1, 0, 2))  # (Yo, Xi, Zo)
         d = shear_resample_pallas_dyn(
             d, out_shape[2],
             jnp.stack([one, zero, shift[2]]),
             kb, order=1, mask_oob=True,
+            window=axis_window(2, out_shape[1], out_shape[2], Xi),
         )  # (Yo, Zo, Xo)
         return jnp.transpose(d, (1, 0, 2))  # (Zo, Yo, Xo)
 

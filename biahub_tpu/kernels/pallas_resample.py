@@ -38,9 +38,56 @@ __all__ = [
     "shear_resample_pallas_dyn",
     "shear_resample2_pallas",
     "shear_resample2_pallas_dyn",
+    "static_window_plan",
 ]
 
 TILE_R = 128
+
+
+def static_window_plan(
+    coeff_sets,
+    O: int,
+    r_out: int,
+    axis_in: int,
+    order: int,
+    k_dyn: int | None = None,
+):
+    """Per-tile STATIC slab-window starts covering every coefficient set.
+
+    Dynamic (scalar-dependent) sublane slices of VMEM cost real time on TPU
+    (measured ~0.7 ms/volume in the fused kernel's pass 2 — scripts/
+    probe_fused_variants.py), while Python-int starts compile to plain
+    offsets. Coords are affine in (r, o), so each 128-tile's coordinate range
+    over all ``(cr, co, tau)`` sets and all o is attained at the corners;
+    this returns ``(K, starts)`` — one window width and a per-tile start —
+    or ``None`` when the widened window would cost more MXU than the
+    dynamic-slice saving (K > 2x the dynamic window, and not full-size).
+    Frame-edge band clamping matches the dynamic kernels: a window only
+    abuts a frame edge when the coords leave the frame there.
+    """
+    support_lo = 0 if order == 1 else 1
+    support_hi = 1 if order == 1 else 2
+    n_tiles = -(-r_out // TILE_R)
+    starts, need_hi = [], []
+    for t in range(n_tiles):
+        r0 = t * TILE_R
+        r1 = min(r_out, r0 + TILE_R) - 1
+        cs = [
+            cr * r + co * o + tau
+            for (cr, co, tau) in coeff_sets
+            for r in (r0, r1)
+            for o in (0, max(O - 1, 0))
+        ]
+        lo_row = int(np.floor(min(cs))) - support_lo
+        hi_row = int(np.floor(max(cs))) + support_hi
+        starts.append(max(0, (lo_row // 8) * 8))
+        need_hi.append(hi_row)
+    K = max(hi - s + 1 for hi, s in zip(need_hi, starts))
+    K = min(-(-K // 8) * 8, axis_in)
+    if k_dyn is not None and K > min(axis_in, 2 * k_dyn):
+        return None
+    starts = tuple(int(np.clip(s, 0, max(axis_in - K, 0))) for s in starts)
+    return K, starts
 
 
 def _warp_precision() -> str:
@@ -75,7 +122,7 @@ def _banded_dot(slab, w):
     )
 
 
-def _resample_kernel(data_ref, out_ref, *, params, mask=None):
+def _resample_kernel(data_ref, out_ref, *, params, mask=None, starts=None):
     R_in, T, R_out, K, n_tiles, cr, co, tau, order = params
     o_idx = pl.program_id(0).astype(jnp.float32)
 
@@ -90,11 +137,14 @@ def _resample_kernel(data_ref, out_ref, *, params, mask=None):
         frac = coords - i0
         i0 = i0.astype(jnp.int32)
 
-        # Slab window covering every band the tile touches. coords is
-        # monotonic in ro (sign of cr), so the extremes sit at the tile ends.
-        lo = jnp.minimum(i0[0, 0], i0[tile_w - 1, 0]) - 1
-        start = jnp.clip(lo, 0, max(R_in - K, 0))
-        start = pl.multiple_of((start // 8) * 8, 8)
+        if starts is not None:
+            start = starts[tile]  # static Python int (static_window_plan)
+        else:
+            # Slab window covering every band the tile touches. coords is
+            # monotonic in ro (sign of cr): extremes sit at the tile ends.
+            lo = jnp.minimum(i0[0, 0], i0[tile_w - 1, 0]) - 1
+            start = jnp.clip(lo, 0, max(R_in - K, 0))
+            start = pl.multiple_of((start // 8) * 8, 8)
         offs = i0 - start  # (tile_w, 1)
 
         # Bands clamp to the window edge (edge-value extension, matching the
@@ -170,11 +220,19 @@ def shear_resample_pallas(
     K = min(-(-K // 8) * 8, R_in)
     n_tiles = -(-r_out // TILE_R)
 
+    plan = static_window_plan(
+        [(float(cr), float(co), float(tau))], O, r_out, R_in, order, k_dyn=K
+    )
+    starts = None
+    if plan is not None:
+        K, starts = plan
+
     kernel = partial(
         _resample_kernel,
         params=(R_in, T, r_out, K, n_tiles, float(cr), float(co), float(tau),
                 int(order)),
         mask=mask,
+        starts=starts,
     )
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
@@ -191,7 +249,7 @@ def shear_resample_pallas(
     )(data_ort.astype(jnp.float32))
 
 
-def _resample_kernel_dyn(coeffs_ref, data_ref, out_ref, *, params):
+def _resample_kernel_dyn(coeffs_ref, data_ref, out_ref, *, params, starts=None):
     """Like :func:`_resample_kernel`, with (cr, co, tau) read from SMEM so the
     coefficients can be traced (per-matrix parameters in batched kernels)."""
     R_in, T, R_out, K, n_tiles, order, mask_oob = params
@@ -211,9 +269,12 @@ def _resample_kernel_dyn(coeffs_ref, data_ref, out_ref, *, params):
         frac = coords - i0
         i0 = i0.astype(jnp.int32)
 
-        lo = jnp.minimum(i0[0, 0], i0[tile_w - 1, 0]) - 1
-        start = jnp.clip(lo, 0, max(R_in - K, 0))
-        start = pl.multiple_of((start // 8) * 8, 8)
+        if starts is not None:
+            start = starts[tile]  # static int; window covers every coeff set
+        else:
+            lo = jnp.minimum(i0[0, 0], i0[tile_w - 1, 0]) - 1
+            start = jnp.clip(lo, 0, max(R_in - K, 0))
+            start = pl.multiple_of((start // 8) * 8, 8)
         offs = i0 - start
 
         cols = jax.lax.broadcasted_iota(jnp.int32, (tile_w, K), 1)
@@ -242,7 +303,8 @@ def _resample_kernel_dyn(coeffs_ref, data_ref, out_ref, *, params):
         out_ref[0, :, pl.ds(tile * TILE_R, tile_w)] = _banded_dot(slab, w)
 
 
-@partial(jax.jit, static_argnames=("r_out", "k_bound", "order", "mask_oob"))
+@partial(jax.jit, static_argnames=("r_out", "k_bound", "order", "mask_oob",
+                                   "window"))
 def shear_resample_pallas_dyn(
     data_ort: jax.Array,
     r_out: int,
@@ -250,20 +312,29 @@ def shear_resample_pallas_dyn(
     k_bound: int,
     order: int = 3,
     mask_oob: bool = False,
+    window=None,
 ) -> jax.Array:
     """Resample axis 1 of (O, R_in, T) data at traced (cr, co, tau) coeffs.
 
     ``k_bound`` must statically bound ceil(TILE_R*|cr|) + support over every
     coefficient set this kernel will see (the batched multipass factory
-    computes it from the concrete matrix batch).
+    computes it from the concrete matrix batch). ``window`` (static) is an
+    optional ``(K, starts)`` from :func:`static_window_plan` over those same
+    coefficient sets — static slab windows skip the dynamic-slice cost.
     """
     O, R_in, T = data_ort.shape
-    K = min(-(-(k_bound + 8) // 8) * 8, R_in)
+    starts = None
+    if window is not None:
+        K, starts = window
+        K = min(K, R_in)
+    else:
+        K = min(-(-(k_bound + 8) // 8) * 8, R_in)
     n_tiles = -(-r_out // TILE_R)
 
     kernel = partial(
         _resample_kernel_dyn,
         params=(R_in, T, r_out, K, n_tiles, int(order), bool(mask_oob)),
+        starts=starts,
     )
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
@@ -327,7 +398,7 @@ def _band_weights(coords, offs, cols, order, K):
     )
 
 
-def _resample2_body(data_ref, out_ref, res_ref, coeffs, params):
+def _resample2_body(data_ref, out_ref, res_ref, coeffs, params, t_starts=None):
     """Shared body of the fused two-axis resample (static and SMEM coeffs).
 
     Pass 1 resamples the sublane axis R of the (1, R_in, T_in) data block
@@ -336,7 +407,10 @@ def _resample2_body(data_ref, out_ref, res_ref, coeffs, params):
     axis — the original LANE axis T — with a second banded dot per 128-row
     output stripe: windows slice the scratch at 8-aligned sublane starts, the
     fast pattern (no lane-axis gathers anywhere). One kernel thus applies two
-    elementary warp passes for a single HBM round trip.
+    elementary warp passes for a single HBM round trip. ``t_starts`` (static
+    per-tile ints from :func:`static_window_plan`) replaces pass 2's dynamic
+    window starts — the dynamic scalar-dependent VMEM slices cost ~0.7 ms/
+    volume on TPU (scripts/probe_fused_variants.py).
     """
     (R_in, T_in, R_out, T_out, K_r, K_t, n_t_tiles, order, mask_oob) = params
     cr, co, tau, dr, do_, dtau = coeffs
@@ -367,24 +441,30 @@ def _resample2_body(data_ref, out_ref, res_ref, coeffs, params):
         ).astype(jnp.float32)
         c2 = dr * to + do_ * o_idx + dtau
         j0 = jnp.floor(c2).astype(jnp.int32)
-        lo2 = jnp.minimum(j0[0, 0], j0[tw - 1, 0]) - 1
-        start2 = jnp.clip(lo2, 0, max(T_in - K_t, 0))
-        start2 = pl.multiple_of((start2 // 8) * 8, 8)
+        if t_starts is not None:
+            start2 = t_starts[t_i]  # static Python int
+            win = res_ref[start2 : start2 + K_t, :]  # (K_t, TILE_R)
+        else:
+            lo2 = jnp.minimum(j0[0, 0], j0[tw - 1, 0]) - 1
+            start2 = jnp.clip(lo2, 0, max(T_in - K_t, 0))
+            start2 = pl.multiple_of((start2 // 8) * 8, 8)
+            win = res_ref[pl.ds(start2, K_t), :]  # (K_t, TILE_R)
         cols2 = jax.lax.broadcasted_iota(jnp.int32, (tw, K_t), 1)
         w2 = _band_weights(c2, j0 - start2, cols2, order, K_t)
         if mask_oob:
             w2 = w2 * ((c2 >= 0) & (c2 <= T_in - 1)).astype(w2.dtype)
-        win = res_ref[pl.ds(start2, K_t), :]  # (K_t, TILE_R)
         out_ref[0, t_i * TILE_R : t_i * TILE_R + tw, :] = _banded_dot_left(w2, win)
 
 
-def _resample2_kernel(data_ref, out_ref, res_ref, *, params, coeffs):
-    _resample2_body(data_ref, out_ref, res_ref, coeffs, params)
+def _resample2_kernel(data_ref, out_ref, res_ref, *, params, coeffs,
+                      t_starts=None):
+    _resample2_body(data_ref, out_ref, res_ref, coeffs, params, t_starts)
 
 
-def _resample2_kernel_dyn(coeffs_ref, data_ref, out_ref, res_ref, *, params):
+def _resample2_kernel_dyn(coeffs_ref, data_ref, out_ref, res_ref, *, params,
+                          t_starts=None):
     coeffs = tuple(coeffs_ref[0, i] for i in range(6))
-    _resample2_body(data_ref, out_ref, res_ref, coeffs, params)
+    _resample2_body(data_ref, out_ref, res_ref, coeffs, params, t_starts)
 
 
 def _resample2_specs(O, R_in, T_in, R_out, T_out):
@@ -435,6 +515,13 @@ def shear_resample2_pallas(
     K_t = _k_window(int(np.ceil(TILE_R * abs(tc[0]))) + support, T_in)
     n_t_tiles = -(-t_out // TILE_R)
 
+    t_plan = static_window_plan(
+        [tuple(float(c) for c in tc)], O, t_out, T_in, order, k_dyn=K_t
+    )
+    t_starts = None
+    if t_plan is not None:
+        K_t, t_starts = t_plan
+
     grid, data_spec, out_spec, scratch, out_shape = _resample2_specs(
         O, R_in, T_in, r_out, t_out
     )
@@ -443,6 +530,7 @@ def shear_resample2_pallas(
         params=(R_in, T_in, r_out, t_out, K_r, K_t, n_t_tiles, int(order),
                 bool(mask_oob)),
         coeffs=tuple(float(c) for c in rc) + tuple(float(c) for c in tc),
+        t_starts=t_starts,
     )
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
@@ -460,7 +548,7 @@ def shear_resample2_pallas(
 
 
 @partial(jax.jit, static_argnames=("r_out", "t_out", "k_bound_r", "k_bound_t",
-                                   "order", "mask_oob"))
+                                   "order", "mask_oob", "t_window"))
 def shear_resample2_pallas_dyn(
     data_ort: jax.Array,
     r_out: int,
@@ -470,17 +558,26 @@ def shear_resample2_pallas_dyn(
     k_bound_t: int,
     order: int = 3,
     mask_oob: bool = False,
+    t_window=None,
 ) -> jax.Array:
     """Fused two-axis resample with TRACED coefficients.
 
     ``coeffs`` is a length-6 array (cr, co, tau, dr, do, dtau) read from
     SMEM; ``k_bound_r``/``k_bound_t`` statically bound
     ceil(TILE_R*|slope|) + support over every coefficient set (per-matrix
-    parameters in batched stabilize/register kernels).
+    parameters in batched stabilize/register kernels). ``t_window`` (static)
+    is an optional ``(K_t, starts)`` from :func:`static_window_plan` over
+    those same coefficient sets — static pass-2 windows skip the dynamic
+    VMEM-slice cost.
     """
     O, R_in, T_in = data_ort.shape
     K_r = _k_window(k_bound_r, R_in)
-    K_t = _k_window(k_bound_t, T_in)
+    t_starts = None
+    if t_window is not None:
+        K_t, t_starts = t_window
+        K_t = min(K_t, T_in)
+    else:
+        K_t = _k_window(k_bound_t, T_in)
     n_t_tiles = -(-t_out // TILE_R)
 
     grid, data_spec, out_spec, scratch, out_shape = _resample2_specs(
@@ -490,6 +587,7 @@ def shear_resample2_pallas_dyn(
         _resample2_kernel_dyn,
         params=(R_in, T_in, r_out, t_out, K_r, K_t, n_t_tiles, int(order),
                 bool(mask_oob)),
+        t_starts=t_starts,
     )
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(

@@ -172,8 +172,17 @@ def stabilize(
     all_mats = np.concatenate(per_position_mats)
     param_fn = lambda u: {"matrix": per_position_mats[u.pos_idx][u.t]}  # noqa: E731
     if all(is_translation_matrix(m) for m in all_mats):
+        # The concrete shift list bounds the traced per-timepoint shift, so
+        # the Pallas passes can run static slab windows (affine.py).
+        shift_bounds = tuple(
+            (float(all_mats[:, ax, 3].min()), float(all_mats[:, ax, 3].max()))
+            for ax in range(3)
+        )
+
         def kernel(zyx, matrix):
-            return translation_warp_zyx(zyx, matrix[:3, 3], out_shape_zyx)
+            return translation_warp_zyx(
+                zyx, matrix[:3, 3], out_shape_zyx, shift_bounds=shift_bounds
+            )
     elif all(is_inplane_matrix(m) for m in all_mats):
         kernel, ip_params = make_batched_inplane_kernel(
             all_mats, (Z, Y, X), out_shape_zyx

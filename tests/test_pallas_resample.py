@@ -183,3 +183,58 @@ def test_fused_two_axis_dyn_matches_static():
         )
     )
     np.testing.assert_allclose(dyn, static, atol=1e-6)
+
+
+@pytest.mark.parametrize("order", [1, 3])
+def test_static_window_plan_matches_dynamic(order):
+    """Static slab windows must be bit-identical to the dynamic-start path,
+    including where coords leave the frame (edge-clamp parity)."""
+    import jax.numpy as jnp
+
+    from biahub_tpu.kernels.pallas_resample import (
+        shear_resample_pallas_dyn,
+        shear_resample2_pallas_dyn,
+        static_window_plan,
+    )
+
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal((6, 40, 33)).astype(np.float32)
+    O, R_in, T_in = data.shape
+
+    # Coeff sets straddling both frame edges (tau pushes coords out of frame).
+    sets = [(0.97, 0.02, -2.5), (1.04, -0.01, 3.0)]
+    kb = int(np.ceil(128 * 1.04)) + (2 if order == 1 else 4)
+    for cs in sets:
+        plan = static_window_plan([cs], O, 36, R_in, order)
+        assert plan is not None
+        dyn = np.asarray(
+            shear_resample_pallas_dyn(
+                data, 36, jnp.asarray(cs), kb, order=order, mask_oob=True
+            )
+        )
+        stat = np.asarray(
+            shear_resample_pallas_dyn(
+                data, 36, jnp.asarray(cs), kb, order=order, mask_oob=True,
+                window=plan,
+            )
+        )
+        np.testing.assert_array_equal(stat, dyn)
+
+    # Fused kernel: one static plan covering BOTH coefficient sets.
+    t_sets = [(0.99, 0.03, -1.0), (1.01, 0.0, 2.0)]
+    t_plan = static_window_plan(t_sets, O, 30, T_in, order)
+    assert t_plan is not None
+    for rs, ts in zip(sets, t_sets):
+        coeffs = jnp.asarray(rs + ts)
+        dyn = np.asarray(
+            shear_resample2_pallas_dyn(
+                data, 36, 30, coeffs, kb, kb, order=order, mask_oob=True
+            )
+        )
+        stat = np.asarray(
+            shear_resample2_pallas_dyn(
+                data, 36, 30, coeffs, kb, kb, order=order, mask_oob=True,
+                t_window=t_plan,
+            )
+        )
+        np.testing.assert_allclose(stat, dyn, atol=1e-6)

@@ -335,10 +335,7 @@ def inplane_affine_warp_zyx_pallas(
     trip; and of the three remaining layout changes only the first moves the
     lane axis (the other two permute major axes — ~2x cheaper copies).
     """
-    from biahub_tpu.kernels.pallas_resample import (
-        shear_resample2_pallas,
-        shear_resample_pallas,
-    )
+    from biahub_tpu.kernels.pallas_resample import shear_resample2_pallas_t
 
     Zo, Yo, Xo = output_shape
     m = np.asarray(matrix, dtype=np.float64)
@@ -353,29 +350,34 @@ def inplane_affine_warp_zyx_pallas(
     # Fused z+y pass in (Xi, Zi, Yi): sublane axis resamples z
     # (zi = mzz*zo + tz), lane axis resamples y (yi = b0*yo + b1*x + b2,
     # x being the o/grid axis — still the pre-resample x, as in the 3-pass
-    # form where the y-pass preceded the x-pass).
+    # form where the y-pass preceded the x-pass). The transposed-output
+    # variant writes (Yo, Xi, Zo) blocks natively — the x-pass's input
+    # layout — so no full-volume transpose sits between the two kernels.
     d = jnp.transpose(v, (2, 0, 1))  # (Xi, Zi, Yi)
-    d = shear_resample2_pallas(
+    d = shear_resample2_pallas_t(
         d, Zo, Yo,
         (float(mzz), 0.0, float(tz)),
         (float(b0), float(b1), float(b2)),
         order=1,
-    )  # (Xi, Yo, Zo)
+    )  # (Yo, Xi, Zo)
     # x-pass in (Yo, Xi, Zo): xi = mxx*xo + mxy*yo + tx. The exact domain
     # mask of the ORIGINAL matrix rides inside this final pass: its output
     # element (o=yo, t=zo, r=xo) has input coord i = M[i,1]*o + M[i,0]*t +
     # M[i,2]*r + M[i,3] — skipping _exact_domain_mask's own volume pass.
-    d = jnp.transpose(d, (1, 0, 2))  # (Yo, Xi, Zo)
     a_flat = tuple(
         float(c)
         for i in range(3)
         for c in (m[i, 1], m[i, 0], m[i, 2], m[i, 3])
     )
-    d = shear_resample_pallas(
+    # Transposed-output final pass: emits (Zo, Yo, Xo) directly, killing the
+    # chain's last full-volume transpose (falls back internally when no
+    # static window plan fits).
+    from biahub_tpu.kernels.pallas_resample import shear_resample_pallas_t
+
+    return shear_resample_pallas_t(
         d, Xo, float(mxx), float(mxy), float(tx), order=1,
         mask=(a_flat, tuple(int(s) for s in volume.shape), float(fill)),
-    )
-    return jnp.transpose(d, (1, 0, 2))  # (Zo, Yo, Xo)
+    )  # (Zo, Yo, Xo)
 
 
 def make_batched_inplane_kernel(
@@ -435,21 +437,37 @@ def make_batched_inplane_kernel(
 
         from biahub_tpu.kernels.pallas_resample import (
             shear_resample2_pallas_dyn,
+            shear_resample2_pallas_t_dyn,
             shear_resample_pallas_dyn,
+            shear_resample_pallas_t_dyn,
         )
 
         # Fused z+y pass, then the x-pass — same layout chain as
         # inplane_affine_warp_zyx_pallas, with traced per-matrix coeffs.
+        # With static windows available, both kernels emit their consumer's
+        # layout natively (no inter-pass or final transposes).
         d = jnp.transpose(zyx.astype(jnp.float32), (2, 0, 1))  # (Xi, Zi, Yi)
-        d = shear_resample2_pallas_dyn(
-            d, out_shape[0], out_shape[1],
-            jnp.concatenate([ip[0], ip[1]]),
-            k_bounds[0], k_bounds[1], order=1, t_window=y_window,
-        )  # (Xi, Yo, Zo)
-        d = jnp.transpose(d, (1, 0, 2))  # (Yo, Xi, Zo)
-        d = shear_resample_pallas_dyn(d, out_shape[2], ip[2], k_bounds[2],
-                                      order=1, window=x_window)
-        out = jnp.transpose(d, (1, 0, 2))  # (Zo, Yo, Xo)
+        if y_window is not None:
+            d = shear_resample2_pallas_t_dyn(
+                d, out_shape[0], out_shape[1],
+                jnp.concatenate([ip[0], ip[1]]),
+                k_bounds[0], y_window, order=1,
+            )  # (Yo, Xi, Zo) directly
+        else:
+            d = shear_resample2_pallas_dyn(
+                d, out_shape[0], out_shape[1],
+                jnp.concatenate([ip[0], ip[1]]),
+                k_bounds[0], k_bounds[1], order=1,
+            )  # (Xi, Yo, Zo)
+            d = jnp.transpose(d, (1, 0, 2))  # (Yo, Xi, Zo)
+        if x_window is not None:
+            out = shear_resample_pallas_t_dyn(
+                d, out_shape[2], ip[2], x_window, order=1
+            )  # (Zo, Yo, Xo) directly — no final transpose
+        else:
+            d = shear_resample_pallas_dyn(d, out_shape[2], ip[2], k_bounds[2],
+                                          order=1)
+            out = jnp.transpose(d, (1, 0, 2))  # (Zo, Yo, Xo)
         return _exact_domain_mask(out, matrix, in_shape, out_shape, float(fill))
 
     return kernel, params
@@ -545,6 +563,7 @@ def translation_warp_zyx(
         # two-axis kernel — one HBM round trip fewer than three passes.
         from biahub_tpu.kernels.pallas_resample import (
             shear_resample2_pallas_dyn,
+            shear_resample2_pallas_t_dyn,
             shear_resample_pallas_dyn,
             static_window_plan,
         )
@@ -563,18 +582,34 @@ def translation_warp_zyx(
         kb = 128 + 2
         Zi, Yi, Xi = volume.shape
         d = jnp.transpose(volume.astype(jnp.float32), (2, 0, 1))  # (Xi, Zi, Yi)
-        d = shear_resample2_pallas_dyn(
-            d, out_shape[0], out_shape[1],
-            jnp.stack([one, zero, shift[0], one, zero, shift[1]]),
-            kb, kb, order=1, mask_oob=True,
-            t_window=axis_window(1, Xi, out_shape[1], Yi),
-        )  # (Xi, Yo, Zo)
-        d = jnp.transpose(d, (1, 0, 2))  # (Yo, Xi, Zo)
+        y_win = axis_window(1, Xi, out_shape[1], Yi)
+        if y_win is not None:
+            d = shear_resample2_pallas_t_dyn(
+                d, out_shape[0], out_shape[1],
+                jnp.stack([one, zero, shift[0], one, zero, shift[1]]),
+                kb, y_win, order=1, mask_oob=True,
+            )  # (Yo, Xi, Zo) directly
+        else:
+            d = shear_resample2_pallas_dyn(
+                d, out_shape[0], out_shape[1],
+                jnp.stack([one, zero, shift[0], one, zero, shift[1]]),
+                kb, kb, order=1, mask_oob=True,
+            )  # (Xi, Yo, Zo)
+            d = jnp.transpose(d, (1, 0, 2))  # (Yo, Xi, Zo)
+        x_win = axis_window(2, out_shape[1], out_shape[2], Xi)
+        if x_win is not None:
+            from biahub_tpu.kernels.pallas_resample import (
+                shear_resample_pallas_t_dyn,
+            )
+
+            return shear_resample_pallas_t_dyn(
+                d, out_shape[2], jnp.stack([one, zero, shift[2]]), x_win,
+                order=1, mask_oob=True,
+            )  # (Zo, Yo, Xo) directly
         d = shear_resample_pallas_dyn(
             d, out_shape[2],
             jnp.stack([one, zero, shift[2]]),
             kb, order=1, mask_oob=True,
-            window=axis_window(2, out_shape[1], out_shape[2], Xi),
         )  # (Yo, Zo, Xo)
         return jnp.transpose(d, (1, 0, 2))  # (Zo, Yo, Xo)
 

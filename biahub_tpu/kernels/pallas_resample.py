@@ -36,8 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "shear_resample_pallas",
     "shear_resample_pallas_dyn",
+    "shear_resample_pallas_t",
+    "shear_resample_pallas_t_dyn",
     "shear_resample2_pallas",
     "shear_resample2_pallas_dyn",
+    "shear_resample2_pallas_t",
+    "shear_resample2_pallas_t_dyn",
     "static_window_plan",
 ]
 
@@ -355,6 +359,175 @@ def shear_resample_pallas_dyn(
     )(coeffs.astype(jnp.float32).reshape(1, 3), data_ort.astype(jnp.float32))
 
 
+O8 = 8
+
+
+def _resample_t_body(data_ref, out_ref, coeffs, params, starts, mask):
+    """Transposed-output resample: 8 o-rows per program, blocks written
+    directly in (T, O, R_out) order.
+
+    The warp chains otherwise pay a full-volume XLA transpose to move the
+    final pass's (O, T, R) output into (T, O, R) = (Zo, Yo, Xo) order
+    (~1.5 ms/volume — scripts/probe_xpass8.py); emitting (T, 8, R_out)
+    blocks at 8-Yo granularity makes that layout native. Requires STATIC
+    window starts (a dynamic slab slice per (o-row, tile) would cost 8x the
+    already-measured dynamic-slice penalty).
+    """
+    R_in, T, R_out, K, n_tiles, order, mask_oob = params
+    cr, co, tau = coeffs
+    o8 = pl.program_id(0)
+    for oo in range(O8):
+        o_val = (o8 * O8 + oo).astype(jnp.float32)
+        for tile in range(n_tiles):
+            tile_w = min(TILE_R, R_out - tile * TILE_R)
+            ro = (
+                tile * TILE_R
+                + jax.lax.broadcasted_iota(jnp.int32, (tile_w, 1), 0)
+            ).astype(jnp.float32)
+            coords = cr * ro + co * o_val + tau
+            i0 = jnp.floor(coords).astype(jnp.int32)
+            start = starts[tile]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (tile_w, K), 1)
+            w = _band_weights(coords, i0 - start, cols, order, K)
+            if mask_oob:
+                w = w * ((coords >= 0) & (coords <= R_in - 1)).astype(w.dtype)
+            slab = data_ref[oo, start : start + K, :]  # (K, T)
+            res = _banded_dot(slab, w)  # (T, tile_w)
+            if mask is not None:
+                a_flat, in_shape, fill = mask
+                t_io = jax.lax.broadcasted_iota(
+                    jnp.int32, (T, tile_w), 0
+                ).astype(jnp.float32)
+                r_io = (
+                    tile * TILE_R
+                    + jax.lax.broadcasted_iota(jnp.int32, (T, tile_w), 1)
+                ).astype(jnp.float32)
+                inside = None
+                for i in range(3):
+                    ao, at, ar, ac = a_flat[4 * i : 4 * i + 4]
+                    c = ao * o_val + at * t_io + ar * r_io + ac
+                    ok = (c >= 0.0) & (c <= in_shape[i] - 1.0)
+                    inside = ok if inside is None else inside & ok
+                res = jnp.where(inside, res, fill)
+            out_ref[:, oo, tile * TILE_R : tile * TILE_R + tile_w] = res
+
+
+def _resample_kernel_t(data_ref, out_ref, *, params, coeffs, starts, mask=None):
+    _resample_t_body(data_ref, out_ref, coeffs, params, starts, mask)
+
+
+def _resample_kernel_t_dyn(coeffs_ref, data_ref, out_ref, *, params, starts):
+    coeffs = tuple(coeffs_ref[0, i] for i in range(3))
+    _resample_t_body(data_ref, out_ref, coeffs, params, starts, None)
+
+
+def _resample_t_specs(O, R_in, T, r_out):
+    n_o8 = -(-O // O8)
+    return (
+        (n_o8,),
+        pl.BlockSpec((O8, R_in, T), lambda o: (o, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, O8, r_out), lambda o: (0, o, 0),
+                     memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((T, O, r_out), jnp.float32),
+    )
+
+
+@partial(jax.jit, static_argnames=("r_out", "cr", "co", "tau", "order", "mask"))
+def shear_resample_pallas_t(
+    data_ort: jax.Array,
+    r_out: int,
+    cr: float,
+    co: float,
+    tau: float,
+    order: int = 3,
+    mask=None,
+) -> jax.Array:
+    """:func:`shear_resample_pallas` emitting (T, O, r_out) natively.
+
+    The layout the warp chains' FINAL pass needs — (Zo, Yo, Xo) — without
+    the separate full-volume transpose. Falls back to the regular kernel +
+    XLA transpose when no static window plan fits (extreme slopes/shears).
+    """
+    O, R_in, T = data_ort.shape
+    support = 2 if order == 1 else 4
+    K_dyn = min(
+        -(-(int(np.ceil(TILE_R * abs(cr))) + support + 8) // 8) * 8, R_in
+    )
+    plan = static_window_plan(
+        [(float(cr), float(co), float(tau))], O, r_out, R_in, order,
+        k_dyn=K_dyn,
+    )
+    if plan is None:
+        out = shear_resample_pallas(data_ort, r_out, cr, co, tau, order=order,
+                                    mask=mask)
+        return jnp.transpose(out, (1, 0, 2))
+    K, starts = plan
+    n_tiles = -(-r_out // TILE_R)
+    grid, data_spec, out_spec, out_shape = _resample_t_specs(O, R_in, T, r_out)
+    kernel = partial(
+        _resample_kernel_t,
+        params=(R_in, T, r_out, K, n_tiles, int(order), False),
+        coeffs=(float(cr), float(co), float(tau)),
+        starts=starts,
+        mask=mask,
+    )
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=grid,
+        in_specs=[data_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+    )(data_ort.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("r_out", "order", "mask_oob", "window"))
+def shear_resample_pallas_t_dyn(
+    data_ort: jax.Array,
+    r_out: int,
+    coeffs: jax.Array,
+    window,
+    order: int = 3,
+    mask_oob: bool = False,
+) -> jax.Array:
+    """:func:`shear_resample_pallas_dyn` emitting (T, O, r_out) natively.
+
+    ``window`` is a REQUIRED static ``(K, starts)`` plan covering every
+    coefficient set (callers without one use the regular kernel + an XLA
+    transpose instead).
+    """
+    O, R_in, T = data_ort.shape
+    K, starts = window
+    K = min(K, R_in)
+    n_tiles = -(-r_out // TILE_R)
+    grid, data_spec, out_spec, out_shape = _resample_t_specs(O, R_in, T, r_out)
+    kernel = partial(
+        _resample_kernel_t_dyn,
+        params=(R_in, T, r_out, K, n_tiles, int(order), bool(mask_oob)),
+        starts=starts,
+    )
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda o: (0, 0), memory_space=pltpu.SMEM),
+            data_spec,
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+    )(coeffs.astype(jnp.float32).reshape(1, 3), data_ort.astype(jnp.float32))
+
+
 def _banded_dot_left(w, slab):
     """(tile_w, K) x (K, T) -> (tile_w, T) contraction at the configured
     warp precision — the mirrored orientation of :func:`_banded_dot`, used
@@ -603,6 +776,188 @@ def shear_resample2_pallas_dyn(
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024
+        ),
+    )(coeffs.astype(jnp.float32).reshape(1, 6), data_ort.astype(jnp.float32))
+
+
+def _resample2_t_body(data_ref, out_ref, res_ref, coeffs, params, t_starts):
+    """Transposed-output fused two-axis resample: 8 o-rows per program,
+    blocks written directly in (T_out, O, R_out) order.
+
+    Pass 1 fills an (T_in, 8*TILE_R) scratch with one o-strip of lanes per
+    o-row; pass 2's banded dots then write (T_out, 8, TILE_R) output blocks
+    — the layout the warp chain's NEXT pass consumes, killing the mid-chain
+    full-volume transpose (~1.5 ms/volume; scripts/probe_fused8.py measures
+    the 8-o body FASTER than the regular fused kernel, 2.51 vs 2.88 ms,
+    bit-exact). Pass 2 requires STATIC window starts.
+    """
+    (R_in, T_in, R_out, T_out, K_r, K_t, n_t_tiles, order, mask_oob) = params
+    cr, co, tau, dr, do_, dtau = coeffs
+    o8 = pl.program_id(0)
+    rt = pl.program_id(1)
+
+    ro = (
+        rt * TILE_R + jax.lax.broadcasted_iota(jnp.int32, (TILE_R, 1), 0)
+    ).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, K_r), 1)
+    for oo in range(O8):
+        o_val = (o8 * O8 + oo).astype(jnp.float32)
+        coords = cr * ro + co * o_val + tau
+        i0 = jnp.floor(coords).astype(jnp.int32)
+        lo = jnp.minimum(i0[0, 0], i0[TILE_R - 1, 0]) - 1
+        start = jnp.clip(lo, 0, max(R_in - K_r, 0))
+        start = pl.multiple_of((start // 8) * 8, 8)
+        w = _band_weights(coords, i0 - start, cols, order, K_r)
+        if mask_oob:
+            w = w * ((coords >= 0) & (coords <= R_in - 1)).astype(w.dtype)
+        slab = data_ref[oo, pl.ds(start, K_r), :]
+        res_ref[:, oo * TILE_R : (oo + 1) * TILE_R] = _banded_dot(slab, w)
+
+    for t_i in range(n_t_tiles):
+        tw = min(TILE_R, T_out - t_i * TILE_R)
+        s2 = t_starts[t_i]
+        to = (
+            t_i * TILE_R + jax.lax.broadcasted_iota(jnp.int32, (tw, 1), 0)
+        ).astype(jnp.float32)
+        cols2 = jax.lax.broadcasted_iota(jnp.int32, (tw, K_t), 1)
+        for oo in range(O8):
+            o_val = (o8 * O8 + oo).astype(jnp.float32)
+            c2 = dr * to + do_ * o_val + dtau
+            j0 = jnp.floor(c2).astype(jnp.int32)
+            w2 = _band_weights(c2, j0 - s2, cols2, order, K_t)
+            if mask_oob:
+                w2 = w2 * ((c2 >= 0) & (c2 <= T_in - 1)).astype(w2.dtype)
+            win = res_ref[s2 : s2 + K_t, oo * TILE_R : (oo + 1) * TILE_R]
+            out_ref[t_i * TILE_R : t_i * TILE_R + tw, oo, :] = _banded_dot_left(
+                w2, win
+            )
+
+
+def _resample2_kernel_t(data_ref, out_ref, res_ref, *, params, coeffs,
+                        t_starts):
+    _resample2_t_body(data_ref, out_ref, res_ref, coeffs, params, t_starts)
+
+
+def _resample2_kernel_t_dyn(coeffs_ref, data_ref, out_ref, res_ref, *,
+                            params, t_starts):
+    coeffs = tuple(coeffs_ref[0, i] for i in range(6))
+    _resample2_t_body(data_ref, out_ref, res_ref, coeffs, params, t_starts)
+
+
+def _resample2_t_specs(O, R_in, T_in, R_out, T_out):
+    n_o8 = -(-O // O8)
+    n_r_tiles = -(-R_out // TILE_R)
+    return (
+        (n_o8, n_r_tiles),
+        pl.BlockSpec((O8, R_in, T_in), lambda o, r: (o, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((T_out, O8, TILE_R), lambda o, r: (0, o, r),
+                     memory_space=pltpu.VMEM),
+        [pltpu.VMEM((T_in, O8 * TILE_R), jnp.float32)],
+        jax.ShapeDtypeStruct((T_out, O, R_out), jnp.float32),
+    )
+
+
+@partial(jax.jit, static_argnames=("r_out", "t_out", "rc", "tc", "order",
+                                   "mask_oob"))
+def shear_resample2_pallas_t(
+    data_ort: jax.Array,
+    r_out: int,
+    t_out: int,
+    rc: tuple[float, float, float],
+    tc: tuple[float, float, float],
+    order: int = 3,
+    mask_oob: bool = False,
+) -> jax.Array:
+    """:func:`shear_resample2_pallas` emitting (t_out, O, r_out) natively.
+
+    Falls back to the regular fused kernel + XLA transpose when no static
+    pass-2 window plan fits.
+    """
+    O, R_in, T_in = data_ort.shape
+    support = 2 if order == 1 else 4
+    K_r = _k_window(int(np.ceil(TILE_R * abs(rc[0]))) + support, R_in)
+    K_t_dyn = _k_window(int(np.ceil(TILE_R * abs(tc[0]))) + support, T_in)
+    t_plan = static_window_plan(
+        [tuple(float(c) for c in tc)], O, t_out, T_in, order, k_dyn=K_t_dyn
+    )
+    if t_plan is None:
+        out = shear_resample2_pallas(data_ort, r_out, t_out, rc, tc,
+                                     order=order, mask_oob=mask_oob)
+        return jnp.transpose(out, (1, 0, 2))
+    K_t, t_starts = t_plan
+    n_t_tiles = -(-t_out // TILE_R)
+    grid, data_spec, out_spec, scratch, out_shape = _resample2_t_specs(
+        O, R_in, T_in, r_out, t_out
+    )
+    kernel = partial(
+        _resample2_kernel_t,
+        params=(R_in, T_in, r_out, t_out, K_r, K_t, n_t_tiles, int(order),
+                bool(mask_oob)),
+        coeffs=tuple(float(c) for c in rc) + tuple(float(c) for c in tc),
+        t_starts=t_starts,
+    )
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=grid,
+        in_specs=[data_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(data_ort.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("r_out", "t_out", "k_bound_r", "order",
+                                   "mask_oob", "t_window"))
+def shear_resample2_pallas_t_dyn(
+    data_ort: jax.Array,
+    r_out: int,
+    t_out: int,
+    coeffs: jax.Array,
+    k_bound_r: int,
+    t_window,
+    order: int = 3,
+    mask_oob: bool = False,
+) -> jax.Array:
+    """:func:`shear_resample2_pallas_dyn` emitting (t_out, O, r_out) natively.
+
+    ``t_window`` is a REQUIRED static ``(K_t, starts)`` plan covering every
+    coefficient set (callers without one use the regular fused kernel + an
+    XLA transpose instead).
+    """
+    O, R_in, T_in = data_ort.shape
+    K_r = _k_window(k_bound_r, R_in)
+    K_t, t_starts = t_window
+    K_t = min(K_t, T_in)
+    n_t_tiles = -(-t_out // TILE_R)
+    grid, data_spec, out_spec, scratch, out_shape = _resample2_t_specs(
+        O, R_in, T_in, r_out, t_out
+    )
+    kernel = partial(
+        _resample2_kernel_t_dyn,
+        params=(R_in, T_in, r_out, t_out, K_r, K_t, n_t_tiles, int(order),
+                bool(mask_oob)),
+        t_starts=t_starts,
+    )
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 6), lambda o, r: (0, 0), memory_space=pltpu.SMEM),
+            data_spec,
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
     )(coeffs.astype(jnp.float32).reshape(1, 6), data_ort.astype(jnp.float32))
 

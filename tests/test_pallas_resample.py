@@ -238,3 +238,105 @@ def test_static_window_plan_matches_dynamic(order):
             )
         )
         np.testing.assert_allclose(stat, dyn, atol=1e-6)
+
+
+@pytest.mark.parametrize("order", [1, 3])
+def test_transposed_output_kernels_match_regular(order):
+    """shear_resample_pallas_t(_dyn) == regular kernel + (1,0,2) transpose,
+    on ragged shapes (O not a multiple of 8), with masks engaged."""
+    import jax.numpy as jnp
+
+    from biahub_tpu.kernels.pallas_resample import (
+        shear_resample_pallas,
+        shear_resample_pallas_dyn,
+        shear_resample_pallas_t,
+        shear_resample_pallas_t_dyn,
+        static_window_plan,
+    )
+
+    rng = np.random.default_rng(5)
+    data = rng.standard_normal((21, 35, 27)).astype(np.float32)  # ragged O
+    O, R_in, T = data.shape
+    cs = (0.98, 0.015, -1.4)
+    r_out = 31
+
+    ref = np.transpose(
+        np.asarray(shear_resample_pallas(data, r_out, *cs, order=order)),
+        (1, 0, 2),
+    )
+    got = np.asarray(shear_resample_pallas_t(data, r_out, *cs, order=order))
+    np.testing.assert_array_equal(got, ref)
+
+    plan = static_window_plan([cs], O, r_out, R_in, order)
+    kb = int(np.ceil(128 * abs(cs[0]))) + (2 if order == 1 else 4)
+    ref_d = np.transpose(
+        np.asarray(
+            shear_resample_pallas_dyn(
+                data, r_out, jnp.asarray(cs), kb, order=order, mask_oob=True
+            )
+        ),
+        (1, 0, 2),
+    )
+    got_d = np.asarray(
+        shear_resample_pallas_t_dyn(
+            data, r_out, jnp.asarray(cs), plan, order=order, mask_oob=True
+        )
+    )
+    # The plan's window starts can differ from the per-program dynamic ones,
+    # shifting bf16-split accumulation at the ~1e-6 level (within the 'high'
+    # warp-precision tier's ~1e-5 contract).
+    np.testing.assert_allclose(got_d, ref_d, atol=1e-5)
+
+
+@pytest.mark.parametrize("order", [1, 3])
+def test_transposed_fused_kernels_match_regular(order):
+    """shear_resample2_pallas_t(_dyn) == regular fused kernel + transpose,
+    on ragged O, with mask_oob."""
+    import jax.numpy as jnp
+
+    from biahub_tpu.kernels.pallas_resample import (
+        shear_resample2_pallas,
+        shear_resample2_pallas_dyn,
+        shear_resample2_pallas_t,
+        shear_resample2_pallas_t_dyn,
+        static_window_plan,
+    )
+
+    rng = np.random.default_rng(9)
+    data = rng.standard_normal((13, 26, 37)).astype(np.float32)  # ragged O
+    O, R_in, T_in = data.shape
+    rc = (0.95, 0.0, 0.8)
+    tc = (1.03, 0.02, -1.1)
+    r_out, t_out = 24, 33
+
+    ref = np.transpose(
+        np.asarray(
+            shear_resample2_pallas(data, r_out, t_out, rc, tc, order=order,
+                                   mask_oob=True)
+        ),
+        (1, 0, 2),
+    )
+    got = np.asarray(
+        shear_resample2_pallas_t(data, r_out, t_out, rc, tc, order=order,
+                                 mask_oob=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    plan = static_window_plan([tc], O, t_out, T_in, order)
+    kb = int(np.ceil(128 * 1.03)) + (2 if order == 1 else 4)
+    ref_d = np.transpose(
+        np.asarray(
+            shear_resample2_pallas_dyn(
+                data, r_out, t_out, jnp.asarray(rc + tc), kb, kb,
+                order=order, mask_oob=True
+            )
+        ),
+        (1, 0, 2),
+    )
+    got_d = np.asarray(
+        shear_resample2_pallas_t_dyn(
+            data, r_out, t_out, jnp.asarray(rc + tc), kb, plan,
+            order=order, mask_oob=True
+        )
+    )
+    np.testing.assert_allclose(got_d, ref_d, atol=1e-5)

@@ -344,11 +344,17 @@ def main() -> None:
             average_window=3,
         )
 
+    from biahub_tpu.kernels.chain import deconvolve_deskew_warp
+
     def full_chain(v, tf):
-        deskewed = fused(v, tf)
-        # reg_stab is concrete, so the auto dispatch picks the Pallas
-        # in-plane shear-resample kernel on TPU.
-        return affine_warp_auto(deskewed, reg_stab, deskewed.shape)
+        # The fully fused chain (kernels/chain.py): deconvolve's pass C
+        # emits deskew's tilt-major padded input layout directly, the
+        # deskew Y-flip rides the warp's affine, and reg_stab is concrete
+        # so the warp runs the transposed-output Pallas kernels.
+        return deconvolve_deskew_warp(
+            v, tf, 1e-3, ls_angle_deg, px_to_scan_ratio, reg_stab,
+            keep_overhang=False, average_window=3,
+        )
 
     def step_with_probe(v, tf):
         out = jax.vmap(fused, in_axes=(0, None))(v, tf)

@@ -1,0 +1,150 @@
+"""Fused multi-verb device chains.
+
+The production pipeline runs deconvolve -> deskew -> register -> stabilize
+as separate verbs with a zarr store between each (reference:
+nextflow/mantis-v2.nf step order); on TPU the whole chain also compiles as
+ONE XLA program per volume batch — no intermediate HBM round trips beyond
+the kernels' own, no host transfers. This module holds the chain
+compositions that exploit cross-verb layout algebra which the individual
+kernels cannot see:
+
+- deskew's coverslip-axis flip is a pure affine (y -> Y-1-y). A standalone
+  deskew must materialize it, and once the downstream warp moves X to the
+  major axis the flip lands on the LANE axis where XLA's rev costs ~1.3 ms
+  per flagship volume. Composing the flip matrix into the warp's affine
+  makes it free: deskew emits the unflipped (Y-reversed) volume
+  (``skip_flip=True``) and the warp samples through F @ M.
+
+Used by bench.py's end-to-end chain and available to fused pipeline
+executors.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+__all__ = ["flip_y_matrix", "deskew_then_warp", "deconvolve_deskew_warp"]
+
+
+def flip_y_matrix(y_size: int) -> np.ndarray:
+    """OUTPUT->INPUT affine flipping the Y axis of a ``y_size`` volume."""
+    f = np.eye(4)
+    f[1, 1] = -1.0
+    f[1, 3] = float(y_size - 1)
+    return f
+
+
+def deskew_then_warp(
+    volume: jax.Array,
+    ls_angle_deg: float,
+    px_to_scan_ratio: float,
+    matrix,
+    output_shape: tuple[int, int, int] | None = None,
+    keep_overhang: bool = False,
+    average_window: int = 1,
+    fill: float = 0.0,
+) -> jax.Array:
+    """Deskew, then apply an affine warp, with the deskew flip folded in.
+
+    Bit-equivalent in structure to ``affine_warp_auto(deskew_zyx(v), M)``
+    (to warp-precision tolerance: the composed y coefficients are the
+    negated originals, which reorders float rounding), but the deskew
+    Y-flip never materializes — it rides the warp's y-pass coordinates via
+    ``F @ M``: the warp's matrix maps output coords to coords in the
+    CORRECT (flipped) deskew frame, and the stored unflipped array index is
+    F of that (F is an involution).
+    """
+    from biahub_tpu.kernels.affine import affine_warp_auto
+    from biahub_tpu.kernels.deskew import deskew_zyx
+
+    deskewed = deskew_zyx(
+        volume,
+        ls_angle_deg=ls_angle_deg,
+        px_to_scan_ratio=px_to_scan_ratio,
+        keep_overhang=keep_overhang,
+        average_window=average_window,
+        skip_flip=True,
+    )
+    out_shape = tuple(
+        int(s) for s in (output_shape if output_shape is not None else deskewed.shape)
+    )
+    m = flip_y_matrix(int(deskewed.shape[1])) @ np.asarray(matrix, dtype=np.float64)
+    return affine_warp_auto(deskewed, m, out_shape, fill=fill)
+
+
+def deconvolve_deskew_warp(
+    volume: jax.Array,
+    transfer_function_half: jax.Array,
+    regularization_strength: float,
+    ls_angle_deg: float,
+    px_to_scan_ratio: float,
+    matrix,
+    output_shape: tuple[int, int, int] | None = None,
+    keep_overhang: bool = False,
+    average_window: int = 1,
+    fill: float = 0.0,
+) -> jax.Array:
+    """The full fused reconstruction chain with every cross-verb layout
+    optimization engaged.
+
+    On the Pallas path with an 8-divisible Z, deconvolve's pass C emits the
+    (Y + pad, Z, X) tilt-major edge-padded layout deskew consumes natively
+    (pallas_fft.py ``yzx_pad``) — the deskew-prep transpose + pad copies
+    (~1.6 ms per flagship volume) never materialize — and the deskew Y-flip
+    rides the warp's affine (:func:`deskew_then_warp`). Anywhere the gates
+    fail, the same composition runs through the verbs' standard contracts.
+    """
+    import os
+
+    from biahub_tpu.kernels.deconvolve import deconvolve_zyx
+    from biahub_tpu.kernels.pallas_fft import deconvolve_pallas_supported
+
+    Z, Y, X = (int(s) for s in volume.shape)
+    avg = int(average_window)
+    groups = -(-Y // avg)
+    pad_front = groups * avg - Y
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        or os.environ.get("BIAHUB_TPU_FORCE_PALLAS") == "1"
+    ) and os.environ.get("BIAHUB_TPU_NO_PALLAS") != "1"
+    # Mirror deskew_zyx's fused-averaging VMEM gate: the pre-transposed
+    # input only suits the fused-averaging kernel.
+    from biahub_tpu.deskew import get_deskewed_data_shape
+
+    dshape, _ = get_deskewed_data_shape(
+        (Z, Y, X), ls_angle_deg, px_to_scan_ratio, keep_overhang
+    )
+    fused_ok = 2 * (avg * Z * X * 4 + X * dshape[2] * 4) < 64 * 1024 * 1024
+
+    if not (use_pallas and deconvolve_pallas_supported((Z, Y, X))
+            and Z % 8 == 0 and fused_ok):
+        decon = deconvolve_zyx(
+            volume, transfer_function_half,
+            regularization_strength=regularization_strength,
+        )
+        return deskew_then_warp(
+            decon, ls_angle_deg, px_to_scan_ratio, matrix,
+            output_shape=output_shape, keep_overhang=keep_overhang,
+            average_window=average_window, fill=fill,
+        )
+
+    from biahub_tpu.kernels.affine import affine_warp_auto
+    from biahub_tpu.kernels.pallas_deskew import deskew_zyx_pallas
+    from biahub_tpu.kernels.pallas_fft import deconvolve_zyx_pallas
+
+    decon_yzx = deconvolve_zyx_pallas(
+        volume, transfer_function_half,
+        regularization_strength=regularization_strength,
+        yzx_pad=pad_front,
+    )
+    deskewed = deskew_zyx_pallas(
+        decon_yzx, ls_angle_deg, px_to_scan_ratio, keep_overhang,
+        average_window=avg, skip_flip=True,
+        pre_transposed_zyx_shape=(Z, Y, X),
+    )
+    out_shape = tuple(
+        int(s) for s in (output_shape if output_shape is not None else deskewed.shape)
+    )
+    m = flip_y_matrix(int(deskewed.shape[1])) @ np.asarray(matrix, dtype=np.float64)
+    return affine_warp_auto(deskewed, m, out_shape, fill=fill)

@@ -166,6 +166,7 @@ def fill_overhang(
         "keep_overhang",
         "average_window",
         "overhang_fill",
+        "skip_flip",
     ),
 )
 def deskew_zyx(
@@ -175,12 +176,16 @@ def deskew_zyx(
     keep_overhang: bool,
     average_window: int = 1,
     overhang_fill: str | float = 0,
+    skip_flip: bool = False,
 ) -> jax.Array:
     """Deskew one ZYX volume from the mantis light-sheet microscope.
 
     Parameters mirror the reference kernel (reference: biahub/deskew.py:459-545).
     Input axes: 0 = scan, 1 = tilted, 2 = coverslip-plane. Output axes:
     0 = Z (coverslip normal), 1 = Y (input coverslip axis), 2 = X (scan axis).
+
+    ``skip_flip`` returns the Y axis REVERSED, for fused chains that fold
+    the flip into the downstream warp's affine (kernels/chain.py).
     """
     Z_in, Y_in, X_in = raw_data.shape
     output_shape, _ = get_deskewed_data_shape(
@@ -208,6 +213,7 @@ def deskew_zyx(
             px_to_scan_ratio,
             keep_overhang,
             average_window=average_window if fused_ok else 1,
+            skip_flip=skip_flip,
         )
         if not fused_ok:
             result = average_n_slices(result, average_window)
@@ -222,7 +228,8 @@ def deskew_zyx(
     # minor (lane) axis Y_out stays contiguous — each gathered element is a
     # full Y row. Gathering along the minor axis instead is ~160x slower on
     # TPU (measured: 3.89 s vs 24 ms per 256x256x1024 volume on v5e).
-    data = jnp.flip(jnp.transpose(raw_data, (1, 0, 2)), axis=(0, 2))
+    flip_axes = (0,) if skip_flip else (0, 2)
+    data = jnp.flip(jnp.transpose(raw_data, (1, 0, 2)), axis=flip_axes)
 
     # Fractional scan-axis sample position for each (z_out, x_out):
     #   in_z = px * x_out - px * cos(theta) * z_out + offset

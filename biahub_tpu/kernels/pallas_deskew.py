@@ -98,6 +98,8 @@ def _deskew_kernel(raw_ref, out_ref, *, params):
         "px_to_scan_ratio",
         "keep_overhang",
         "average_window",
+        "skip_flip",
+        "pre_transposed_zyx_shape",
     ),
 )
 def deskew_zyx_pallas(
@@ -106,6 +108,8 @@ def deskew_zyx_pallas(
     px_to_scan_ratio: float,
     keep_overhang: bool,
     average_window: int = 1,
+    skip_flip: bool = False,
+    pre_transposed_zyx_shape: tuple[int, int, int] | None = None,
 ) -> jax.Array:
     """Deskew one ZYX volume with the fused MXU kernel.
 
@@ -113,8 +117,23 @@ def deskew_zyx_pallas(
     (bit-matching ``average_n_slices`` applied to the unaveraged result,
     including its edge-padded tail group) without materializing the
     unaveraged volume in HBM.
+
+    ``skip_flip`` returns the volume with the Y (coverslip) axis REVERSED —
+    for fused chains that fold the flip into the next warp's affine
+    (kernels/chain.py): the downstream warp transposes X to the major axis,
+    which strands the flip on the lane axis where XLA's rev costs
+    ~1.3 ms/volume instead of fusing.
+
+    ``pre_transposed_zyx_shape``: chain mode — ``raw_data`` already arrives
+    as the (Y + pad_front, Z, X) tilt-major, front-edge-padded layout this
+    kernel's prep would otherwise build (emitted natively by deconvolve's
+    pass C, pallas_fft.py ``yzx_pad``); the tuple carries the ORIGINAL
+    (Z, Y, X) shape. The pad must equal ``ceil(Y/avg)*avg - Y``.
     """
-    Z_in, Y_in, X_in = raw_data.shape
+    if pre_transposed_zyx_shape is not None:
+        Z_in, Y_in, X_in = pre_transposed_zyx_shape
+    else:
+        Z_in, Y_in, X_in = raw_data.shape
     output_shape, _ = get_deskewed_data_shape(
         (Z_in, Y_in, X_in), ls_angle_deg, px_to_scan_ratio, keep_overhang
     )
@@ -146,9 +165,15 @@ def deskew_zyx_pallas(
     # lane-axis rev on the input costs ~1.65 ms/volume standalone (measured;
     # XLA lane reversals run far below copy speed), while the sublane-axis
     # rev on the averaged output is ~3x smaller and fuses into consumers.
-    data = jnp.transpose(raw_data.astype(jnp.float32), (1, 0, 2))
-    if pad_front:
-        data = jnp.pad(data, ((pad_front, 0), (0, 0), (0, 0)), mode="edge")
+    if pre_transposed_zyx_shape is not None:
+        assert raw_data.shape == (yp, Z_in, X_in), (
+            raw_data.shape, (yp, Z_in, X_in)
+        )
+        data = raw_data.astype(jnp.float32)
+    else:
+        data = jnp.transpose(raw_data.astype(jnp.float32), (1, 0, 2))
+        if pad_front:
+            data = jnp.pad(data, ((pad_front, 0), (0, 0), (0, 0)), mode="edge")
 
     # Mosaic compiles on TPU only; CPU (tests, debug mode) runs the interpreter.
     interpret = jax.default_backend() != "tpu"
@@ -189,5 +214,6 @@ def deskew_zyx_pallas(
         **vmem_params,
     )(data)
     # Unflipped input lanes mean the kernel emitted Y_out (= the coverslip
-    # axis) in reverse; flip it here on the sublane axis (see prep above).
-    return jnp.flip(out, axis=1)
+    # axis) in reverse; flip it here on the sublane axis (see prep above),
+    # unless the caller folds the flip into a downstream warp.
+    return out if skip_flip else jnp.flip(out, axis=1)

@@ -315,7 +315,7 @@ def _pass_b_kernel(*refs, reg, prec, radix_z, ny, n_filt):
             outs[kpar * 2 + 1][0] = xi_
 
 
-def _inv_yx_kernel(*refs, prec, zb, peel, radix_z, radix_y):
+def _inv_yx_kernel(*refs, prec, zb, peel, radix_z, radix_y, yzx_pad=None):
     """Inverse DFT along Y then irfft along X of ``zb`` (Y, Xw) slices.
 
     ``radix_y``: the spectra arrive ky-even/odd and the inverse runs the
@@ -326,6 +326,13 @@ def _inv_yx_kernel(*refs, prec, zb, peel, radix_z, radix_y):
     real-z slices of its (2, Y, X) output block. ``peel``: the precomputed
     real Nyquist plane (lane 0 of a (zb, Y, 128) block) is broadcast-added
     with the (-1)^x basis on the VPU.
+
+    ``yzx_pad`` (chain mode, zb == 8): the output array is (Y + pad, Z, X) —
+    the transposed, front-edge-padded layout the fused deskew kernel
+    consumes directly. Each slice stores into the STATIC sublane slot
+    ``[:, j, :]`` (stores into an 8-sublane middle axis are fast; only
+    extraction reads relayout) and the pad rows replicate tilt row 0,
+    reproducing deskew's ``jnp.pad(..., mode="edge")`` prep for free.
     """
     ny = 2 if radix_y else 1
     nz = 2 if radix_z else 1
@@ -343,8 +350,8 @@ def _inv_yx_kernel(*refs, prec, zb, peel, radix_z, radix_y):
     iyr = iyr_ref[:]
     iyi = iyi_ref[:]
     for j in range(zb):
-        zpar = j if radix_z else 0
-        idx = 0 if radix_z else j
+        zpar = (j % 2) if radix_z else 0
+        idx = (j // 2) if radix_z else j
         if radix_y:
             er = spec_refs[(zpar * ny + 0) * 2][idx]
             ei = spec_refs[(zpar * ny + 0) * 2 + 1][idx]
@@ -367,7 +374,14 @@ def _inv_yx_kernel(*refs, prec, zb, peel, radix_z, radix_y):
                 jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) % 2
             ).astype(jnp.float32)
             out = out + nyq_ref[j, :, 0:1] * sign
-        out_ref[j] = out
+        if yzx_pad is None:
+            out_ref[j] = out
+        else:
+            out_ref[yzx_pad:, j, :] = out
+            if yzx_pad:
+                out_ref[:yzx_pad, j, :] = jnp.broadcast_to(
+                    out[0:1], (yzx_pad,) + out.shape[1:]
+                )
 
 
 # ---------------------------------------------------------------------------
@@ -420,10 +434,15 @@ def _nyq_filter_chain(nyq_raw, filter_planes, reg, x):
     return plane.astype(jnp.float32)
 
 
-def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None):
+def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
+                          yzx_pad=None):
     """Shared 3-pass driver (see the module docstring). ``reg`` selects the
     Tikhonov kernels (filter_arrays = (tf,)); None selects the
-    complex-Hermitian-filter kernels (filter_arrays = (re, im))."""
+    complex-Hermitian-filter kernels (filter_arrays = (re, im)).
+
+    ``yzx_pad``: chain mode — pass C emits (Y + yzx_pad, Z, X) with the
+    front rows edge-replicated, the exact input layout of the fused deskew
+    kernel (kernels/chain.py)."""
     z, y, x = zyx_data.shape
     xh = x // 2 + 1
     peel = x % 2 == 0 and xh % 128 == 1 and xh > 1
@@ -566,13 +585,34 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None):
     )(*[t01(s) for s in spectra], *filt_main, *b_mats_v)
 
     # -- Pass C ------------------------------------------------------------
-    c_zb = 2 if radix_z else zb
-    c_grid = z2 if radix_z else z // zb
-    c_spec_in = (
-        pl.BlockSpec((1, yw, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        if radix_z
-        else pl.BlockSpec((zb, yw, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    )
+    yzx = yzx_pad is not None and z % 8 == 0
+    if yzx:
+        # Chain mode: 8 real-z slices per program, output written directly
+        # in the (Y + pad, Z, X) transposed+edge-padded layout the fused
+        # deskew kernel consumes (static [:, j, :] stores — see
+        # _inv_yx_kernel). Kills the deskew-prep transpose + pad copies.
+        c_zb = 8
+        c_grid = z // 8
+        blk0 = 4 if radix_z else 8
+        c_spec_in = pl.BlockSpec((blk0, yw, xw), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        c_out_specs = pl.BlockSpec((y + yzx_pad, 8, x), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)
+        c_out_shape = jax.ShapeDtypeStruct((y + yzx_pad, z, x), jnp.float32)
+    else:
+        c_zb = 2 if radix_z else zb
+        c_grid = z2 if radix_z else z // zb
+        c_spec_in = (
+            pl.BlockSpec((1, yw, xw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            if radix_z
+            else pl.BlockSpec((zb, yw, xw), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        )
+        c_out_specs = pl.BlockSpec(
+            (c_zb, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        c_out_shape = jax.ShapeDtypeStruct((z, y, x), jnp.float32)
     c_in_specs = [c_spec_in] * nspec + [full((yw, yw))] * 2
     c_args = [t01(f) for f in filtered] + [iyr, iyi]
     if radix_y:
@@ -589,16 +629,21 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None):
         partial(
             _inv_yx_kernel,
             prec=prec, zb=c_zb, peel=peel, radix_z=radix_z, radix_y=radix_y,
+            yzx_pad=yzx_pad if yzx else None,
         ),
         grid=(c_grid,),
         in_specs=c_in_specs,
-        out_specs=pl.BlockSpec(
-            (c_zb, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((z, y, x), jnp.float32),
+        out_specs=c_out_specs,
+        out_shape=c_out_shape,
         interpret=interpret,
         **vmem_params,
     )(*c_args)
+    if yzx_pad is not None and not yzx:
+        # 8-z gate failed: honor the contract via XLA ops instead.
+        out = jnp.pad(
+            jnp.transpose(out, (1, 0, 2)),
+            ((yzx_pad, 0), (0, 0), (0, 0)), mode="edge",
+        )
     return out
 
 
@@ -606,12 +651,16 @@ def deconvolve_zyx_pallas(
     zyx_data: jax.Array,
     transfer_function_half: jax.Array,
     regularization_strength: float = 1e-3,
+    yzx_pad: int | None = None,
 ) -> jax.Array:
     """Fused Tikhonov inverse filter; bit-parity with the XLA rfftn path to
-    ~1e-5 relative (dense f32 DFT vs split-radix FFT rounding)."""
+    ~1e-5 relative (dense f32 DFT vs split-radix FFT rounding).
+
+    ``yzx_pad``: emit (Y + pad, Z, X) with front rows edge-replicated — the
+    fused deskew kernel's input layout (chain mode, kernels/chain.py)."""
     tf = transfer_function_half.astype(jnp.float32)
     return _run_fourier_pipeline(
-        zyx_data, (tf,), reg=float(regularization_strength)
+        zyx_data, (tf,), reg=float(regularization_strength), yzx_pad=yzx_pad
     )
 
 

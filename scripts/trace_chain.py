@@ -33,12 +33,12 @@ reg_stab[:3, 3] = [0.5, -1.25, 2.0]
 
 
 def full_chain(v, tf):
-    decon = deconvolve_zyx(v, tf, regularization_strength=1e-3)
-    deskewed = deskew_zyx(
-        decon, ls_angle_deg=36.17, px_to_scan_ratio=0.371,
+    from biahub_tpu.kernels.chain import deconvolve_deskew_warp
+
+    return deconvolve_deskew_warp(
+        v, tf, 1e-3, 36.17, 0.371, reg_stab,
         keep_overhang=False, average_window=3,
     )
-    return affine_warp_auto(deskewed, reg_stab, deskewed.shape)
 
 
 @jax.jit

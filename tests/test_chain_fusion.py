@@ -1,0 +1,110 @@
+"""Fused chain composition: deskew -> warp with the Y-flip folded into the
+warp's affine must match the naive deskew-then-warp composition."""
+
+import numpy as np
+import pytest
+
+
+def _naive(vol, angle, ratio, matrix, avg):
+    from biahub_tpu.kernels.affine import affine_warp_auto
+    from biahub_tpu.kernels.deskew import deskew_zyx
+
+    deskewed = deskew_zyx(
+        vol, ls_angle_deg=angle, px_to_scan_ratio=ratio,
+        keep_overhang=False, average_window=avg,
+    )
+    return np.asarray(
+        affine_warp_auto(deskewed, matrix, tuple(deskewed.shape))
+    )
+
+
+@pytest.mark.parametrize("force_pallas", [False, True])
+@pytest.mark.parametrize("avg", [1, 2])
+def test_deskew_then_warp_matches_naive(force_pallas, avg, monkeypatch):
+    import jax
+
+    if force_pallas:
+        monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    else:
+        monkeypatch.setenv("BIAHUB_TPU_NO_PALLAS", "1")
+    jax.clear_caches()
+
+    from biahub_tpu.kernels.chain import deskew_then_warp
+
+    rng = np.random.default_rng(17)
+    vol = rng.random((12, 16, 40), dtype=np.float32)
+    angle, ratio = 30.0, 0.4
+
+    theta = np.deg2rad(3.0)
+    m = np.eye(4)
+    m[1:3, 1:3] = 1.02 * np.array(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+    )
+    m[:3, 3] = [0.4, -0.8, 1.1]
+
+    fusedv = np.asarray(
+        deskew_then_warp(vol, angle, ratio, m, average_window=avg)
+    )
+    naive = np.asarray(_naive(vol, angle, ratio, m, avg))
+    assert fusedv.shape == naive.shape
+    # The composed y coefficients are the negated originals, which reorders
+    # float rounding inside the bf16-split dots — tolerance, not bit-parity.
+    np.testing.assert_allclose(fusedv, naive, atol=5e-5)
+    jax.clear_caches()
+
+
+def test_flip_y_matrix_is_involution():
+    from biahub_tpu.kernels.chain import flip_y_matrix
+
+    f = flip_y_matrix(33)
+    np.testing.assert_array_equal(f @ f, np.eye(4))
+
+
+@pytest.mark.parametrize("avg", [1, 3])
+def test_deconvolve_deskew_warp_matches_naive(avg, monkeypatch):
+    """The fully-fused chain (yzx pass C + pre-transposed deskew + folded
+    flip) matches deconvolve -> deskew -> warp through the standard
+    contracts."""
+    import jax
+
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")
+    jax.clear_caches()
+
+    from biahub_tpu.kernels.affine import affine_warp_auto
+    from biahub_tpu.kernels.chain import deconvolve_deskew_warp
+    from biahub_tpu.kernels.deconvolve import (
+        compute_transfer_function,
+        deconvolve_zyx,
+    )
+    from biahub_tpu.kernels.deskew import deskew_zyx
+
+    shape = (16, 14, 40)  # Z % 8 == 0 -> the yzx fused path engages
+    rng = np.random.default_rng(29)
+    vol = rng.random(shape, dtype=np.float32)
+    psf = np.zeros((3, 3, 3), np.float32)
+    psf[1, 1, 1] = 1.0
+    tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
+    angle, ratio = 30.0, 0.4
+
+    theta = np.deg2rad(2.0)
+    m = np.eye(4)
+    m[1:3, 1:3] = 1.01 * np.array(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+    )
+    m[:3, 3] = [0.3, -0.6, 0.9]
+
+    fusedv = np.asarray(
+        deconvolve_deskew_warp(
+            vol, tf_half, 1e-3, angle, ratio, m, average_window=avg
+        )
+    )
+    decon = deconvolve_zyx(vol, tf_half, regularization_strength=1e-3)
+    deskewed = deskew_zyx(
+        decon, ls_angle_deg=angle, px_to_scan_ratio=ratio,
+        keep_overhang=False, average_window=avg,
+    )
+    naive = np.asarray(affine_warp_auto(deskewed, m, tuple(deskewed.shape)))
+    assert fusedv.shape == naive.shape
+    np.testing.assert_allclose(fusedv, naive, atol=1e-4)
+    jax.clear_caches()

@@ -34,6 +34,7 @@ def _numpy_reference(vol, tf_half, reg):
         (8, 6, 256),  # Nyquist peel with the dense z kernel
         (16, 16, 256),  # all three: peel + radix-2 z + radix-2 y
         (8, 32, 20),  # radix-2 y with the dense z kernel
+        (16, 12, 40),  # yw % 8 != 0: the classic per-ky-row pass B path
     ],
 )
 def test_pallas_deconvolve_matches_numpy(shape, monkeypatch):
@@ -185,3 +186,27 @@ def test_tikhonov_inverse_hermitian_dispatch(monkeypatch):
     )
     scale = np.abs(general).max()
     np.testing.assert_allclose(fused, general, atol=2e-4 * scale, rtol=0)
+
+
+@pytest.mark.parametrize("shape", [(16, 11, 40), (16, 16, 256)])
+def test_yzx_chain_output_matches_transposed_pad(shape, monkeypatch):
+    """deconvolve_zyx_pallas(yzx_pad=p) == edge-pad(transpose(zyx result)) —
+    the chain-mode pass C layout contract, radix and non-radix."""
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")
+    from biahub_tpu.kernels.deconvolve import compute_transfer_function
+    from biahub_tpu.kernels.pallas_fft import deconvolve_zyx_pallas
+
+    rng = np.random.default_rng(23)
+    vol = rng.standard_normal(shape, dtype=np.float32)
+    psf = np.zeros((3, 3, 3), np.float32)
+    psf[1, 1, 1] = 1.0
+    tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
+
+    zyx = np.asarray(deconvolve_zyx_pallas(vol, tf_half, 1e-3))
+    for pad in (0, 2):
+        yzx = np.asarray(deconvolve_zyx_pallas(vol, tf_half, 1e-3, yzx_pad=pad))
+        ref = np.pad(
+            np.transpose(zyx, (1, 0, 2)), ((pad, 0), (0, 0), (0, 0)),
+            mode="edge",
+        )
+        np.testing.assert_allclose(yzx, ref, atol=1e-5)

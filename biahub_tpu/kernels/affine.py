@@ -325,6 +325,7 @@ def inplane_affine_warp_zyx_pallas(
     matrix,
     output_shape: tuple[int, int, int],
     fill: float = 0.0,
+    input_xzy: bool = False,
 ) -> jax.Array:
     """In-plane warp via the fused MXU shear-resample kernels (concrete matrix).
 
@@ -347,13 +348,21 @@ def inplane_affine_warp_zyx_pallas(
     b2 = ty - b1 * tx
 
     v = volume.astype(jnp.float32)
+    in_zyx_shape = (
+        (volume.shape[1], volume.shape[2], volume.shape[0])
+        if input_xzy
+        else tuple(volume.shape)
+    )
     # Fused z+y pass in (Xi, Zi, Yi): sublane axis resamples z
     # (zi = mzz*zo + tz), lane axis resamples y (yi = b0*yo + b1*x + b2,
     # x being the o/grid axis — still the pre-resample x, as in the 3-pass
     # form where the y-pass preceded the x-pass). The transposed-output
     # variant writes (Yo, Xi, Zo) blocks natively — the x-pass's input
     # layout — so no full-volume transpose sits between the two kernels.
-    d = jnp.transpose(v, (2, 0, 1))  # (Xi, Zi, Yi)
+    # ``input_xzy``: the caller (fused chain, kernels/chain.py) already
+    # provides the (Xi, Zi, Yi) layout — e.g. deskew's transposed-output
+    # kernel — so even this first transpose disappears.
+    d = v if input_xzy else jnp.transpose(v, (2, 0, 1))  # (Xi, Zi, Yi)
     d = shear_resample2_pallas_t(
         d, Zo, Yo,
         (float(mzz), 0.0, float(tz)),
@@ -376,7 +385,7 @@ def inplane_affine_warp_zyx_pallas(
 
     return shear_resample_pallas_t(
         d, Xo, float(mxx), float(mxy), float(tx), order=1,
-        mask=(a_flat, tuple(int(s) for s in volume.shape), float(fill)),
+        mask=(a_flat, tuple(int(s) for s in in_zyx_shape), float(fill)),
     )  # (Zo, Yo, Xo)
 
 
@@ -479,14 +488,32 @@ def affine_warp_auto(
     output_shape: tuple[int, int, int],
     fill: float = 0.0,
     order: int = 1,
+    input_xzy: bool = False,
 ) -> jax.Array:
     """Warp with the fastest TPU-safe kernel for the (concrete) matrix.
 
     Dispatch: pure translation → separable translation warp; z-decoupled
     in-plane affine → three-pass warp; anything else → the exact 8-corner
     gather (slow on TPU; emit a hint). ``matrix`` must be a concrete array.
+
+    ``input_xzy``: ``volume`` arrives as (X, Z, Y) of the logical (Z, Y, X)
+    volume (the fused chain's deskew emits this layout natively); the
+    in-plane Pallas path consumes it with no transpose at all, every other
+    path un-transposes first.
     """
     matrix = np.asarray(matrix, dtype=np.float64)
+    if input_xzy and order == 1 and is_inplane_matrix(matrix) and (
+        (
+            jax.default_backend() == "tpu"
+            or os.environ.get("BIAHUB_TPU_FORCE_PALLAS") == "1"
+        )
+        and os.environ.get("BIAHUB_TPU_NO_PALLAS") != "1"
+    ):
+        return inplane_affine_warp_zyx_pallas(
+            volume, matrix, tuple(output_shape), fill=fill, input_xzy=True
+        )
+    if input_xzy:
+        volume = jnp.transpose(volume, (1, 2, 0))  # back to (Z, Y, X)
     if order == 1 and is_translation_matrix(matrix):
         shifts = tuple((float(s), float(s)) for s in matrix[:3, 3])
         return translation_warp_zyx(

@@ -102,8 +102,6 @@ def deconvolve_deskew_warp(
 
     Z, Y, X = (int(s) for s in volume.shape)
     avg = int(average_window)
-    groups = -(-Y // avg)
-    pad_front = groups * avg - Y
     use_pallas = (
         jax.default_backend() == "tpu"
         or os.environ.get("BIAHUB_TPU_FORCE_PALLAS") == "1"
@@ -129,22 +127,33 @@ def deconvolve_deskew_warp(
             average_window=average_window, fill=fill,
         )
 
-    from biahub_tpu.kernels.affine import affine_warp_auto
+    from biahub_tpu.kernels.affine import affine_warp_auto, is_inplane_matrix
     from biahub_tpu.kernels.pallas_deskew import deskew_zyx_pallas
     from biahub_tpu.kernels.pallas_fft import deconvolve_zyx_pallas
+
+    # Deskew emits the warp's (X', Z', Y') input layout when the warp can
+    # consume it (in-plane matrix, order-1) — zero transposes between the
+    # verbs. The flip matrix composes before the in-plane check (it only
+    # negates in-plane entries).
+    m = flip_y_matrix(int(dshape[1])) @ np.asarray(matrix, dtype=np.float64)
+    xzy = is_inplane_matrix(m)
+    groups = -(-Y // avg)
+    pad_total = ((-(-groups // 8) * 8) if xzy else groups) * avg - Y
 
     decon_yzx = deconvolve_zyx_pallas(
         volume, transfer_function_half,
         regularization_strength=regularization_strength,
-        yzx_pad=pad_front,
+        yzx_pad=pad_total,
     )
     deskewed = deskew_zyx_pallas(
         decon_yzx, ls_angle_deg, px_to_scan_ratio, keep_overhang,
         average_window=avg, skip_flip=True,
         pre_transposed_zyx_shape=(Z, Y, X),
+        out_layout="xzy" if xzy else "zyx",
     )
+    d_zyx_shape = (groups, dshape[1], dshape[2])
     out_shape = tuple(
-        int(s) for s in (output_shape if output_shape is not None else deskewed.shape)
+        int(s)
+        for s in (output_shape if output_shape is not None else d_zyx_shape)
     )
-    m = flip_y_matrix(int(deskewed.shape[1])) @ np.asarray(matrix, dtype=np.float64)
-    return affine_warp_auto(deskewed, m, out_shape, fill=fill)
+    return affine_warp_auto(deskewed, m, out_shape, fill=fill, input_xzy=xzy)

@@ -91,6 +91,48 @@ def _deskew_kernel(raw_ref, out_ref, *, params):
         )
 
 
+def _deskew_kernel_t(raw_ref, out_ref, *, params):
+    """Transposed-output deskew: 8 averaged z groups per program, blocks
+    written directly in (X_out, Z_out_groups, Y_out) order — the fused
+    in-plane warp's input layout (affine.py ``input_xzy``), killing the
+    chain's warp-input transpose. The banded dot runs in the mirrored
+    orientation (w @ slab), so the transposed tile is free on the MXU;
+    stores go to static ``[:, s, :]`` sublane slots (the fast direction).
+    The input carries ``extra`` more front-pad groups so every reversed
+    8-group input block is aligned; their slots land past the out array's
+    ragged last block and are masked away.
+    """
+    (Z_in, X_in, X_out, K, ct, px, offset, avg, yp8, Z_out, groups8) = params
+    from biahub_tpu.kernels.pallas_resample import _banded_dot_left
+
+    g = pl.program_id(0)
+    tile = pl.program_id(1)
+    # The x tiles ride the grid, so every program computes a full TILE_X
+    # stripe; the ragged last x block is masked by the out spec.
+    xo = (
+        tile * TILE_X
+        + jax.lax.broadcasted_iota(jnp.int32, (TILE_X, 1), 0)
+    ).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_X, K), 1)
+    for s in range(8):
+        kprime = groups8 - 1 - (g * 8 + s)  # natural padded group index
+        acc = jnp.zeros((TILE_X, X_in), jnp.float32)
+        for j in range(avg):
+            zo_val = yp8 - 1 - j - kprime * avg
+            zo_f = jnp.minimum(zo_val, Z_out - 1).astype(jnp.float32)
+            in_z = px * xo - px * ct * zo_f + offset
+            i0 = jnp.floor(in_z)
+            frac = in_z - i0
+            i0 = i0.astype(jnp.int32)
+            start = jnp.clip(i0[0, 0], 0, max(Z_in - K, 0))
+            start = pl.multiple_of((start // 8) * 8, 8)
+            offs = i0 - start
+            w = (1.0 - frac) * (cols == offs) + frac * (cols == offs + 1)
+            slab = raw_ref[(7 - s) * avg + j, pl.ds(start, K), :]  # (K, Y)
+            acc = acc + _banded_dot_left(w, slab)
+        out_ref[:, s, :] = acc if avg == 1 else acc * (1.0 / avg)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -100,6 +142,7 @@ def _deskew_kernel(raw_ref, out_ref, *, params):
         "average_window",
         "skip_flip",
         "pre_transposed_zyx_shape",
+        "out_layout",
     ),
 )
 def deskew_zyx_pallas(
@@ -110,6 +153,7 @@ def deskew_zyx_pallas(
     average_window: int = 1,
     skip_flip: bool = False,
     pre_transposed_zyx_shape: tuple[int, int, int] | None = None,
+    out_layout: str = "zyx",
 ) -> jax.Array:
     """Deskew one ZYX volume with the fused MXU kernel.
 
@@ -128,8 +172,18 @@ def deskew_zyx_pallas(
     as the (Y + pad_front, Z, X) tilt-major, front-edge-padded layout this
     kernel's prep would otherwise build (emitted natively by deconvolve's
     pass C, pallas_fft.py ``yzx_pad``); the tuple carries the ORIGINAL
-    (Z, Y, X) shape. The pad must equal ``ceil(Y/avg)*avg - Y``.
+    (Z, Y, X) shape. The pad must equal :func:`deskew_pad_front`.
+
+    ``out_layout="xzy"`` (requires ``skip_flip``) emits (X_out, Z_out,
+    Y_out) — the fused in-plane warp's input layout — via the transposed
+    kernel (:func:`_deskew_kernel_t`), killing the chain's warp-input
+    transpose.
     """
+    assert out_layout in ("zyx", "xzy"), out_layout
+    if out_layout == "xzy":
+        # A zyx-frame Y flip would land on the xzy lane axis — callers fold
+        # it into the downstream warp instead.
+        assert skip_flip, "out_layout='xzy' requires skip_flip=True"
     if pre_transposed_zyx_shape is not None:
         Z_in, Y_in, X_in = pre_transposed_zyx_shape
     else:
@@ -151,7 +205,13 @@ def deskew_zyx_pallas(
 
     avg = int(average_window)
     groups = -(-Y_in // avg)
-    pad_front = groups * avg - Y_in
+    if out_layout == "xzy":
+        # Extra front-pad groups align every reversed 8-group input block;
+        # their output slots fall past the ragged last out block (masked).
+        groups8 = -(-groups // 8) * 8
+        pad_front = groups8 * avg - Y_in
+    else:
+        pad_front = groups * avg - Y_in
     yp = Y_in + pad_front
 
     kernel = partial(
@@ -190,6 +250,35 @@ def deskew_zyx_pallas(
             )
         }
     )
+    if out_layout == "xzy":
+        groups8 = yp // avg  # multiple of 8 by construction
+        n_g8 = groups8 // 8
+        kernel_t = partial(
+            _deskew_kernel_t,
+            params=(Z_in, X_in, X_out, K, ct, px, offset, avg, yp, Z_out,
+                    groups8),
+        )
+        return pl.pallas_call(
+            kernel_t,
+            interpret=interpret,
+            grid=(n_g8, n_tiles),
+            in_specs=[
+                # 8 reversed z groups per program; x tiles revisit the block.
+                pl.BlockSpec(
+                    (8 * avg, Z_in, X_in),
+                    lambda g, t: (n_g8 - 1 - g, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (TILE_X, 8, Y_out),
+                lambda g, t: (t, g, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((X_out, groups, Y_out), jnp.float32),
+            **vmem_params,
+        )(data)
+
     out = pl.pallas_call(
         kernel,
         interpret=interpret,

@@ -108,3 +108,30 @@ def test_deconvolve_deskew_warp_matches_naive(avg, monkeypatch):
     assert fusedv.shape == naive.shape
     np.testing.assert_allclose(fusedv, naive, atol=1e-4)
     jax.clear_caches()
+
+
+@pytest.mark.parametrize("avg", [1, 3])
+def test_deskew_xzy_layout_matches_transposed_zyx(avg, monkeypatch):
+    """deskew_zyx_pallas(out_layout='xzy') == transpose((2,0,1)) of the
+    zyx result, including ragged group counts (groups % 8 != 0)."""
+    import jax
+
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    jax.clear_caches()
+    from biahub_tpu.kernels.pallas_deskew import deskew_zyx_pallas
+
+    rng = np.random.default_rng(41)
+    vol = rng.random((12, 14, 40), dtype=np.float32)
+    zyx = np.asarray(
+        deskew_zyx_pallas(vol, 30.0, 0.4, False, average_window=avg,
+                          skip_flip=True)
+    )
+    xzy = np.asarray(
+        deskew_zyx_pallas(vol, 30.0, 0.4, False, average_window=avg,
+                          skip_flip=True, out_layout="xzy")
+    )
+    assert xzy.shape == (zyx.shape[2], zyx.shape[0], zyx.shape[1])
+    np.testing.assert_allclose(
+        xzy, np.transpose(zyx, (2, 0, 1)), atol=2e-5
+    )
+    jax.clear_caches()

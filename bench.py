@@ -334,14 +334,14 @@ def main() -> None:
     )
     reg_stab[:3, 3] = [0.5, -1.25, 2.0]
 
+    from biahub_tpu.kernels.chain import deconvolve_then_deskew
+
     def fused(v, tf):
-        decon = deconvolve_zyx(v, tf, regularization_strength=1e-3)
-        return deskew_zyx(
-            decon,
-            ls_angle_deg=ls_angle_deg,
-            px_to_scan_ratio=px_to_scan_ratio,
-            keep_overhang=False,
-            average_window=3,
+        # Pass-C layout handoff: deconvolve emits deskew's tilt-major
+        # padded input directly (kernels/chain.py).
+        return deconvolve_then_deskew(
+            v, tf, 1e-3, ls_angle_deg, px_to_scan_ratio,
+            keep_overhang=False, average_window=3,
         )
 
     from biahub_tpu.kernels.chain import deconvolve_deskew_warp

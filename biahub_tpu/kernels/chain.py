@@ -24,7 +24,74 @@ from __future__ import annotations
 import jax
 import numpy as np
 
-__all__ = ["flip_y_matrix", "deskew_then_warp", "deconvolve_deskew_warp"]
+__all__ = [
+    "flip_y_matrix",
+    "deskew_then_warp",
+    "deconvolve_then_deskew",
+    "deconvolve_deskew_warp",
+]
+
+
+def deconvolve_then_deskew(
+    volume: jax.Array,
+    transfer_function_half: jax.Array,
+    regularization_strength: float,
+    ls_angle_deg: float,
+    px_to_scan_ratio: float,
+    keep_overhang: bool = False,
+    average_window: int = 1,
+) -> jax.Array:
+    """Deconvolve then deskew with the pass-C layout handoff engaged.
+
+    Output is identical to ``deskew_zyx(deconvolve_zyx(v))`` (standard
+    flipped zyx frame), but deconvolve's pass C emits deskew's tilt-major
+    padded input directly when the gates allow, skipping the deskew-prep
+    transpose + pad copies (~1.6 ms per flagship volume).
+    """
+    import os
+
+    from biahub_tpu.kernels.deconvolve import deconvolve_zyx
+    from biahub_tpu.kernels.deskew import deskew_zyx
+    from biahub_tpu.kernels.pallas_fft import deconvolve_pallas_supported
+
+    Z, Y, X = (int(s) for s in volume.shape)
+    avg = int(average_window)
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        or os.environ.get("BIAHUB_TPU_FORCE_PALLAS") == "1"
+    ) and os.environ.get("BIAHUB_TPU_NO_PALLAS") != "1"
+    from biahub_tpu.kernels.deskew import get_deskewed_data_shape
+
+    dshape, _ = get_deskewed_data_shape(
+        (Z, Y, X), ls_angle_deg, px_to_scan_ratio, keep_overhang
+    )
+    fused_ok = 2 * (avg * Z * X * 4 + X * dshape[2] * 4) < 64 * 1024 * 1024
+    if not (use_pallas and deconvolve_pallas_supported((Z, Y, X))
+            and Z % 8 == 0 and fused_ok):
+        decon = deconvolve_zyx(
+            volume, transfer_function_half,
+            regularization_strength=regularization_strength,
+        )
+        return deskew_zyx(
+            decon, ls_angle_deg=ls_angle_deg,
+            px_to_scan_ratio=px_to_scan_ratio,
+            keep_overhang=keep_overhang, average_window=average_window,
+        )
+
+    from biahub_tpu.kernels.pallas_deskew import deskew_zyx_pallas
+    from biahub_tpu.kernels.pallas_fft import deconvolve_zyx_pallas
+
+    groups = -(-Y // avg)
+    pad_front = groups * avg - Y
+    decon_yzx = deconvolve_zyx_pallas(
+        volume, transfer_function_half,
+        regularization_strength=regularization_strength,
+        yzx_pad=pad_front,
+    )
+    return deskew_zyx_pallas(
+        decon_yzx, ls_angle_deg, px_to_scan_ratio, keep_overhang,
+        average_window=avg, pre_transposed_zyx_shape=(Z, Y, X),
+    )
 
 
 def flip_y_matrix(y_size: int) -> np.ndarray:

@@ -135,3 +135,39 @@ def test_deskew_xzy_layout_matches_transposed_zyx(avg, monkeypatch):
         xzy, np.transpose(zyx, (2, 0, 1)), atol=2e-5
     )
     jax.clear_caches()
+
+
+def test_deconvolve_then_deskew_matches_naive(monkeypatch):
+    """The pass-C layout handoff produces the standard flipped zyx deskew
+    output exactly."""
+    import jax
+
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")
+    jax.clear_caches()
+
+    from biahub_tpu.kernels.chain import deconvolve_then_deskew
+    from biahub_tpu.kernels.deconvolve import (
+        compute_transfer_function,
+        deconvolve_zyx,
+    )
+    from biahub_tpu.kernels.deskew import deskew_zyx
+
+    shape = (16, 14, 40)
+    rng = np.random.default_rng(31)
+    vol = rng.random(shape, dtype=np.float32)
+    psf = np.zeros((3, 3, 3), np.float32)
+    psf[1, 1, 1] = 1.0
+    tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
+
+    fusedv = np.asarray(
+        deconvolve_then_deskew(vol, tf_half, 1e-3, 30.0, 0.4,
+                               average_window=3)
+    )
+    decon = deconvolve_zyx(vol, tf_half, regularization_strength=1e-3)
+    naive = np.asarray(
+        deskew_zyx(decon, ls_angle_deg=30.0, px_to_scan_ratio=0.4,
+                   keep_overhang=False, average_window=3)
+    )
+    np.testing.assert_allclose(fusedv, naive, atol=1e-5)
+    jax.clear_caches()

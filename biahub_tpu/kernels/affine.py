@@ -515,7 +515,14 @@ def affine_warp_auto(
     if input_xzy:
         volume = jnp.transpose(volume, (1, 2, 0))  # back to (Z, Y, X)
     if order == 1 and is_translation_matrix(matrix):
-        shifts = tuple((float(s), float(s)) for s in matrix[:3, 3])
+        # Bounds quantized to 8-voxel bins: window starts are 8-aligned
+        # anyway, so this costs nothing, and per-timepoint translations that
+        # differ by < 8 voxels share ONE compiled program instead of paying
+        # a remote recompile per distinct shift vector.
+        shifts = tuple(
+            (float(np.floor(s / 8.0) * 8.0), float(np.floor(s / 8.0) * 8.0 + 8.0))
+            for s in matrix[:3, 3]
+        )
         return translation_warp_zyx(
             volume, jnp.asarray(matrix[:3, 3], dtype=jnp.float32), tuple(output_shape),
             fill=fill, shift_bounds=shifts,

@@ -32,6 +32,34 @@ __all__ = [
 ]
 
 
+def _handoff_gate(zyx_shape, avg, ls_angle_deg, px_to_scan_ratio,
+                  keep_overhang):
+    """(fused_ok, deskewed_unaveraged_shape) for the pass-C layout handoff.
+
+    One shared gate for every chain helper: the Pallas deconvolve must
+    support the shape, pass C's 8-z blocks need Z % 8 == 0, and the
+    pre-transposed input only suits deskew's fused-averaging kernel (the
+    same 64 MiB double-buffered working-set bound deskew_zyx applies).
+    """
+    import os
+
+    from biahub_tpu.kernels.deskew import get_deskewed_data_shape
+    from biahub_tpu.kernels.pallas_fft import deconvolve_pallas_supported
+
+    Z, Y, X = zyx_shape
+    dshape, _ = get_deskewed_data_shape(
+        (Z, Y, X), ls_angle_deg, px_to_scan_ratio, keep_overhang
+    )
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        or os.environ.get("BIAHUB_TPU_FORCE_PALLAS") == "1"
+    ) and os.environ.get("BIAHUB_TPU_NO_PALLAS") != "1"
+    fused_ok = 2 * (avg * Z * X * 4 + X * dshape[2] * 4) < 64 * 1024 * 1024
+    ok = (use_pallas and deconvolve_pallas_supported((Z, Y, X))
+          and Z % 8 == 0 and fused_ok)
+    return ok, dshape
+
+
 def deconvolve_then_deskew(
     volume: jax.Array,
     transfer_function_half: jax.Array,
@@ -48,26 +76,14 @@ def deconvolve_then_deskew(
     padded input directly when the gates allow, skipping the deskew-prep
     transpose + pad copies (~1.6 ms per flagship volume).
     """
-    import os
-
     from biahub_tpu.kernels.deconvolve import deconvolve_zyx
     from biahub_tpu.kernels.deskew import deskew_zyx
-    from biahub_tpu.kernels.pallas_fft import deconvolve_pallas_supported
 
     Z, Y, X = (int(s) for s in volume.shape)
     avg = int(average_window)
-    use_pallas = (
-        jax.default_backend() == "tpu"
-        or os.environ.get("BIAHUB_TPU_FORCE_PALLAS") == "1"
-    ) and os.environ.get("BIAHUB_TPU_NO_PALLAS") != "1"
-    from biahub_tpu.kernels.deskew import get_deskewed_data_shape
-
-    dshape, _ = get_deskewed_data_shape(
-        (Z, Y, X), ls_angle_deg, px_to_scan_ratio, keep_overhang
-    )
-    fused_ok = 2 * (avg * Z * X * 4 + X * dshape[2] * 4) < 64 * 1024 * 1024
-    if not (use_pallas and deconvolve_pallas_supported((Z, Y, X))
-            and Z % 8 == 0 and fused_ok):
+    ok, _ = _handoff_gate((Z, Y, X), avg, ls_angle_deg, px_to_scan_ratio,
+                          keep_overhang)
+    if not ok:
         decon = deconvolve_zyx(
             volume, transfer_function_half,
             regularization_strength=regularization_strength,
@@ -162,28 +178,13 @@ def deconvolve_deskew_warp(
     rides the warp's affine (:func:`deskew_then_warp`). Anywhere the gates
     fail, the same composition runs through the verbs' standard contracts.
     """
-    import os
-
     from biahub_tpu.kernels.deconvolve import deconvolve_zyx
-    from biahub_tpu.kernels.pallas_fft import deconvolve_pallas_supported
 
     Z, Y, X = (int(s) for s in volume.shape)
     avg = int(average_window)
-    use_pallas = (
-        jax.default_backend() == "tpu"
-        or os.environ.get("BIAHUB_TPU_FORCE_PALLAS") == "1"
-    ) and os.environ.get("BIAHUB_TPU_NO_PALLAS") != "1"
-    # Mirror deskew_zyx's fused-averaging VMEM gate: the pre-transposed
-    # input only suits the fused-averaging kernel.
-    from biahub_tpu.deskew import get_deskewed_data_shape
-
-    dshape, _ = get_deskewed_data_shape(
-        (Z, Y, X), ls_angle_deg, px_to_scan_ratio, keep_overhang
-    )
-    fused_ok = 2 * (avg * Z * X * 4 + X * dshape[2] * 4) < 64 * 1024 * 1024
-
-    if not (use_pallas and deconvolve_pallas_supported((Z, Y, X))
-            and Z % 8 == 0 and fused_ok):
+    ok, dshape = _handoff_gate((Z, Y, X), avg, ls_angle_deg,
+                               px_to_scan_ratio, keep_overhang)
+    if not ok:
         decon = deconvolve_zyx(
             volume, transfer_function_half,
             regularization_strength=regularization_strength,

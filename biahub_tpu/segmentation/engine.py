@@ -70,7 +70,9 @@ def _normalize(x: np.ndarray) -> np.ndarray:
     cellpose's eval path normalises each 2D plane independently (its
     ``normalize_img`` runs per image in the slice loop), so a stack with
     depth attenuation keeps deep planes at full contrast instead of being
-    squashed by bright shallow planes' pooled percentiles.
+    squashed by bright shallow planes' pooled percentiles. The flip side —
+    shared with cellpose itself — is that signal-free planes get their
+    noise stretched to full contrast; cellprob_threshold is the defense.
     """
     lo = np.percentile(x, 1.0, axis=(2, 3), keepdims=True)
     hi = np.percentile(x, 99.0, axis=(2, 3), keepdims=True)
@@ -94,14 +96,18 @@ def stitch_labels_3d(labels_zyx: np.ndarray, stitch_threshold: float) -> np.ndar
         cur_sizes = np.bincount(cur.ravel(), minlength=n_cur + 1)
         prev_sizes = np.bincount(prev.ravel())
         # Joint histogram restricted to overlapping foreground pixels.
+        # Densify prev's (global, ever-growing) label ids first so the
+        # combined index stays O(n_prev_local * n_cur), not O(max_label).
         both = (cur > 0) & (prev > 0)
-        pair = prev[both].astype(np.int64) * (n_cur + 1) + cur[both]
-        counts = np.bincount(pair)
+        prev_local, prev_dense = np.unique(prev[both], return_inverse=True)
+        pair = prev_dense.astype(np.int64) * (n_cur + 1) + cur[both]
+        counts = np.bincount(pair, minlength=len(prev_local) * (n_cur + 1))
         inter = np.zeros(n_cur + 1, np.int64)
         best_prev = np.zeros(n_cur + 1, np.int64)
         if counts.size:
             nz = np.nonzero(counts)[0]
-            prev_ids, cur_ids = nz // (n_cur + 1), nz % (n_cur + 1)
+            prev_ids = prev_local[nz // (n_cur + 1)]
+            cur_ids = nz % (n_cur + 1)
             order = np.argsort(counts[nz], kind="stable")
             # Last write wins -> the argmax-overlap previous label per cur.
             inter[cur_ids[order]] = counts[nz][order]

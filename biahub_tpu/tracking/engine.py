@@ -163,6 +163,7 @@ def select_hierarchy_labels(
                     parts = _voronoi_parts(mask, prev_sl, claim_ids)
             else:
                 split_ok = False
+                fine_parts = None
                 if len(fine_ids) >= 2:
                     if len(claim_ids) == 0:
                         split_ok = True  # new objects: trust the fine level
@@ -175,11 +176,14 @@ def select_hierarchy_labels(
                         # faking persistence.
                         other = t + 1 if t + 1 < T else t - 1
                         if other >= 0:
-                            parts_m = [(fine_sl == i) & mask for i in fine_ids]
-                            split_ok = _parts_persist(parts_m, fine[other][sl])
-                parts = (
-                    [(fine_sl == i) & mask for i in fine_ids] if split_ok else [mask]
-                )
+                            fine_parts = [(fine_sl == i) & mask for i in fine_ids]
+                            split_ok = _parts_persist(fine_parts, fine[other][sl])
+                if split_ok:
+                    parts = fine_parts if fine_parts is not None else [
+                        (fine_sl == i) & mask for i in fine_ids
+                    ]
+                else:
+                    parts = [mask]
             for pmask in parts:
                 if pmask.sum() < max(min_size, 1):
                     continue

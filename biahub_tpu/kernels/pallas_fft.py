@@ -122,6 +122,52 @@ def _irfft_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+@lru_cache(maxsize=32)
+def _radix_x_fwd_mats(x: int) -> tuple[np.ndarray, ...]:
+    """Radix-2 DIF matrices for the forward rfft along X (peeled Nyquist).
+
+    With M = x/2, Q = x/4: even bins F[2k] = DFT_M(lo + hi)[k] and odd bins
+    F[2k+1] = DFT_M((lo - hi) * tw)[k] for k < Q share ONE (M, Q) cos/sin
+    pair; tw[x'] = exp(-2i*pi*x'/x) arrives as (1, M) twiddle rows. The
+    spectrum is carried in permuted [even | odd] lane order (per-kx stages
+    downstream are order-blind; the driver permutes the filter to match).
+    """
+    m, q = x // 2, x // 4
+    ang = -2.0 * np.pi * np.outer(np.arange(m), np.arange(q)) / m
+    tw = -2.0 * np.pi * np.arange(m) / x
+    return (
+        np.cos(ang).astype(np.float32),
+        np.sin(ang).astype(np.float32),
+        np.cos(tw)[None, :].astype(np.float32),
+        np.sin(tw)[None, :].astype(np.float32),
+    )
+
+
+@lru_cache(maxsize=32)
+def _radix_x_inv_mats(x: int) -> tuple[np.ndarray, ...]:
+    """Radix-2 DIT matrices for the irfft along X, reversal-free.
+
+    From the permuted [even | odd] half-spectrum (Nyquist peeled):
+    ``a = (rr_e * wrow) @ Prc - (ri_e * wrow) @ Pic`` is the half-period
+    real inverse of the even bins; ``c = (rr_o + i ri_o) @ (Prc + i Pic)``
+    and ``t = Re(e^{2i*pi*n/x} c) * 2/x`` (folded into the itw rows) give
+    ``out = [a + t | a - t]`` — both lane halves in natural order, no
+    lane-axis reversal anywhere.
+    """
+    m, q = x // 2, x // 4
+    ang = 2.0 * np.pi * np.outer(np.arange(q), np.arange(m)) / m
+    w = np.full(q, 2.0)
+    w[0] = 1.0
+    itw = 2.0 * np.pi * np.arange(m) / x
+    return (
+        np.cos(ang).astype(np.float32),
+        np.sin(ang).astype(np.float32),
+        (w / x)[None, :].astype(np.float32),
+        (np.cos(itw) * 2.0 / x)[None, :].astype(np.float32),
+        (np.sin(itw) * 2.0 / x)[None, :].astype(np.float32),
+    )
+
+
 def _twiddles(n_half: int, n: int, sign: float) -> tuple[np.ndarray, np.ndarray]:
     """(n_half, 1) cos/sin columns of exp(sign * 2i*pi*k/n)."""
     ang = sign * 2.0 * np.pi * np.arange(n_half) / n
@@ -154,19 +200,50 @@ def _dot(a, b, prec):
 
 
 def _cdot(wr, wi, vr, vi, prec):
-    """(wr + i wi) @ (vr + i vi) -> (re, im), four split dots."""
-    return (
-        _dot(wr, vr, prec) - _dot(wi, vi, prec),
-        _dot(wr, vi, prec) + _dot(wi, vr, prec),
-    )
+    """(wr + i wi) @ (vr + i vi) -> (re, im).
+
+    ``highest`` runs the textbook four split dots; otherwise the Karatsuba
+    3-multiplication form (m3 = (wr+wi)@(vr+vi), im = m3 - m1 - m2) trades
+    one MXU matmul for two VPU adds — 25% fewer MXU passes on every complex
+    stage. The cancellation in ``im`` grows the rounding error ~2x, still
+    well inside the ``high`` mode's ~2e-5 envelope (tests/test_pallas_fft).
+    """
+    if prec == "highest":
+        return (
+            _dot(wr, vr, prec) - _dot(wi, vi, prec),
+            _dot(wr, vi, prec) + _dot(wi, vr, prec),
+        )
+    m1 = _dot(wr, vr, prec)
+    m2 = _dot(wi, vi, prec)
+    m3 = _dot(wr + wi, vr + vi, prec)
+    return m1 - m2, m3 - m1 - m2
+
+
+def _cdot_r(vr, vi, wr, wi, prec):
+    """(vr + i vi) @ (wr + i wi) -> (re, im), matrix on the right; same
+    Karatsuba/4-dot split as :func:`_cdot`."""
+    if prec == "highest":
+        return (
+            _dot(vr, wr, prec) - _dot(vi, wi, prec),
+            _dot(vr, wi, prec) + _dot(vi, wr, prec),
+        )
+    m1 = _dot(vr, wr, prec)
+    m2 = _dot(vi, wi, prec)
+    m3 = _dot(vr + vi, wr + wi, prec)
+    return m1 - m2, m3 - m1 - m2
 
 
 def _fwd_yx_kernel(
     v_ref, cx_ref, sx_ref, wyr_ref, wyi_ref, *rest,
-    prec, zb, peel, radix_z, radix_y,
+    prec, zb, peel, radix_z, radix_y, radix_x=False,
 ):
     """rfft along X then DFT along Y of ``zb`` (Y, X) z-slices, all in VMEM.
 
+    ``radix_x`` (requires peel): the X rfft runs decimation-in-frequency
+    on the LANE halves — s = lo + hi and d = tw * (lo - hi) feed one shared
+    (M, Q) cos/sin pair (cx_ref/sx_ref are the half-size matrices; the
+    twiddle rows arrive first in ``rest``), emitting the spectrum in
+    permuted [even-kx | odd-kx] lane order at 5/8 the dense MXU FLOPs.
     ``radix_y``: the y-DFT runs decimation-in-frequency — sublane-half
     splits s = lo+hi, d = tw*(lo-hi) feed two half-size dense transforms
     emitting ky-even/odd spectra. ``radix_z`` (requires zb == 2): spectra
@@ -177,6 +254,9 @@ def _fwd_yx_kernel(
     Output ref order: for each z-parity (1 or 2), for each ky-parity (1 or
     2): (re, im); then the Nyquist block when peeled.
     """
+    if radix_x:
+        txc_ref, txs_ref = rest[0], rest[1]
+        rest = rest[2:]
     if radix_y:
         twyr_ref, twyi_ref = rest[0], rest[1]
         rest = rest[2:]
@@ -188,8 +268,19 @@ def _fwd_yx_kernel(
     wyi = wyi_ref[:]
     for j in range(zb):
         v = v_ref[j]  # (Y, X)
-        xr = _dot(v, cx_ref[:], prec)  # (Y, Xw)
-        xi = _dot(v, sx_ref[:], prec)
+        if radix_x:
+            mh = cx_ref.shape[0]  # M = X/2
+            s = v[:, :mh] + v[:, mh:]
+            d0 = v[:, :mh] - v[:, mh:]
+            cxe, sxe = cx_ref[:], sx_ref[:]
+            dr = d0 * txc_ref[:]
+            di = d0 * txs_ref[:]
+            xor_, xoi = _cdot_r(dr, di, cxe, sxe, prec)
+            xr = jnp.concatenate([_dot(s, cxe, prec), xor_], axis=1)
+            xi = jnp.concatenate([_dot(s, sxe, prec), xoi], axis=1)
+        else:
+            xr = _dot(v, cx_ref[:], prec)  # (Y, Xw)
+            xi = _dot(v, sx_ref[:], prec)
         if radix_y:
             y2 = wyr.shape[0]
             sr, si = xr[:y2] + xr[y2:], xi[:y2] + xi[y2:]
@@ -315,8 +406,16 @@ def _pass_b_kernel(*refs, reg, prec, radix_z, ny, n_filt):
             outs[kpar * 2 + 1][0] = xi_
 
 
-def _inv_yx_kernel(*refs, prec, zb, peel, radix_z, radix_y, yzx_pad=None):
+def _inv_yx_kernel(*refs, prec, zb, peel, radix_z, radix_y, radix_x=False,
+                   yzx_pad=None):
     """Inverse DFT along Y then irfft along X of ``zb`` (Y, Xw) slices.
+
+    ``radix_x``: the spectrum arrives in permuted [even-kx | odd-kx] lane
+    order and the irfft runs reversal-free decimation-in-time — the even
+    bins' half-period real inverse ``a`` plus the odd bins' twiddled
+    complex inverse ``t`` give ``out = [a + t | a - t]``, both halves in
+    natural lane order (see _radix_x_inv_mats). ar/ai refs carry the shared
+    half-size (Q, M) cos/sin pair; wrow + itw rows follow them.
 
     ``radix_y``: the spectra arrive ky-even/odd and the inverse runs the
     decimation-in-time butterfly — x_lo = A + ctw*B, x_hi = A - ctw*B with
@@ -345,6 +444,9 @@ def _inv_yx_kernel(*refs, prec, zb, peel, radix_z, radix_y, yzx_pad=None):
         rest = rest[2:]
     ar_ref, ai_ref = rest[0], rest[1]
     rest = rest[2:]
+    if radix_x:
+        wrow_ref, itwc_ref, itws_ref = rest[0], rest[1], rest[2]
+        rest = rest[3:]
     nyq_ref = rest[0] if peel else None
     out_ref = rest[1] if peel else rest[0]
     iyr = iyr_ref[:]
@@ -368,7 +470,16 @@ def _inv_yx_kernel(*refs, prec, zb, peel, radix_z, radix_y, yzx_pad=None):
             hr = spec_refs[zpar * 2][idx]
             hi = spec_refs[zpar * 2 + 1][idx]
             rr, ri = _cdot(iyr, iyi, hr, hi, prec)
-        out = _dot(rr, ar_ref[:], prec) + _dot(ri, ai_ref[:], prec)
+        if radix_x:
+            prc, pic = ar_ref[:], ai_ref[:]
+            q = prc.shape[0]  # Q = Xw/2
+            w = wrow_ref[:]
+            a = _dot(rr[:, :q] * w, prc, prec) - _dot(ri[:, :q] * w, pic, prec)
+            cr_, ci_ = _cdot_r(rr[:, q:], ri[:, q:], prc, pic, prec)
+            t = cr_ * itwc_ref[:] - ci_ * itws_ref[:]
+            out = jnp.concatenate([a + t, a - t], axis=1)
+        else:
+            out = _dot(rr, ar_ref[:], prec) + _dot(ri, ai_ref[:], prec)
         if peel:
             sign = 1.0 - 2.0 * (
                 jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) % 2
@@ -464,9 +575,27 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
     n_filt = 1 if reg is not None else 2
     prec = _precision()
     interpret = jax.default_backend() != "tpu"
+    # Radix-2 X rides the Nyquist peel (xw = X/2): DIF halves on the lane
+    # axis forward, reversal-free DIT halves inverse, spectrum carried in
+    # permuted [even-kx | odd-kx] lane order. Compiled mode needs the lane
+    # concat/slice boundary (xw/2) on a 128 multiple.
+    radix_x = (
+        peel and xw % 2 == 0 and x >= radix_min
+        and (interpret or xw % 256 == 0)
+    )
 
-    cx, sx = (jnp.asarray(m[:, :xw]) for m in _rfft_mats(x))
-    ax, bx = (jnp.asarray(m[:xw]) for m in _irfft_mats(x))
+    if radix_x:
+        mats = _radix_x_fwd_mats(x)
+        cx, sx, txc, txs = (jnp.asarray(m) for m in mats)
+        x_fwd_extra = (txc, txs)
+        imats = _radix_x_inv_mats(x)
+        ax, bx, wrow, itwc, itws = (jnp.asarray(m) for m in imats)
+        x_inv_extra = (wrow, itwc, itws)
+    else:
+        cx, sx = (jnp.asarray(m[:, :xw]) for m in _rfft_mats(x))
+        ax, bx = (jnp.asarray(m[:xw]) for m in _irfft_mats(x))
+        x_fwd_extra = ()
+        x_inv_extra = ()
     if radix_y:
         wyr, wyi = (jnp.asarray(m) for m in _dft_mats(y2))
         iyr, iyi = (jnp.asarray(m / 2.0) for m in _idft_mats(y2))
@@ -518,18 +647,21 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
             pl.BlockSpec((zb, y, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         )
         a_out_shapes.append(jax.ShapeDtypeStruct((z, y, 128), jnp.float32))
-    a_extra = (twyr, twyi) if radix_y else ()
-    a_extra_specs = [full((y2, 1))] * 2 if radix_y else []
+    a_extra = x_fwd_extra + ((twyr, twyi) if radix_y else ())
+    a_extra_specs = [full((1, x // 2))] * 2 if radix_x else []
+    a_extra_specs += [full((y2, 1))] * 2 if radix_y else []
+    x_mat_shape = (x // 2, xw // 2) if radix_x else (x, xw)
     a_out = pl.pallas_call(
         partial(
             _fwd_yx_kernel,
             prec=prec, zb=zb, peel=peel, radix_z=radix_z, radix_y=radix_y,
+            radix_x=radix_x,
         ),
         grid=(z // zb,),
         in_specs=[
             pl.BlockSpec((zb, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            full((x, xw)),
-            full((x, xw)),
+            full(x_mat_shape),
+            full(x_mat_shape),
             full((yw, yw)),
             full((yw, yw)),
         ]
@@ -550,18 +682,26 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
     def t01(a):
         return jnp.transpose(a, (1, 0, 2))
 
-    # Filters arrive (Z, Y, Xh): drop the peeled bin, split ky parity to
-    # match the spectra convention, and go ky-major for the per-row blocks.
+    # Filters arrive (Z, Y, Xh): drop the peeled bin, permute kx lanes to the
+    # radix-x [even | odd] order when engaged (a one-time XLA copy shared
+    # across a vmapped batch), split ky parity to match the spectra
+    # convention, and go ky-major for the per-row blocks.
+    def fprep(f):
+        fm = f[..., :xw]
+        if radix_x:
+            fm = jnp.concatenate([fm[..., 0::2], fm[..., 1::2]], axis=-1)
+        return fm
+
     if radix_y:
         filt_main = []
         for f in filter_arrays:
-            fm = f[..., :xw]
+            fm = fprep(f)
             filt_main.extend([t01(fm[:, 0::2, :]), t01(fm[:, 1::2, :])])
         # Reorder to (kpar, filt) = [f0_e, f1_e, f0_o, f1_o] -> per-kpar sets
         if n_filt == 2:
             filt_main = [filt_main[0], filt_main[2], filt_main[1], filt_main[3]]
     else:
-        filt_main = [t01(f[..., :xw]) for f in filter_arrays]
+        filt_main = [t01(fprep(f)) for f in filter_arrays]
 
     spec_row = pl.BlockSpec((1, zw, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     spec_filt = pl.BlockSpec((1, z, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -618,8 +758,15 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
     if radix_y:
         c_in_specs += [full((y2, 1))] * 2
         c_args += [ctwr, ctwi]
-    c_in_specs += [full((xw, x)), full((xw, x))]
-    c_args += [ax, bx]
+    if radix_x:
+        c_in_specs += [
+            full((xw // 2, x // 2)), full((xw // 2, x // 2)),
+            full((1, xw // 2)), full((1, x // 2)), full((1, x // 2)),
+        ]
+        c_args += [ax, bx, *x_inv_extra]
+    else:
+        c_in_specs += [full((xw, x)), full((xw, x))]
+        c_args += [ax, bx]
     if peel:
         c_in_specs.append(
             pl.BlockSpec((c_zb, y, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -629,7 +776,7 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
         partial(
             _inv_yx_kernel,
             prec=prec, zb=c_zb, peel=peel, radix_z=radix_z, radix_y=radix_y,
-            yzx_pad=yzx_pad if yzx else None,
+            radix_x=radix_x, yzx_pad=yzx_pad if yzx else None,
         ),
         grid=(c_grid,),
         in_specs=c_in_specs,

@@ -122,49 +122,93 @@ def _irfft_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-@lru_cache(maxsize=32)
-def _radix_x_fwd_mats(x: int) -> tuple[np.ndarray, ...]:
-    """Radix-2 DIF matrices for the forward rfft along X (peeled Nyquist).
+def _row(a: np.ndarray) -> np.ndarray:
+    return a[None, :].astype(np.float32)
 
-    With M = x/2, Q = x/4: even bins F[2k] = DFT_M(lo + hi)[k] and odd bins
-    F[2k+1] = DFT_M((lo - hi) * tw)[k] for k < Q share ONE (M, Q) cos/sin
-    pair; tw[x'] = exp(-2i*pi*x'/x) arrives as (1, M) twiddle rows. The
-    spectrum is carried in permuted [even | odd] lane order (per-kx stages
-    downstream are order-blind; the driver permutes the filter to match).
+
+@lru_cache(maxsize=32)
+def _radix_x_fwd_mats(x: int, level: int) -> tuple[np.ndarray, ...]:
+    """Radix-2^level DIF matrices for the forward rfft along X (Nyquist
+    peeled). The spectrum leaves in permuted lane order (level 1:
+    [even | odd]; level 2: [4k | 4k+2 | 4k+1 | 4k+3]) — per-kx stages
+    downstream are order-blind and the driver permutes the filter to match.
+
+    Level 1 (M = x/2, Q = x/4): F[2k] = DFT_M(lo + hi)[k] and F[2k+1] =
+    DFT_M((lo - hi) * tw1)[k] for k < Q share ONE (M, Q) cos/sin pair;
+    tw1[x'] = exp(-2i*pi*x'/x) arrives as (1, M) twiddle rows.
+
+    Level 2 recurses once more (O = x/8): the four quarter-streams
+    s2 = slo+shi, d2 = (slo-shi)*tw2, e = dlo+dhi, f = (dlo-dhi)*tw2
+    share ONE (Q, O) pair, 11 real dots total vs the dense 16.
     """
     m, q = x // 2, x // 4
-    ang = -2.0 * np.pi * np.outer(np.arange(m), np.arange(q)) / m
-    tw = -2.0 * np.pi * np.arange(m) / x
+    tw1 = -2.0 * np.pi * np.arange(m) / x
+    if level == 1:
+        ang = -2.0 * np.pi * np.outer(np.arange(m), np.arange(q)) / m
+        return (
+            np.cos(ang).astype(np.float32),
+            np.sin(ang).astype(np.float32),
+            _row(np.cos(tw1)),
+            _row(np.sin(tw1)),
+        )
+    o = x // 8
+    ang = -2.0 * np.pi * np.outer(np.arange(q), np.arange(o)) / q
+    tw2 = -2.0 * np.pi * np.arange(q) / m
     return (
         np.cos(ang).astype(np.float32),
         np.sin(ang).astype(np.float32),
-        np.cos(tw)[None, :].astype(np.float32),
-        np.sin(tw)[None, :].astype(np.float32),
+        _row(np.cos(tw1)),
+        _row(np.sin(tw1)),
+        _row(np.cos(tw2)),
+        _row(np.sin(tw2)),
     )
 
 
 @lru_cache(maxsize=32)
-def _radix_x_inv_mats(x: int) -> tuple[np.ndarray, ...]:
-    """Radix-2 DIT matrices for the irfft along X, reversal-free.
+def _radix_x_inv_mats(x: int, level: int) -> tuple[np.ndarray, ...]:
+    """Radix-2^level DIT matrices for the irfft along X, reversal-free.
 
-    From the permuted [even | odd] half-spectrum (Nyquist peeled):
-    ``a = (rr_e * wrow) @ Prc - (ri_e * wrow) @ Pic`` is the half-period
-    real inverse of the even bins; ``c = (rr_o + i ri_o) @ (Prc + i Pic)``
-    and ``t = Re(e^{2i*pi*n/x} c) * 2/x`` (folded into the itw rows) give
-    ``out = [a + t | a - t]`` — both lane halves in natural order, no
-    lane-axis reversal anywhere.
+    Level 1, from the permuted [even | odd] half-spectrum (Nyquist
+    peeled): ``a = (rr_e * wrow) @ Prc - (ri_e * wrow) @ Pic`` is the
+    half-period real inverse of the even bins; ``c = (rr_o + i ri_o) @
+    (Prc + i Pic)`` and ``t = Re(e^{2i*pi*n/x} c) * 2/x`` (folded into the
+    itw rows) give ``out = [a + t | a - t]`` — both lane halves in natural
+    order, no lane-axis reversal anywhere.
+
+    Level 2, from [4k | 4k+2 | 4k+1 | 4k+3]: quarter-period inverses
+    a0 (real), c2/c1/c3 (complex) through one (O, Q) pair; the quarter
+    phases i^p / (-i)^p turn into sign patterns on (Re, Im) parts:
+    out = [a0+t2+u1r+u3r | a0-t2-u1i+u3i | a0+t2-u1r-u3r | a0-t2+u1i-u3i].
     """
-    m, q = x // 2, x // 4
-    ang = 2.0 * np.pi * np.outer(np.arange(q), np.arange(m)) / m
-    w = np.full(q, 2.0)
+    if level == 1:
+        m, q = x // 2, x // 4
+        ang = 2.0 * np.pi * np.outer(np.arange(q), np.arange(m)) / m
+        w = np.full(q, 2.0)
+        w[0] = 1.0
+        itw = 2.0 * np.pi * np.arange(m) / x
+        return (
+            np.cos(ang).astype(np.float32),
+            np.sin(ang).astype(np.float32),
+            _row(w / x),
+            _row(np.cos(itw) * 2.0 / x),
+            _row(np.sin(itw) * 2.0 / x),
+        )
+    q, o = x // 4, x // 8
+    ang = 2.0 * np.pi * np.outer(np.arange(o), np.arange(q)) / q
+    w = np.full(o, 2.0)
     w[0] = 1.0
-    itw = 2.0 * np.pi * np.arange(m) / x
+    n = np.arange(q)
+    s = 2.0 / x
     return (
         np.cos(ang).astype(np.float32),
         np.sin(ang).astype(np.float32),
-        (w / x)[None, :].astype(np.float32),
-        (np.cos(itw) * 2.0 / x)[None, :].astype(np.float32),
-        (np.sin(itw) * 2.0 / x)[None, :].astype(np.float32),
+        _row(w / x),
+        _row(np.cos(2 * np.pi * n * 2 / x) * s),
+        _row(np.sin(2 * np.pi * n * 2 / x) * s),
+        _row(np.cos(2 * np.pi * n / x) * s),
+        _row(np.sin(2 * np.pi * n / x) * s),
+        _row(np.cos(6 * np.pi * n / x) * s),
+        _row(np.sin(6 * np.pi * n / x) * s),
     )
 
 
@@ -235,7 +279,7 @@ def _cdot_r(vr, vi, wr, wi, prec):
 
 def _fwd_yx_kernel(
     v_ref, cx_ref, sx_ref, wyr_ref, wyi_ref, *rest,
-    prec, zb, peel, radix_z, radix_y, radix_x=False,
+    prec, zb, peel, radix_z, radix_y, radix_x=False, slab=False,
 ):
     """rfft along X then DFT along Y of ``zb`` (Y, X) z-slices, all in VMEM.
 
@@ -257,6 +301,9 @@ def _fwd_yx_kernel(
     if radix_x:
         txc_ref, txs_ref = rest[0], rest[1]
         rest = rest[2:]
+        if radix_x == 2:
+            tx2c_ref, tx2s_ref = rest[0], rest[1]
+            rest = rest[2:]
     if radix_y:
         twyr_ref, twyi_ref = rest[0], rest[1]
         rest = rest[2:]
@@ -269,15 +316,33 @@ def _fwd_yx_kernel(
     for j in range(zb):
         v = v_ref[j]  # (Y, X)
         if radix_x:
-            mh = cx_ref.shape[0]  # M = X/2
+            mh = txc_ref.shape[1]  # M = X/2
             s = v[:, :mh] + v[:, mh:]
             d0 = v[:, :mh] - v[:, mh:]
             cxe, sxe = cx_ref[:], sx_ref[:]
             dr = d0 * txc_ref[:]
             di = d0 * txs_ref[:]
-            xor_, xoi = _cdot_r(dr, di, cxe, sxe, prec)
-            xr = jnp.concatenate([_dot(s, cxe, prec), xor_], axis=1)
-            xi = jnp.concatenate([_dot(s, sxe, prec), xoi], axis=1)
+            if radix_x == 2:
+                qh = tx2c_ref.shape[1]  # Q = X/4
+                t2c, t2s = tx2c_ref[:], tx2s_ref[:]
+                s2 = s[:, :qh] + s[:, qh:]
+                sd = s[:, :qh] - s[:, qh:]
+                d2r = sd * t2c
+                d2i = sd * t2s
+                er, ei = dr[:, :qh] + dr[:, qh:], di[:, :qh] + di[:, qh:]
+                fr0, fi0 = dr[:, :qh] - dr[:, qh:], di[:, :qh] - di[:, qh:]
+                fr = fr0 * t2c - fi0 * t2s
+                fi = fr0 * t2s + fi0 * t2c
+                f0r, f0i = _dot(s2, cxe, prec), _dot(s2, sxe, prec)
+                f2r, f2i = _cdot_r(d2r, d2i, cxe, sxe, prec)
+                f1r, f1i = _cdot_r(er, ei, cxe, sxe, prec)
+                f3r, f3i = _cdot_r(fr, fi, cxe, sxe, prec)
+                xr = jnp.concatenate([f0r, f2r, f1r, f3r], axis=1)
+                xi = jnp.concatenate([f0i, f2i, f1i, f3i], axis=1)
+            else:
+                xor_, xoi = _cdot_r(dr, di, cxe, sxe, prec)
+                xr = jnp.concatenate([_dot(s, cxe, prec), xor_], axis=1)
+                xi = jnp.concatenate([_dot(s, sxe, prec), xoi], axis=1)
         else:
             xr = _dot(v, cx_ref[:], prec)  # (Y, Xw)
             xi = _dot(v, sx_ref[:], prec)
@@ -291,11 +356,22 @@ def _fwd_yx_kernel(
             results = [_cdot(wyr, wyi, sr, si, prec), _cdot(wyr, wyi, dr, di, prec)]
         else:
             results = [_cdot(wyr, wyi, xr, xi, prec)]
-        zpar = j if radix_z else 0
-        idx = 0 if radix_z else j
-        for kpar, (rr_, ii_) in enumerate(results):
-            spec_refs[(zpar * ny + kpar) * 2][idx] = rr_
-            spec_refs[(zpar * ny + kpar) * 2 + 1][idx] = ii_
+        if slab:
+            # ky-major slab stores: the spectrum arrays are (ky, z, kx) and
+            # each program writes 8 z-slots per parity into the STATIC
+            # middle-axis slot j//2 — the free transpose direction (stores
+            # into an 8-sublane middle axis; see docs/kernels.md). Kills
+            # pass B's input-side XLA transposes.
+            zpar, idx = j % 2, j // 2
+            for kpar, (rr_, ii_) in enumerate(results):
+                spec_refs[(zpar * ny + kpar) * 2][:, idx, :] = rr_
+                spec_refs[(zpar * ny + kpar) * 2 + 1][:, idx, :] = ii_
+        else:
+            zpar = j if radix_z else 0
+            idx = 0 if radix_z else j
+            for kpar, (rr_, ii_) in enumerate(results):
+                spec_refs[(zpar * ny + kpar) * 2][idx] = rr_
+                spec_refs[(zpar * ny + kpar) * 2 + 1][idx] = ii_
         if peel:
             # Nyquist bin of the rfft: sum_x v * (-1)^x, exact on the VPU.
             sign = 1.0 - 2.0 * (
@@ -342,13 +418,19 @@ def _radix_z_chain(er, ei, or_, oi, wzr, wzi, izr, izi, twr, twi, filt_fn, prec)
     return xer, xei, xor_, xoi
 
 
-def _pass_b_kernel(*refs, reg, prec, radix_z, ny, n_filt):
+def _pass_b_kernel(*refs, reg, prec, radix_z, ny, n_filt, rows=1, slab=False):
     """Generic pass B: per ky row (one per ky parity when split), run the
     z-DFT -> filter -> iDFT_z chain, dense or radix-2.
 
     Ref order: spectra in (nz*ny*2) + filters (n_filt*ny) + z matrices
     (4 dense / 6 radix) + spectra out (nz*ny*2). ``reg`` selects the
     Tikhonov filter (n_filt == 1 per parity) vs complex (re, im) filters.
+
+    ``slab`` mode processes ``rows`` ky rows per program: inputs arrive as
+    ky-leading (rows, Z', Xt) blocks (leading-axis reads are free) and the
+    filtered spectrum is stored Z-MAJOR into (Z', rows, Xt) blocks via
+    static middle-axis slots — the free transpose direction — so pass C's
+    input-side XLA transposes never materialize.
     """
     nz = 2 if radix_z else 1
     nspec = nz * ny * 2
@@ -357,53 +439,62 @@ def _pass_b_kernel(*refs, reg, prec, radix_z, ny, n_filt):
     mats = refs[nspec + n_filt * ny : -nspec]
     outs = refs[-nspec:]
 
-    for kpar in range(ny):
-        def filt_fn_full(hr, hi, _k=kpar):
-            if reg is not None:
-                tf = filts[_k][0]
-                f = tf / (tf * tf + reg)
-                return hr * f, hi * f
-            fr, fi = filts[2 * _k][0], filts[2 * _k + 1][0]
-            return hr * fr - hi * fi, hr * fi + hi * fr
-
-        if radix_z:
-            wzr, wzi, izr, izi, twr, twi = (m[:] for m in mats)
-            z2 = wzr.shape[0]
-
-            def filt_fn(lo_r, lo_i, hi_r, hi_i, _k=kpar):
-                if reg is not None:
-                    tf = filts[_k][0]
-                    f = tf / (tf * tf + reg)
-                    return (
-                        lo_r * f[:z2], lo_i * f[:z2],
-                        hi_r * f[z2:], hi_i * f[z2:],
-                    )
-                fr, fi = filts[2 * _k][0], filts[2 * _k + 1][0]
-                flr, fli, fhr, fhi = fr[:z2], fi[:z2], fr[z2:], fi[z2:]
-                return (
-                    lo_r * flr - lo_i * fli,
-                    lo_r * fli + lo_i * flr,
-                    hi_r * fhr - hi_i * fhi,
-                    hi_r * fhi + hi_i * fhr,
-                )
-
-            xer, xei, xor_, xoi = _radix_z_chain(
-                ins[(0 * ny + kpar) * 2][0], ins[(0 * ny + kpar) * 2 + 1][0],
-                ins[(1 * ny + kpar) * 2][0], ins[(1 * ny + kpar) * 2 + 1][0],
-                wzr, wzi, izr, izi, twr, twi, filt_fn, prec,
-            )
-            outs[(0 * ny + kpar) * 2][0] = xer
-            outs[(0 * ny + kpar) * 2 + 1][0] = xei
-            outs[(1 * ny + kpar) * 2][0] = xor_
-            outs[(1 * ny + kpar) * 2 + 1][0] = xoi
+    def store(idx, r, val):
+        if slab:
+            outs[idx][:, r, :] = val
         else:
-            wzr, wzi, izr, izi = (m[:] for m in mats)
-            xr_, xi_ = _dense_z_chain(
-                ins[kpar * 2][0], ins[kpar * 2 + 1][0],
-                wzr, wzi, izr, izi, filt_fn_full, prec,
-            )
-            outs[kpar * 2][0] = xr_
-            outs[kpar * 2 + 1][0] = xi_
+            outs[idx][0] = val
+
+    for r in range(rows):
+        for kpar in range(ny):
+            def filt_fn_full(hr, hi, _k=kpar, _r=r):
+                if reg is not None:
+                    tf = filts[_k][_r]
+                    f = tf / (tf * tf + reg)
+                    return hr * f, hi * f
+                fr, fi = filts[2 * _k][_r], filts[2 * _k + 1][_r]
+                return hr * fr - hi * fi, hr * fi + hi * fr
+
+            if radix_z:
+                wzr, wzi, izr, izi, twr, twi = (m[:] for m in mats)
+                z2 = wzr.shape[0]
+
+                def filt_fn(lo_r, lo_i, hi_r, hi_i, _k=kpar, _r=r):
+                    if reg is not None:
+                        tf = filts[_k][_r]
+                        f = tf / (tf * tf + reg)
+                        return (
+                            lo_r * f[:z2], lo_i * f[:z2],
+                            hi_r * f[z2:], hi_i * f[z2:],
+                        )
+                    fr, fi = filts[2 * _k][_r], filts[2 * _k + 1][_r]
+                    flr, fli, fhr, fhi = fr[:z2], fi[:z2], fr[z2:], fi[z2:]
+                    return (
+                        lo_r * flr - lo_i * fli,
+                        lo_r * fli + lo_i * flr,
+                        hi_r * fhr - hi_i * fhi,
+                        hi_r * fhi + hi_i * fhr,
+                    )
+
+                xer, xei, xor_, xoi = _radix_z_chain(
+                    ins[(0 * ny + kpar) * 2][r],
+                    ins[(0 * ny + kpar) * 2 + 1][r],
+                    ins[(1 * ny + kpar) * 2][r],
+                    ins[(1 * ny + kpar) * 2 + 1][r],
+                    wzr, wzi, izr, izi, twr, twi, filt_fn, prec,
+                )
+                store((0 * ny + kpar) * 2, r, xer)
+                store((0 * ny + kpar) * 2 + 1, r, xei)
+                store((1 * ny + kpar) * 2, r, xor_)
+                store((1 * ny + kpar) * 2 + 1, r, xoi)
+            else:
+                wzr, wzi, izr, izi = (m[:] for m in mats)
+                xr_, xi_ = _dense_z_chain(
+                    ins[kpar * 2][r], ins[kpar * 2 + 1][r],
+                    wzr, wzi, izr, izi, filt_fn_full, prec,
+                )
+                store(kpar * 2, r, xr_)
+                store(kpar * 2 + 1, r, xi_)
 
 
 def _inv_yx_kernel(*refs, prec, zb, peel, radix_z, radix_y, radix_x=False,
@@ -444,9 +535,13 @@ def _inv_yx_kernel(*refs, prec, zb, peel, radix_z, radix_y, radix_x=False,
         rest = rest[2:]
     ar_ref, ai_ref = rest[0], rest[1]
     rest = rest[2:]
-    if radix_x:
+    if radix_x == 1:
         wrow_ref, itwc_ref, itws_ref = rest[0], rest[1], rest[2]
         rest = rest[3:]
+    elif radix_x == 2:
+        (wrow_ref, t2c_ref, t2s_ref, t1c_ref, t1s_ref, t3c_ref,
+         t3s_ref) = rest[:7]
+        rest = rest[7:]
     nyq_ref = rest[0] if peel else None
     out_ref = rest[1] if peel else rest[0]
     iyr = iyr_ref[:]
@@ -470,7 +565,31 @@ def _inv_yx_kernel(*refs, prec, zb, peel, radix_z, radix_y, radix_x=False,
             hr = spec_refs[zpar * 2][idx]
             hi = spec_refs[zpar * 2 + 1][idx]
             rr, ri = _cdot(iyr, iyi, hr, hi, prec)
-        if radix_x:
+        if radix_x == 2:
+            prc, pic = ar_ref[:], ai_ref[:]
+            o = prc.shape[0]  # O = Xw/4
+            w = wrow_ref[:]
+            a0 = (_dot(rr[:, :o] * w, prc, prec)
+                  - _dot(ri[:, :o] * w, pic, prec))
+            c2r, c2i = _cdot_r(rr[:, o:2*o], ri[:, o:2*o], prc, pic, prec)
+            c1r, c1i = _cdot_r(rr[:, 2*o:3*o], ri[:, 2*o:3*o], prc, pic,
+                               prec)
+            c3r, c3i = _cdot_r(rr[:, 3*o:], ri[:, 3*o:], prc, pic, prec)
+            t2c, t2s = t2c_ref[:], t2s_ref[:]
+            t1c, t1s = t1c_ref[:], t1s_ref[:]
+            t3c, t3s = t3c_ref[:], t3s_ref[:]
+            t2 = c2r * t2c - c2i * t2s
+            u1r = c1r * t1c - c1i * t1s
+            u1i = c1r * t1s + c1i * t1c
+            u3r = c3r * t3c - c3i * t3s
+            u3i = c3r * t3s + c3i * t3c
+            out = jnp.concatenate([
+                a0 + t2 + u1r + u3r,
+                a0 - t2 - u1i + u3i,
+                a0 + t2 - u1r - u3r,
+                a0 - t2 + u1i - u3i,
+            ], axis=1)
+        elif radix_x:
             prc, pic = ar_ref[:], ai_ref[:]
             q = prc.shape[0]  # Q = Xw/2
             w = wrow_ref[:]
@@ -575,22 +694,27 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
     n_filt = 1 if reg is not None else 2
     prec = _precision()
     interpret = jax.default_backend() != "tpu"
-    # Radix-2 X rides the Nyquist peel (xw = X/2): DIF halves on the lane
-    # axis forward, reversal-free DIT halves inverse, spectrum carried in
-    # permuted [even-kx | odd-kx] lane order. Compiled mode needs the lane
-    # concat/slice boundary (xw/2) on a 128 multiple.
-    radix_x = (
-        peel and xw % 2 == 0 and x >= radix_min
-        and (interpret or xw % 256 == 0)
-    )
+    # Radix-2/4 X rides the Nyquist peel (xw = X/2): DIF halves/quarters on
+    # the lane axis forward, reversal-free DIT inverse, spectrum carried in
+    # permuted kx lane order (level 1 [even | odd]; level 2
+    # [4k | 4k+2 | 4k+1 | 4k+3]). Compiled mode needs every lane
+    # concat/slice boundary on a 128 multiple. BIAHUB_TPU_FFT_RADIX_X_MAX
+    # caps the level (tests use it to pin level 1).
+    radix_x = 0
+    if peel and x >= radix_min:
+        x_max = int(os.environ.get("BIAHUB_TPU_FFT_RADIX_X_MAX", "2"))
+        if x % 8 == 0 and (interpret or x % 1024 == 0) and x_max >= 2:
+            radix_x = 2
+        elif x % 4 == 0 and (interpret or x % 512 == 0) and x_max >= 1:
+            radix_x = 1
 
     if radix_x:
-        mats = _radix_x_fwd_mats(x)
-        cx, sx, txc, txs = (jnp.asarray(m) for m in mats)
-        x_fwd_extra = (txc, txs)
-        imats = _radix_x_inv_mats(x)
-        ax, bx, wrow, itwc, itws = (jnp.asarray(m) for m in imats)
-        x_inv_extra = (wrow, itwc, itws)
+        mats = _radix_x_fwd_mats(x, radix_x)
+        cx, sx, *x_fwd_extra = (jnp.asarray(m) for m in mats)
+        x_fwd_extra = tuple(x_fwd_extra)
+        imats = _radix_x_inv_mats(x, radix_x)
+        ax, bx, *x_inv_extra = (jnp.asarray(m) for m in imats)
+        x_inv_extra = tuple(x_inv_extra)
     else:
         cx, sx = (jnp.asarray(m[:, :xw]) for m in _rfft_mats(x))
         ax, bx = (jnp.asarray(m[:xw]) for m in _irfft_mats(x))
@@ -634,7 +758,21 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
 
     # -- Pass A ------------------------------------------------------------
     nspec = nz * ny * 2
-    if radix_z:
+    # Slab mode: 16 z-slices per program, spectra stored DIRECTLY in the
+    # ky-major (ky, z, kx) layout pass B consumes (8 static middle-axis
+    # z-slots per parity per program) — pass B's input-side XLA transposes
+    # never materialize.
+    slab_a = radix_z and z % 16 == 0 and (
+        (16 * y * x + nspec * yw * 8 * xw + (16 * y * 128 if peel else 0))
+        * 4 * 2
+        < _VMEM_BUDGET_BYTES - 16 * 1024 * 1024
+    )
+    if slab_a:
+        zb = 16
+        a_spec = pl.BlockSpec((yw, 8, xw), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+        a_shape = jax.ShapeDtypeStruct((yw, z2, xw), jnp.float32)
+    elif radix_z:
         a_spec = pl.BlockSpec((1, yw, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         a_shape = jax.ShapeDtypeStruct((z2, yw, xw), jnp.float32)
     else:
@@ -648,14 +786,14 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
         )
         a_out_shapes.append(jax.ShapeDtypeStruct((z, y, 128), jnp.float32))
     a_extra = x_fwd_extra + ((twyr, twyi) if radix_y else ())
-    a_extra_specs = [full((1, x // 2))] * 2 if radix_x else []
+    a_extra_specs = [full(tuple(m.shape)) for m in x_fwd_extra]
     a_extra_specs += [full((y2, 1))] * 2 if radix_y else []
-    x_mat_shape = (x // 2, xw // 2) if radix_x else (x, xw)
+    x_mat_shape = tuple(cx.shape)
     a_out = pl.pallas_call(
         partial(
             _fwd_yx_kernel,
             prec=prec, zb=zb, peel=peel, radix_z=radix_z, radix_y=radix_y,
-            radix_x=radix_x,
+            radix_x=radix_x, slab=slab_a,
         ),
         grid=(z // zb,),
         in_specs=[
@@ -688,8 +826,13 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
     # convention, and go ky-major for the per-row blocks.
     def fprep(f):
         fm = f[..., :xw]
-        if radix_x:
+        if radix_x == 1:
             fm = jnp.concatenate([fm[..., 0::2], fm[..., 1::2]], axis=-1)
+        elif radix_x == 2:
+            fm = jnp.concatenate(
+                [fm[..., 0::4], fm[..., 2::4], fm[..., 1::4], fm[..., 3::4]],
+                axis=-1,
+            )
         return fm
 
     if radix_y:
@@ -703,26 +846,88 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
     else:
         filt_main = [t01(fprep(f)) for f in filter_arrays]
 
-    spec_row = pl.BlockSpec((1, zw, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    spec_filt = pl.BlockSpec((1, z, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    b_mats_specs = [full(tuple(m.shape)) for m in b_mats_v]
-    filtered = pl.pallas_call(
-        partial(
-            _pass_b_kernel,
-            reg=None if reg is None else float(reg),
-            prec=prec, radix_z=radix_z, ny=ny, n_filt=n_filt,
-        ),
-        grid=(yw,),
-        in_specs=[spec_row] * nspec + [spec_filt] * len(filt_main) + b_mats_specs,
-        out_specs=(spec_row,) * nspec,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((yw, zw, xw), jnp.float32) for _ in range(nspec)
-        ),
-        # The forward spectrum is dead after this pass — reuse its buffers.
-        input_output_aliases={i: i for i in range(nspec)},
-        interpret=interpret,
-        **vmem_params,
-    )(*[t01(s) for s in spectra], *filt_main, *b_mats_v)
+    # Slab mode: 8 ky rows per program reading ky-leading blocks and storing
+    # the filtered spectrum Z-MAJOR via static middle-axis slots — pass C's
+    # input-side transposes never materialize. The lane axis is tiled (xt)
+    # to keep the 8-row working set inside the VMEM budget.
+    slab_b = yw % 8 == 0
+    xt = xw
+    if slab_b:
+        def b_vmem(cand):
+            return (
+                nspec * 8 * zw * cand * 2 + n_filt * ny * 8 * z * cand
+            ) * 4 * 2
+        xt = None
+        cand = xw
+        while cand >= 1:
+            ok_align = interpret or cand % 128 == 0
+            if xw % cand == 0 and ok_align and (
+                b_vmem(cand) < _VMEM_BUDGET_BYTES - 6 * 1024 * 1024
+            ):
+                xt = cand
+                break
+            cand //= 2
+        if xt is None:
+            slab_b = False
+
+    b_kernel = partial(
+        _pass_b_kernel,
+        reg=None if reg is None else float(reg),
+        prec=prec, radix_z=radix_z, ny=ny, n_filt=n_filt,
+    )
+    b_args = (
+        *(spectra if slab_a else [t01(s) for s in spectra]),
+        *filt_main, *b_mats_v,
+    )
+    if slab_b:
+        def fullb(shape):
+            return pl.BlockSpec(
+                shape, lambda i, jx: (0,) * len(shape),
+                memory_space=pltpu.VMEM,
+            )
+
+        filtered = pl.pallas_call(
+            partial(b_kernel, rows=8, slab=True),
+            grid=(yw // 8, xw // xt),
+            in_specs=(
+                [pl.BlockSpec((8, zw, xt), lambda i, jx: (i, 0, jx),
+                              memory_space=pltpu.VMEM)] * nspec
+                + [pl.BlockSpec((8, z, xt), lambda i, jx: (i, 0, jx),
+                                memory_space=pltpu.VMEM)] * len(filt_main)
+                + [fullb(tuple(m.shape)) for m in b_mats_v]
+            ),
+            out_specs=(
+                pl.BlockSpec((zw, 8, xt), lambda i, jx: (0, i, jx),
+                             memory_space=pltpu.VMEM),
+            ) * nspec,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((zw, yw, xw), jnp.float32)
+                for _ in range(nspec)
+            ),
+            interpret=interpret,
+            **vmem_params,
+        )(*b_args)
+    else:
+        spec_row = pl.BlockSpec((1, zw, xw), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        spec_filt = pl.BlockSpec((1, z, xw), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        b_mats_specs = [full(tuple(m.shape)) for m in b_mats_v]
+        filtered = pl.pallas_call(
+            b_kernel,
+            grid=(yw,),
+            in_specs=[spec_row] * nspec + [spec_filt] * len(filt_main)
+            + b_mats_specs,
+            out_specs=(spec_row,) * nspec,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((yw, zw, xw), jnp.float32)
+                for _ in range(nspec)
+            ),
+            # The forward spectrum is dead after this pass — reuse buffers.
+            input_output_aliases={i: i for i in range(nspec)},
+            interpret=interpret,
+            **vmem_params,
+        )(*b_args)
 
     # -- Pass C ------------------------------------------------------------
     yzx = yzx_pad is not None and z % 8 == 0
@@ -754,15 +959,14 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
         )
         c_out_shape = jax.ShapeDtypeStruct((z, y, x), jnp.float32)
     c_in_specs = [c_spec_in] * nspec + [full((yw, yw))] * 2
-    c_args = [t01(f) for f in filtered] + [iyr, iyi]
+    c_args = (list(filtered) if slab_b else [t01(f) for f in filtered])
+    c_args += [iyr, iyi]
     if radix_y:
         c_in_specs += [full((y2, 1))] * 2
         c_args += [ctwr, ctwi]
     if radix_x:
-        c_in_specs += [
-            full((xw // 2, x // 2)), full((xw // 2, x // 2)),
-            full((1, xw // 2)), full((1, x // 2)), full((1, x // 2)),
-        ]
+        c_in_specs += [full(tuple(ax.shape))] * 2
+        c_in_specs += [full(tuple(m.shape)) for m in x_inv_extra]
         c_args += [ax, bx, *x_inv_extra]
     else:
         c_in_specs += [full((xw, x)), full((xw, x))]

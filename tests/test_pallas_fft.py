@@ -104,6 +104,33 @@ def test_precision_modes(mode, tol, monkeypatch):
     np.testing.assert_allclose(got, want, atol=tol * scale, rtol=0)
 
 
+@pytest.mark.parametrize(
+    "shape,xmax",
+    [
+        ((16, 16, 256), 2),  # radix-4 X + slab passes (8-slot ky/z stores)
+        ((16, 16, 256), 1),  # radix-2 X pinned via BIAHUB_TPU_FFT_RADIX_X_MAX
+        ((16, 16, 256), 0),  # dense X with the slab passes
+        ((32, 24, 512), 2),  # radix-4 X, yw % 8 != 0 (per-row pass B)
+    ],
+)
+def test_radix_x_levels_and_slab_passes(shape, xmax, monkeypatch):
+    """The radix-2/4 X decompositions (permuted kx lane order) and the slab
+    ky-major/z-major store paths all reproduce the dense reference."""
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_X_MAX", str(xmax))
+    rng = np.random.default_rng(13)
+    vol = rng.standard_normal(shape, dtype=np.float32)
+    psf = rng.random((3, 3, 3), dtype=np.float32)
+    tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
+    got = np.asarray(
+        deconvolve_zyx_pallas(jnp.asarray(vol), jnp.asarray(tf_half), 1e-3)
+    )
+    want = _numpy_reference(vol, tf_half, 1e-3)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-4 * scale, rtol=0)
+
+
 def test_pallas_deconvolve_vmaps_over_channels(monkeypatch):
     monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
     monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")  # radix paths on tiny shapes

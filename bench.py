@@ -336,60 +336,91 @@ def main() -> None:
 
     from biahub_tpu.kernels.chain import deconvolve_then_deskew
 
-    def fused(v, tf):
+    def fused(v, tf, prep):
         # Pass-C layout handoff: deconvolve emits deskew's tilt-major
         # padded input directly (kernels/chain.py).
         return deconvolve_then_deskew(
             v, tf, 1e-3, ls_angle_deg, px_to_scan_ratio,
-            keep_overhang=False, average_window=3,
+            keep_overhang=False, average_window=3, prepared=prep,
         )
 
     from biahub_tpu.kernels.chain import deconvolve_deskew_warp
 
-    def full_chain(v, tf):
+    def full_chain(v, tf, prep):
         # The fully fused chain (kernels/chain.py): deconvolve's pass C
         # emits deskew's tilt-major padded input layout directly, the
         # deskew Y-flip rides the warp's affine, and reg_stab is concrete
         # so the warp runs the transposed-output Pallas kernels.
         return deconvolve_deskew_warp(
             v, tf, 1e-3, ls_angle_deg, px_to_scan_ratio, reg_stab,
-            keep_overhang=False, average_window=3,
+            keep_overhang=False, average_window=3, prepared=prep,
         )
 
-    def step_with_probe(v, tf):
-        out = jax.vmap(fused, in_axes=(0, None))(v, tf)
+    def step_with_probe(v, tf, prep):
+        out = jax.vmap(fused, in_axes=(0, None, None))(v, tf, prep)
         # The probe scalar forces real device completion when fetched:
         # block_until_ready is not reliable over remote-attached devices.
         return out, jnp.sum(out[:, 0, 0, :8])
 
     import jax.numpy as jnp
 
-    step = jax.jit(step_with_probe)
+    # Pin the jit result layouts to row-major default: XLA otherwise picks
+    # a zero-padding result layout for non-128-multiple minor dims and
+    # inserts a full-volume copy after the final Pallas kernel (~1 ms per
+    # chain volume, scripts/probe_outlayout.py). Mirrors the BatchRunner.
+    def _pinned_jit(fn):
+        if jax.default_backend() != "tpu":
+            return jax.jit(fn)
+        from jax.experimental.layout import Format, Layout
+
+        sds = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        return jax.jit(
+            fn,
+            out_shardings=(
+                Format(Layout((0, 1, 2, 3)), sds),
+                Format(None, sds),
+            ),
+        )
+
+    step = _pinned_jit(step_with_probe)
     vol_d = jax.device_put(vol)
     tf_d = jax.device_put(tf_half)
 
+    # The filter arrangement is constant per acquisition: hoist it once
+    # (kernels/pallas_fft.prepare_fourier_filter), as the verbs do.
+    from biahub_tpu.kernels.pallas_fft import (
+        deconvolve_pallas_supported,
+        prepare_fourier_filter,
+    )
+
+    prep_d = None
+    if deconvolve_pallas_supported(shape):
+        prep_d = jax.jit(
+            lambda tf: prepare_fourier_filter(shape, (tf,), 1e-3)
+        )(tf_d)
+
     # Warm-up compile, then force completion via a host fetch.
-    out, probe = step(vol_d, tf_d)
+    out, probe = step(vol_d, tf_d, prep_d)
     float(probe)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out, probe = step(vol_d, tf_d)
+        out, probe = step(vol_d, tf_d, prep_d)
     # Device execution is ordered, so fetching the last probe waits for all.
     float(probe)
     elapsed = time.perf_counter() - t0
 
     # End-to-end chain (deconvolve + deskew + register∘stabilize warp)
-    def chain_with_probe(v, tf):
-        out = jax.vmap(full_chain, in_axes=(0, None))(v, tf)
+    def chain_with_probe(v, tf, prep):
+        out = jax.vmap(full_chain, in_axes=(0, None, None))(v, tf, prep)
         return out, jnp.sum(out[:, 0, 0, :8])
 
-    chain = jax.jit(chain_with_probe)
-    out, probe = chain(vol_d, tf_d)
+    chain = _pinned_jit(chain_with_probe)
+    out, probe = chain(vol_d, tf_d, prep_d)
     float(probe)
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out, probe = chain(vol_d, tf_d)
+        out, probe = chain(vol_d, tf_d, prep_d)
     float(probe)
     chain_elapsed = time.perf_counter() - t0
 
@@ -400,18 +431,21 @@ def main() -> None:
     voxels_per_sec = voxels / sec_per_volume
 
     # Separate deconvolve timing: the judge's per-component target number.
-    @jax.jit
-    def decon_with_probe(v, tf):
+    def decon_with_probe(v, tf, prep):
         out = jax.vmap(
-            lambda vv: deconvolve_zyx(vv, tf, regularization_strength=1e-3)
+            lambda vv: deconvolve_zyx(
+                vv, tf, regularization_strength=1e-3, prepared=prep
+            )
         )(v)
         return out, jnp.sum(out[:, 0, 0, :8])
 
-    out, probe = decon_with_probe(vol_d, tf_d)
+    decon_with_probe = _pinned_jit(decon_with_probe)
+
+    out, probe = decon_with_probe(vol_d, tf_d, prep_d)
     float(probe)
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out, probe = decon_with_probe(vol_d, tf_d)
+        out, probe = decon_with_probe(vol_d, tf_d, prep_d)
     float(probe)
     decon_ms = (time.perf_counter() - t0) * 1e3 / n_volumes
 

@@ -104,12 +104,25 @@ def deconvolve(
     resolved = resolve_cluster(None, local)
     click.echo(f"Running on-device batches (mode='{resolved}')")
 
-    # Device kernel runs on the rfft half-spectrum of the (real) TF.
+    # Device kernel runs on the rfft half-spectrum of the (real) TF. The
+    # filter arrangement for the fused engine (Tikhonov transform, radix
+    # permutes, ky-major blocks) is hoisted out of the per-batch hot loop.
     tf_half = transfer_function[..., : X // 2 + 1]
+    prepared = None
+    from biahub_tpu.kernels.pallas_fft import (
+        deconvolve_pallas_supported,
+        prepare_fourier_filter,
+    )
+
+    if deconvolve_pallas_supported((Z, Y, X)):
+        prepared = prepare_fourier_filter(
+            (Z, Y, X), (tf_half,), float(settings.regularization_strength)
+        )
     kernel = partial(
         deconvolve_zyx,
         transfer_function_half=tf_half,
         regularization_strength=float(settings.regularization_strength),
+        prepared=prepared,
     )
 
     input_positions = [open_ome_zarr(p, mode="r") for p in input_position_dirpaths]

@@ -68,6 +68,7 @@ def deconvolve_then_deskew(
     px_to_scan_ratio: float,
     keep_overhang: bool = False,
     average_window: int = 1,
+    prepared=None,
 ) -> jax.Array:
     """Deconvolve then deskew with the pass-C layout handoff engaged.
 
@@ -87,6 +88,7 @@ def deconvolve_then_deskew(
         decon = deconvolve_zyx(
             volume, transfer_function_half,
             regularization_strength=regularization_strength,
+            prepared=prepared,
         )
         return deskew_zyx(
             decon, ls_angle_deg=ls_angle_deg,
@@ -102,7 +104,7 @@ def deconvolve_then_deskew(
     decon_yzx = deconvolve_zyx_pallas(
         volume, transfer_function_half,
         regularization_strength=regularization_strength,
-        yzx_pad=pad_front,
+        yzx_pad=pad_front, prepared=prepared,
     )
     return deskew_zyx_pallas(
         decon_yzx, ls_angle_deg, px_to_scan_ratio, keep_overhang,
@@ -167,6 +169,7 @@ def deconvolve_deskew_warp(
     keep_overhang: bool = False,
     average_window: int = 1,
     fill: float = 0.0,
+    prepared=None,
 ) -> jax.Array:
     """The full fused reconstruction chain with every cross-verb layout
     optimization engaged.
@@ -188,6 +191,7 @@ def deconvolve_deskew_warp(
         decon = deconvolve_zyx(
             volume, transfer_function_half,
             regularization_strength=regularization_strength,
+            prepared=prepared,
         )
         return deskew_then_warp(
             decon, ls_angle_deg, px_to_scan_ratio, matrix,
@@ -211,7 +215,7 @@ def deconvolve_deskew_warp(
     decon_yzx = deconvolve_zyx_pallas(
         volume, transfer_function_half,
         regularization_strength=regularization_strength,
-        yzx_pad=pad_total,
+        yzx_pad=pad_total, prepared=prepared,
     )
     deskewed = deskew_zyx_pallas(
         decon_yzx, ls_angle_deg, px_to_scan_ratio, keep_overhang,

@@ -51,12 +51,16 @@ def deconvolve_zyx(
     zyx_data: jax.Array,
     transfer_function_half: jax.Array,
     regularization_strength: float = 1e-3,
+    prepared=None,
 ) -> jax.Array:
     """Tikhonov inverse filter of one ZYX volume on the rfft half-spectrum.
 
     ``transfer_function_half`` is the full TF sliced to ``[..., : X // 2 + 1]``
     (the TF of a real PSF is Hermitian-symmetric in magnitude, so the half
-    spectrum carries all information).
+    spectrum carries all information). ``prepared``: an optional
+    pallas_fft.prepare_fourier_filter result for this shape — verbs hoist
+    the per-call filter arrangement out of the hot loop with it (the XLA
+    fallback ignores it and uses the raw TF).
     """
     from biahub_tpu.kernels.pallas_fft import (
         deconvolve_pallas_supported,
@@ -66,7 +70,8 @@ def deconvolve_zyx(
     zyx_data = zyx_data.astype(jnp.float32)
     if deconvolve_pallas_supported(zyx_data.shape):
         return deconvolve_zyx_pallas(
-            zyx_data, transfer_function_half, regularization_strength
+            zyx_data, transfer_function_half, regularization_strength,
+            prepared=prepared,
         )
     data_hat = jnp.fft.rfftn(zyx_data)
     tf = transfer_function_half.astype(jnp.float32)

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import os
 from functools import lru_cache, partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +60,8 @@ __all__ = [
     "deconvolve_zyx_pallas",
     "deconvolve_pallas_supported",
     "fourier_filter_zyx_pallas",
+    "prepare_fourier_filter",
+    "PreparedFilter",
 ]
 
 _VMEM_BUDGET_BYTES = 96 * 1024 * 1024
@@ -448,6 +451,9 @@ def _pass_b_kernel(*refs, reg, prec, radix_z, ny, n_filt, rows=1, slab=False):
     for r in range(rows):
         for kpar in range(ny):
             def filt_fn_full(hr, hi, _k=kpar, _r=r):
+                if reg == "pre":  # Tikhonov transform pre-applied (prepared)
+                    f = filts[_k][_r]
+                    return hr * f, hi * f
                 if reg is not None:
                     tf = filts[_k][_r]
                     f = tf / (tf * tf + reg)
@@ -460,6 +466,12 @@ def _pass_b_kernel(*refs, reg, prec, radix_z, ny, n_filt, rows=1, slab=False):
                 z2 = wzr.shape[0]
 
                 def filt_fn(lo_r, lo_i, hi_r, hi_i, _k=kpar, _r=r):
+                    if reg == "pre":
+                        f = filts[_k][_r]
+                        return (
+                            lo_r * f[:z2], lo_i * f[:z2],
+                            hi_r * f[z2:], hi_i * f[z2:],
+                        )
                     if reg is not None:
                         tf = filts[_k][_r]
                         f = tf / (tf * tf + reg)
@@ -642,57 +654,17 @@ def deconvolve_pallas_supported(shape: tuple[int, int, int]) -> bool:
     return max(pass_a, pass_b, pass_c) < _VMEM_BUDGET_BYTES
 
 
-def _nyq_filter_chain(nyq_raw, filter_planes, reg, x):
-    """XLA transform chain for the peeled Nyquist-kx plane.
-
-    ``nyq_raw`` (Z, Y) is the real (-1)^x reduction from pass A; the plane's
-    y/z DFTs, filter, and inverse DFTs are a 2D problem ~1000x smaller than
-    the main spectrum, so XLA f32 FFTs handle it exactly. ``filter_planes``
-    are the filters' (Z, Y) Nyquist slices (``f[..., -1]``) — planes only,
-    so sharded callers never replicate whole filter volumes. Returns the
-    REAL plane pass C broadcast-adds with the (-1)^x basis, with the irfft's
-    1/X normalization folded in (the Nyquist bin's Hermitian weight is 1).
-    """
-    spec = jnp.fft.fftn(nyq_raw.astype(jnp.complex64), axes=(0, 1))
-    if reg is not None:
-        tf = filter_planes[0]
-        spec = spec * (tf / (tf * tf + reg))
-    else:
-        fr, fi = filter_planes
-        spec = spec * jax.lax.complex(fr, fi)
-    plane = jnp.real(jnp.fft.ifftn(spec, axes=(0, 1))) / x
-    return plane.astype(jnp.float32)
-
-
-def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
-                          yzx_pad=None):
-    """Shared 3-pass driver (see the module docstring). ``reg`` selects the
-    Tikhonov kernels (filter_arrays = (tf,)); None selects the
-    complex-Hermitian-filter kernels (filter_arrays = (re, im)).
-
-    ``yzx_pad``: chain mode — pass C emits (Y + yzx_pad, Z, X) with the
-    front rows edge-replicated, the exact input layout of the fused deskew
-    kernel (kernels/chain.py)."""
-    z, y, x = zyx_data.shape
+def _pipeline_flags(z: int, y: int, x: int):
+    """Static per-shape decisions shared by the driver and the filter
+    preparer (peel, xw, radix levels). Kept in ONE place so a
+    :func:`prepare_fourier_filter` result can never disagree with the
+    pipeline that consumes it (same shape + same env knobs)."""
     xh = x // 2 + 1
     peel = x % 2 == 0 and xh % 128 == 1 and xh > 1
     xw = xh - 1 if peel else xh
-    # Radix-2 only pays when the HALF transform still fills the MXU's 128
-    # contraction depth: at n < 256 the half-size (n/2, n/2) matmuls run at
-    # n/256 utilization, eating the 2x FLOP saving (measured: it slowed the
-    # 64x256x256 phase reconstruction). Tests shrink the floor via env to
-    # exercise the radix kernels on tiny shapes in interpret mode.
     radix_min = int(os.environ.get("BIAHUB_TPU_FFT_RADIX_MIN", "256"))
     radix_z = z % 16 == 0 and z >= radix_min
     radix_y = y % 16 == 0 and y >= radix_min
-    zb = 2 if z % 2 == 0 else 1
-    z2, y2 = z // 2, y // 2
-    nz = 2 if radix_z else 1
-    ny = 2 if radix_y else 1
-    yw = y2 if radix_y else y  # per-parity ky rows
-    zw = z2 if radix_z else z  # per-parity z rows
-    n_filt = 1 if reg is not None else 2
-    prec = _precision()
     interpret = jax.default_backend() != "tpu"
     # Radix-2/4 X rides the Nyquist peel (xw = X/2): DIF halves/quarters on
     # the lane axis forward, reversal-free DIT inverse, spectrum carried in
@@ -707,6 +679,144 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
             radix_x = 2
         elif x % 4 == 0 and (interpret or x % 512 == 0) and x_max >= 1:
             radix_x = 1
+    return peel, xw, radix_x, radix_y, radix_z, interpret
+
+
+def _build_filt_main(filter_arrays, xw, radix_x, radix_y, n_filt):
+    """Filter blocks for pass B: drop the peeled bin, permute kx lanes to
+    the radix-x order when engaged, split ky parity to match the spectra
+    convention, and go ky-major for the per-row blocks."""
+    def t01(a):
+        return jnp.transpose(a, (1, 0, 2))
+
+    def fprep(f):
+        fm = f[..., :xw]
+        if radix_x == 1:
+            fm = jnp.concatenate([fm[..., 0::2], fm[..., 1::2]], axis=-1)
+        elif radix_x == 2:
+            fm = jnp.concatenate(
+                [fm[..., 0::4], fm[..., 2::4], fm[..., 1::4], fm[..., 3::4]],
+                axis=-1,
+            )
+        return fm
+
+    if radix_y:
+        filt_main = []
+        for f in filter_arrays:
+            fm = fprep(f)
+            filt_main.extend([t01(fm[:, 0::2, :]), t01(fm[:, 1::2, :])])
+        # Reorder to (kpar, filt) = [f0_e, f1_e, f0_o, f1_o] -> per-kpar sets
+        if n_filt == 2:
+            filt_main = [filt_main[0], filt_main[2], filt_main[1], filt_main[3]]
+    else:
+        filt_main = [t01(fprep(f)) for f in filter_arrays]
+    return filt_main
+
+
+class PreparedFilter(NamedTuple):
+    """Device-resident filter blocks pre-arranged for the 3-pass engine.
+
+    The per-call filter preparation (Tikhonov transform, peeled-bin slice,
+    radix-x kx lane permute, ky-parity split, ky-major transposes) costs
+    ~1.5 ms of XLA copies per batched call at the flagship FOV; the
+    transfer function is constant across an acquisition, so verbs hoist it
+    once via :func:`prepare_fourier_filter` and pass the result through
+    ``prepared=``. NamedTuple of arrays -> a valid jit-traceable pytree.
+    """
+
+    main: tuple  # ky-major per-parity pass-B filter blocks
+    nyq: tuple   # transformed (Z, Y) Nyquist planes (empty when no peel)
+
+
+def prepare_fourier_filter(
+    shape: tuple[int, int, int],
+    filter_arrays,
+    regularization_strength: float | None = None,
+) -> PreparedFilter:
+    """Pre-arrange a deconvolution/Fourier filter for ``shape`` volumes.
+
+    Tikhonov mode (``regularization_strength`` set): ``filter_arrays`` is
+    ``(tf_half,)`` and the inverse-filter transform ``tf/(tf^2+reg)`` is
+    folded in here. Hermitian-complex mode: ``filter_arrays`` is
+    ``(re_half, im_half)``. The result is only valid for this volume shape
+    and the current env knobs (the pipeline validates block shapes).
+    """
+    z, y, x = (int(s) for s in shape)
+    peel, xw, radix_x, radix_y, _, _ = _pipeline_flags(z, y, x)
+    if regularization_strength is not None:
+        tf = filter_arrays[0].astype(jnp.float32)
+        reg = float(regularization_strength)
+        arrays = (tf / (tf * tf + reg),)
+    else:
+        arrays = tuple(f.astype(jnp.float32) for f in filter_arrays)
+    main = _build_filt_main(arrays, xw, radix_x, radix_y, len(arrays))
+    planes = tuple(f[..., -1] for f in arrays) if peel else ()
+    return PreparedFilter(main=tuple(main), nyq=planes)
+
+
+def _nyq_filter_chain(nyq_raw, filter_planes, reg, x):
+    """XLA transform chain for the peeled Nyquist-kx plane.
+
+    ``nyq_raw`` (Z, Y) is the real (-1)^x reduction from pass A; the plane's
+    y/z DFTs, filter, and inverse DFTs are a 2D problem ~1000x smaller than
+    the main spectrum, so XLA f32 FFTs handle it exactly. ``filter_planes``
+    are the filters' (Z, Y) Nyquist slices (``f[..., -1]``) — planes only,
+    so sharded callers never replicate whole filter volumes. Returns the
+    REAL plane pass C broadcast-adds with the (-1)^x basis, with the irfft's
+    1/X normalization folded in (the Nyquist bin's Hermitian weight is 1).
+    """
+    spec = jnp.fft.fftn(nyq_raw.astype(jnp.complex64), axes=(0, 1))
+    if reg == "pre":
+        spec = spec * filter_planes[0]  # Tikhonov transform pre-applied
+    elif reg is not None:
+        tf = filter_planes[0]
+        spec = spec * (tf / (tf * tf + reg))
+    else:
+        fr, fi = filter_planes
+        spec = spec * jax.lax.complex(fr, fi)
+    plane = jnp.real(jnp.fft.ifftn(spec, axes=(0, 1))) / x
+    return plane.astype(jnp.float32)
+
+
+def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
+                          yzx_pad=None, prepared=None):
+    """Shared 3-pass driver (see the module docstring). ``reg`` selects the
+    Tikhonov kernels (filter_arrays = (tf,)); None selects the
+    complex-Hermitian-filter kernels (filter_arrays = (re, im)).
+
+    ``yzx_pad``: chain mode — pass C emits (Y + yzx_pad, Z, X) with the
+    front rows edge-replicated, the exact input layout of the fused deskew
+    kernel (kernels/chain.py). ``prepared``: a :class:`PreparedFilter` for
+    this shape — the per-call filter arrangement (and the Tikhonov
+    transform) is skipped and ``filter_arrays`` may be None."""
+    z, y, x = zyx_data.shape
+    # Radix-2 only pays when the HALF transform still fills the MXU's 128
+    # contraction depth: at n < 256 the half-size (n/2, n/2) matmuls run at
+    # n/256 utilization, eating the 2x FLOP saving (measured: it slowed the
+    # 64x256x256 phase reconstruction). Tests shrink the floor via env to
+    # exercise the radix kernels on tiny shapes in interpret mode.
+    peel, xw, radix_x, radix_y, radix_z, interpret = _pipeline_flags(z, y, x)
+    zb = 2 if z % 2 == 0 else 1
+    z2, y2 = z // 2, y // 2
+    nz = 2 if radix_z else 1
+    ny = 2 if radix_y else 1
+    yw = y2 if radix_y else y  # per-parity ky rows
+    zw = z2 if radix_z else z  # per-parity z rows
+    n_filt = 1 if reg is not None else 2
+    prec = _precision()
+    if prepared is not None:
+        if len(prepared.main) != n_filt * ny or tuple(
+            prepared.main[0].shape
+        ) != (yw, z, xw):
+            raise ValueError(
+                "PreparedFilter does not match this volume shape / env "
+                f"config: got {len(prepared.main)} blocks of "
+                f"{tuple(prepared.main[0].shape)}, expected "
+                f"{n_filt * ny} of {(yw, z, xw)}. Rebuild it with "
+                "prepare_fourier_filter under the same settings."
+            )
+        # The Tikhonov transform is folded into the prepared blocks.
+        reg = "pre" if reg is not None else None
 
     if radix_x:
         mats = _radix_x_fwd_mats(x, radix_x)
@@ -812,39 +922,25 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
     spectra = list(a_out[:nspec])
     nyq_plane = None
     if peel:
-        nyq_plane = _nyq_filter_chain(
-            a_out[-1][..., 0], tuple(f[..., -1] for f in filter_arrays), reg, x
+        planes = (
+            prepared.nyq
+            if prepared is not None
+            else tuple(f[..., -1] for f in filter_arrays)
         )
+        nyq_plane = _nyq_filter_chain(a_out[-1][..., 0], planes, reg, x)
 
     # -- Pass B ------------------------------------------------------------
     def t01(a):
         return jnp.transpose(a, (1, 0, 2))
 
-    # Filters arrive (Z, Y, Xh): drop the peeled bin, permute kx lanes to the
-    # radix-x [even | odd] order when engaged (a one-time XLA copy shared
-    # across a vmapped batch), split ky parity to match the spectra
-    # convention, and go ky-major for the per-row blocks.
-    def fprep(f):
-        fm = f[..., :xw]
-        if radix_x == 1:
-            fm = jnp.concatenate([fm[..., 0::2], fm[..., 1::2]], axis=-1)
-        elif radix_x == 2:
-            fm = jnp.concatenate(
-                [fm[..., 0::4], fm[..., 2::4], fm[..., 1::4], fm[..., 3::4]],
-                axis=-1,
-            )
-        return fm
-
-    if radix_y:
-        filt_main = []
-        for f in filter_arrays:
-            fm = fprep(f)
-            filt_main.extend([t01(fm[:, 0::2, :]), t01(fm[:, 1::2, :])])
-        # Reorder to (kpar, filt) = [f0_e, f1_e, f0_o, f1_o] -> per-kpar sets
-        if n_filt == 2:
-            filt_main = [filt_main[0], filt_main[2], filt_main[1], filt_main[3]]
-    else:
-        filt_main = [t01(fprep(f)) for f in filter_arrays]
+    # Filter blocks: hoisted to prepare_fourier_filter when the caller
+    # passes a PreparedFilter (the arrangement is ~1.5 ms of XLA copies per
+    # call at the flagship FOV and the filter is constant per acquisition).
+    filt_main = (
+        list(prepared.main)
+        if prepared is not None
+        else _build_filt_main(filter_arrays, xw, radix_x, radix_y, n_filt)
+    )
 
     # Slab mode: 8 ky rows per program reading ky-leading blocks and storing
     # the filtered spectrum Z-MAJOR via static middle-axis slots — pass C's
@@ -872,7 +968,7 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
 
     b_kernel = partial(
         _pass_b_kernel,
-        reg=None if reg is None else float(reg),
+        reg=reg if reg in (None, "pre") else float(reg),
         prec=prec, radix_z=radix_z, ny=ny, n_filt=n_filt,
     )
     b_args = (
@@ -1000,25 +1096,33 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
 
 def deconvolve_zyx_pallas(
     zyx_data: jax.Array,
-    transfer_function_half: jax.Array,
+    transfer_function_half: jax.Array | None = None,
     regularization_strength: float = 1e-3,
     yzx_pad: int | None = None,
+    prepared: PreparedFilter | None = None,
 ) -> jax.Array:
     """Fused Tikhonov inverse filter; bit-parity with the XLA rfftn path to
     ~1e-5 relative (dense f32 DFT vs split-radix FFT rounding).
 
     ``yzx_pad``: emit (Y + pad, Z, X) with front rows edge-replicated — the
-    fused deskew kernel's input layout (chain mode, kernels/chain.py)."""
-    tf = transfer_function_half.astype(jnp.float32)
+    fused deskew kernel's input layout (chain mode, kernels/chain.py).
+    ``prepared``: a :func:`prepare_fourier_filter` result (Tikhonov mode)
+    for this volume shape — the per-call filter arrangement is skipped and
+    ``transfer_function_half`` may be omitted."""
+    tf = None
+    if prepared is None:
+        tf = (transfer_function_half.astype(jnp.float32),)
     return _run_fourier_pipeline(
-        zyx_data, (tf,), reg=float(regularization_strength), yzx_pad=yzx_pad
+        zyx_data, tf, reg=float(regularization_strength), yzx_pad=yzx_pad,
+        prepared=prepared,
     )
 
 
 def fourier_filter_zyx_pallas(
     zyx_data: jax.Array,
-    filter_half_real: jax.Array,
-    filter_half_imag: jax.Array,
+    filter_half_real: jax.Array | None = None,
+    filter_half_imag: jax.Array | None = None,
+    prepared: PreparedFilter | None = None,
 ) -> jax.Array:
     """Apply a HERMITIAN complex frequency filter to a real volume:
     ``real(ifftn(fftn(v) * F))`` on the rfft half-spectrum.
@@ -1027,12 +1131,13 @@ def fourier_filter_zyx_pallas(
     Hermitian because the WOTF H is the FFT of a real defocus kernel
     (recon/optics.py::phase_wotf_3d), so the half spectrum carries the whole
     operation. The filter halves arrive as split (re, im) f32 arrays sliced
-    to ``[..., : X // 2 + 1]``.
+    to ``[..., : X // 2 + 1]`` — or pre-arranged via ``prepared``
+    (:func:`prepare_fourier_filter` with ``regularization_strength=None``).
     """
-    return _run_fourier_pipeline(
-        zyx_data,
-        (
+    filt = None
+    if prepared is None:
+        filt = (
             filter_half_real.astype(jnp.float32),
             filter_half_imag.astype(jnp.float32),
-        ),
-    )
+        )
+    return _run_fourier_pipeline(zyx_data, filt, prepared=prepared)

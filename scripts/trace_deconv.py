@@ -23,21 +23,27 @@ psf = np.exp(-np.sum(np.square(np.mgrid[-4:5, -4:5, -4:5] / 1.5), axis=0)).astyp
 tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
 
 
+from biahub_tpu.kernels.pallas_fft import prepare_fourier_filter
+
+
 @jax.jit
-def decon_with_probe(v, tf):
-    out = jax.vmap(lambda vv: deconvolve_zyx(vv, tf, regularization_strength=1e-3))(v)
+def decon_with_probe(v, tf, prep):
+    out = jax.vmap(
+        lambda vv: deconvolve_zyx(vv, tf, regularization_strength=1e-3, prepared=prep)
+    )(v)
     return out, jnp.sum(out[:, 0, 0, :8])
 
 
 vol_d = jax.device_put(vol)
 tf_d = jax.device_put(tf_half)
-out, probe = decon_with_probe(vol_d, tf_d)
+prep_d = jax.jit(lambda tf: prepare_fourier_filter(shape, (tf,), 1e-3))(tf_d)
+out, probe = decon_with_probe(vol_d, tf_d, prep_d)
 float(probe)
 
 trace_dir = "/tmp/deconv_trace"
 with jax.profiler.trace(trace_dir):
     for _ in range(3):
-        out, probe = decon_with_probe(vol_d, tf_d)
+        out, probe = decon_with_probe(vol_d, tf_d, prep_d)
     float(probe)
 
 summarize_device_trace(trace_dir, top=20)

@@ -131,6 +131,37 @@ def test_radix_x_levels_and_slab_passes(shape, xmax, monkeypatch):
     np.testing.assert_allclose(got, want, atol=2e-4 * scale, rtol=0)
 
 
+@pytest.mark.parametrize("shape", [(16, 16, 256), (8, 12, 40)])
+def test_prepared_filter_matches_inline(shape, monkeypatch):
+    """prepare_fourier_filter + prepared= matches the inline filter path
+    to division-rounding tolerance (the Tikhonov transform moves from the
+    Mosaic VPU to XLA; everything else is unchanged), and a prepared
+    filter built for another shape raises."""
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")
+    from biahub_tpu.kernels.pallas_fft import prepare_fourier_filter
+
+    rng = np.random.default_rng(21)
+    vol = rng.standard_normal(shape, dtype=np.float32)
+    psf = rng.random((3, 3, 3), dtype=np.float32)
+    tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
+
+    inline = np.asarray(
+        deconvolve_zyx_pallas(jnp.asarray(vol), jnp.asarray(tf_half), 1e-3)
+    )
+    prep = prepare_fourier_filter(shape, (jnp.asarray(tf_half),), 1e-3)
+    hoisted = np.asarray(
+        deconvolve_zyx_pallas(jnp.asarray(vol), None, 1e-3, prepared=prep)
+    )
+    scale = np.abs(inline).max()
+    np.testing.assert_allclose(hoisted, inline, atol=2e-5 * scale, rtol=0)
+
+    with pytest.raises(ValueError, match="PreparedFilter"):
+        deconvolve_zyx_pallas(
+            jnp.asarray(vol[: shape[0] // 2]), None, 1e-3, prepared=prep
+        )
+
+
 def test_pallas_deconvolve_vmaps_over_channels(monkeypatch):
     monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
     monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")  # radix paths on tiny shapes

@@ -94,18 +94,23 @@ def detail_benchmarks(budget_seconds: float = 420.0) -> dict:
         return _timed_ms(lambda: run(vols), sync) / 4  # per volume
 
     def bench_phase_recon():
+        """Steady-state per-volume time at batch 4 (a single-volume dispatch
+        carries the full ~2.8 ms tunnel overhead; production apply-inv-tf
+        batches (t, c) volumes the same way)."""
         from biahub_tpu.recon.optics import tikhonov_inverse_3d
 
         shape = (64, 256, 256)
-        vol = jnp.asarray(rng.random(shape, np.float32))
+        vols = jnp.asarray(rng.random((4,) + shape, np.float32))
         h = jnp.fft.fftn(jnp.asarray(rng.standard_normal(shape).astype(np.float32)))
 
         @jax.jit
         def run(v, H):
-            out = tikhonov_inverse_3d(v, H, 1e-3, assume_hermitian=True)
-            return out, jnp.sum(out[0, 0, :8])
+            out = jax.vmap(
+                lambda vv: tikhonov_inverse_3d(vv, H, 1e-3, assume_hermitian=True)
+            )(v)
+            return out, jnp.sum(out[:, 0, 0, :8])
 
-        return _timed_ms(lambda: run(vol, h), lambda r: float(r[1]))
+        return _timed_ms(lambda: run(vols, h), lambda r: float(r[1])) / 4
 
     def bench_pcc():
         from biahub_tpu.kernels.fft import pcc_shifts_pairwise
@@ -149,6 +154,22 @@ def detail_benchmarks(budget_seconds: float = 420.0) -> dict:
             lambda: detect_peaks(vol_d, threshold_abs=200.0, min_distance=0),
             lambda r: None,
             iters=3,
+        )
+
+    def bench_peaks_kernel():
+        """Flagship-FOV dense detection kernel alone (device probe sync, no
+        host NMS / unravel / tunnel fetch): peaks_device_ms uses a 16x
+        smaller volume and is dominated by the host tail + tunnel latency,
+        so dense-kernel regressions are invisible in it."""
+        from biahub_tpu.kernels.peaks import _block_max_topk
+
+        vol_d = jax.device_put(
+            jnp.asarray((10.0 * rng.random((256, 256, 1024))).astype(np.float32))
+        )
+        float(vol_d[0, 0, 0])
+        return _timed_ms(
+            lambda: _block_max_topk(vol_d, (8, 8, 8), 3, 500),
+            lambda r: float(r[0][0]),
         )
 
     def bench_optimizer_iter():
@@ -282,6 +303,7 @@ def detail_benchmarks(budget_seconds: float = 420.0) -> dict:
     record("pcc_ms_per_pair", bench_pcc)
     record("peaks_ms", bench_peaks)
     record("peaks_device_ms", bench_peaks_device)
+    record("peaks_kernel_ms", bench_peaks_kernel)
     record("optimizer_iter_ms", bench_optimizer_iter)
     record("batched_warp_ms_per_volume", bench_batched_warp)
     record("stitch_chunk_ms", bench_stitch_chunk)

@@ -956,7 +956,11 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
         xt = None
         cand = xw
         while cand >= 1:
-            ok_align = interpret or cand % 128 == 0
+            # Store DMA chunks are (8, xt) f32: below 16 KB the z-major
+            # strided stores cost more than the transposes they replace
+            # (measured: xt=256 at the flagship ran SLOWER than no slab;
+            # the 64x256x256 recon FOV at xt=128 regressed 2.9 -> 6.1 ms).
+            ok_align = interpret or (cand % 128 == 0 and cand * 8 * 4 >= 16384)
             if xw % cand == 0 and ok_align and (
                 b_vmem(cand) < _VMEM_BUDGET_BYTES - 6 * 1024 * 1024
             ):

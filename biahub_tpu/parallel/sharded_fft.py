@@ -40,6 +40,7 @@ from jax.sharding import PartitionSpec as P
 
 from biahub_tpu.kernels.pallas_fft import (
     _VMEM_BUDGET_BYTES,
+    _build_filt_main,
     _dft_mats,
     _fwd_yx_kernel,
     _idft_mats,
@@ -47,7 +48,10 @@ from biahub_tpu.kernels.pallas_fft import (
     _irfft_mats,
     _nyq_filter_chain,
     _pass_b_kernel,
+    _pipeline_flags,
     _precision,
+    _radix_x_fwd_mats,
+    _radix_x_inv_mats,
     _rfft_mats,
     _twiddles,
 )
@@ -170,9 +174,9 @@ def _run_sharded(volume, filter_arrays, mesh, axis_name, reg):
 
 def _build_sharded_program(z, y, x, n, mesh, axis_name, reg, n_filt_arg):
     """Build and jit the sharded 3-pass program (cached by _run_sharded)."""
-    xh = x // 2 + 1
-    peel = x % 2 == 0 and xh % 128 == 1 and xh > 1
-    xw = xh - 1 if peel else xh
+    # X flags shared with the single-chip driver (the X transforms are
+    # shard-local per z-slice, so the radix-2/4 X path applies unchanged).
+    peel, xw, radix_x, _, _, interpret = _pipeline_flags(z, y, x)
     import os
 
     radix_min = int(os.environ.get("BIAHUB_TPU_FFT_RADIX_MIN", "256"))
@@ -184,10 +188,21 @@ def _build_sharded_program(z, y, x, n, mesh, axis_name, reg, n_filt_arg):
     z_l = z // n
     zb = 2 if z_l % 2 == 0 else 1
     prec = _precision()
-    interpret = jax.default_backend() != "tpu"
 
-    cx, sx = (jnp.asarray(m[:, :xw]) for m in _rfft_mats(x))
-    ax, bx = (jnp.asarray(m[:xw]) for m in _irfft_mats(x))
+    if radix_x:
+        cx, sx, *x_fwd_extra = (
+            jnp.asarray(m) for m in _radix_x_fwd_mats(x, radix_x)
+        )
+        x_fwd_extra = tuple(x_fwd_extra)
+        ax, bx, *x_inv_extra = (
+            jnp.asarray(m) for m in _radix_x_inv_mats(x, radix_x)
+        )
+        x_inv_extra = tuple(x_inv_extra)
+    else:
+        cx, sx = (jnp.asarray(m[:, :xw]) for m in _rfft_mats(x))
+        ax, bx = (jnp.asarray(m[:xw]) for m in _irfft_mats(x))
+        x_fwd_extra = ()
+        x_inv_extra = ()
     if radix_y:
         wyr, wyi = (jnp.asarray(m) for m in _dft_mats(y2))
         iyr, iyi = (jnp.asarray(m / 2.0) for m in _idft_mats(y2))
@@ -233,21 +248,23 @@ def _build_sharded_program(z, y, x, n, mesh, axis_name, reg, n_filt_arg):
             partial(
                 _fwd_yx_kernel,
                 prec=prec, zb=zb, peel=peel, radix_z=False, radix_y=radix_y,
+                radix_x=radix_x,
             ),
             grid=(z_l // zb,),
             in_specs=[
                 pl.BlockSpec((zb, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                full((x, xw)),
-                full((x, xw)),
+                full(tuple(cx.shape)),
+                full(tuple(cx.shape)),
                 full((yw, yw)),
                 full((yw, yw)),
             ]
+            + [full(tuple(m.shape)) for m in x_fwd_extra]
             + ([full((y2, 1))] * 2 if radix_y else []),
             out_specs=tuple(a_out_specs),
             out_shape=tuple(a_out_shapes),
             interpret=interpret,
             **vmem_params,
-        )(v_shard.astype(jnp.float32), cx, sx, wyr, wyi, *twy)
+        )(v_shard.astype(jnp.float32), cx, sx, wyr, wyi, *x_fwd_extra, *twy)
         spectra = list(a_out[:nspec])
 
         nyq_local = None
@@ -303,8 +320,9 @@ def _build_sharded_program(z, y, x, n, mesh, axis_name, reg, n_filt_arg):
         if radix_y:
             c_in_specs += [full((y2, 1))] * 2
             c_args += list(ctw)
-        c_in_specs += [full((xw, x)), full((xw, x))]
-        c_args += [ax, bx]
+        c_in_specs += [full(tuple(ax.shape))] * 2
+        c_in_specs += [full(tuple(m.shape)) for m in x_inv_extra]
+        c_args += [ax, bx, *x_inv_extra]
         if peel:
             c_in_specs.append(
                 pl.BlockSpec((zb, y, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -314,6 +332,7 @@ def _build_sharded_program(z, y, x, n, mesh, axis_name, reg, n_filt_arg):
             partial(
                 _inv_yx_kernel,
                 prec=prec, zb=zb, peel=peel, radix_z=False, radix_y=radix_y,
+                radix_x=radix_x,
             ),
             grid=(z_l // zb,),
             in_specs=c_in_specs,
@@ -343,12 +362,9 @@ def _build_sharded_program(z, y, x, n, mesh, axis_name, reg, n_filt_arg):
         # tiny (Z, Y) Nyquist planes are replicated — never whole filter
         # volumes, which would defeat the per-device memory scaling this
         # module exists for.
-        if radix_y:
-            filt_sharded = [
-                _t01(f[:, kpar::2, :xw]) for kpar in range(2) for f in f_arrays
-            ]
-        else:
-            filt_sharded = [_t01(f[..., :xw]) for f in f_arrays]
+        filt_sharded = _build_filt_main(
+            f_arrays, xw, radix_x, radix_y, n_filt
+        )
         planes = tuple(f[..., -1] for f in f_arrays) if peel else ()
         return mapped(vol_arr, planes, *filt_sharded)
 

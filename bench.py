@@ -318,9 +318,9 @@ def main() -> None:
     parser.add_argument("--x", type=int, default=1024, help="raw coverslip axis")
     parser.add_argument("--iters", type=int, default=10)
     # Batched volumes are the production configuration (BatchRunner always
-    # batches); per-dispatch host overhead (~3 ms over the axon tunnel)
-    # amortizes across the batch.
-    parser.add_argument("--batch", type=int, default=4)
+    # batches; its default budget admits 8 flagship volumes); per-dispatch
+    # host overhead (~3 ms over the axon tunnel) amortizes across the batch.
+    parser.add_argument("--batch", type=int, default=8)
     parser.add_argument(
         "--headline-only",
         action="store_true",

@@ -70,63 +70,87 @@ def block_max_candidates(
     out_sizes = [
         (s + 2 * p - b) // b + 1 for s, p, b in zip(shape, pads, block_size)
     ]
-    # Pad so the pooled region is fully covered.
     padded_sizes = [o * b for o, b in zip(out_sizes, block_size)]
-    pad_cfg = [(p, ps - s - p, 0) for s, p, ps in zip(shape, pads, padded_sizes)]
+    # Virtual padding: the torch block geometry rides the reduce_windows'
+    # explicit padding configs (negative high pad = crop, exactly like the
+    # lax.pad formulation) instead of materializing a padded copy — one
+    # full-volume pass saved.
+    win_pads = [
+        (p, ps - s - p) for s, p, ps in zip(shape, pads, padded_sizes)
+    ]
     neg = jnp.finfo(jnp.float32).min
-    padded = jax.lax.pad(smooth, neg, pad_cfg)
 
     oz, oy, ox = out_sizes
-    pz, py, px = padded_sizes
     big = jnp.iinfo(jnp.int32).max
+
+    def pooled(arr, init, op):
+        out = arr
+        for axis, (b, wp) in enumerate(zip(block_size, win_pads)):
+            window = [1, 1, 1]
+            window[axis] = b
+            padding = [(0, 0)] * 3
+            padding[axis] = wp
+            out = jax.lax.reduce_window(
+                out, init, op, tuple(window), tuple(window), tuple(padding)
+            )
+        return out
 
     # SEPARABLE strided max-pool for the block maxima — three axis-wise
     # reduce_windows touch the volume once (the blocks-reshape
     # formulations all relayout the full volume at tiny strides on TPU's
     # tiled layouts, ~15 ms/volume measured three different ways).
-    m = jax.lax.reduce_window(
-        padded, neg, jax.lax.max, (bz, 1, 1), (bz, 1, 1), "VALID"
-    )
-    m = jax.lax.reduce_window(m, neg, jax.lax.max, (1, by, 1), (1, by, 1), "VALID")
-    m = jax.lax.reduce_window(m, neg, jax.lax.max, (1, 1, bx), (1, 1, bx), "VALID")
+    m = pooled(smooth, neg, jax.lax.max)
 
     # Argmax recovery: broadcast each block's max back to voxel resolution
-    # — z/y by leading/middle-axis repeats (contiguous materializations),
-    # and the LANE axis by an exact one-hot MXU matmul at HIGHEST
-    # precision (a lane-axis repeat or a blocks reshape is the tiny-stride
+    # — z/y by leading/middle-axis repeats (contiguous materializations)
+    # cropped to the real extent, and the LANE axis by an exact one-hot
+    # MXU matmul at HIGHEST precision whose matrix folds the block offset
+    # in (a lane-axis repeat or a blocks reshape is the tiny-stride
     # relayout this formulation exists to avoid; the one-hot dot moves the
     # shuffle onto the MXU where it is free). Then mark cells equal to
-    # their block max and take the per-block MINIMUM clipped global flat
-    # index with strided min-windows — identical tie-breaking to argmax
-    # over the block's C-order scan (the clipped-coordinate map is
-    # monotone in the padded index, and -inf padding never equals a real
-    # max unless the block is all padding, where both pick its first cell).
-    mz = jnp.broadcast_to(m[:, None], (oz, bz, oy, ox)).reshape(pz, oy, ox)
-    mzy = jnp.broadcast_to(mz[:, :, None], (pz, oy, by, ox)).reshape(pz, py, ox)
-    upx = jnp.zeros((ox, px), jnp.float32).at[
-        jnp.arange(px) // bx, jnp.arange(px)
+    # their block max and take the per-block MINIMUM global flat index
+    # with strided min-windows — identical tie-breaking to argmax over the
+    # block's C-order scan (virtual padding never equals a real max, and
+    # every block contains at least one real voxel since pad < block).
+    z, y, x = shape
+    # Covered extent per axis: a negative high pad (torch geometry crop on
+    # non-divisible shapes) leaves tail voxels outside every block — they
+    # are excluded from the compare exactly as the materialized-pad
+    # formulation cropped them. Divisible (production) shapes crop nothing.
+    cz_, cy_, cx_ = (
+        min(s, ps - p) for s, p, ps in zip(shape, pads, padded_sizes)
+    )
+    sm = smooth[:cz_, :cy_, :cx_]
+    mz = jnp.broadcast_to(m[:, None], (oz, bz, oy, ox)).reshape(
+        padded_sizes[0], oy, ox
+    )[pads[0] : pads[0] + cz_]
+    mzy = jnp.broadcast_to(mz[:, :, None], (cz_, oy, by, ox)).reshape(
+        cz_, padded_sizes[1], ox
+    )[:, pads[1] : pads[1] + cy_]
+    upx = jnp.zeros((ox, cx_), jnp.float32).at[
+        (jnp.arange(cx_) + pads[2]) // bx, jnp.arange(cx_)
     ].set(1.0)
     m_up = jnp.dot(mzy, upx, precision=jax.lax.Precision.HIGHEST)
 
-    gz = jnp.clip(
-        jax.lax.broadcasted_iota(jnp.int32, tuple(padded_sizes), 0) - pads[0],
-        0, shape[0] - 1,
-    )
-    gy = jnp.clip(
-        jax.lax.broadcasted_iota(jnp.int32, tuple(padded_sizes), 1) - pads[1],
-        0, shape[1] - 1,
-    )
-    gx = jnp.clip(
-        jax.lax.broadcasted_iota(jnp.int32, tuple(padded_sizes), 2) - pads[2],
-        0, shape[2] - 1,
-    )
-    flat_full = (gz * shape[1] + gy) * shape[2] + gx
-    idx_full = jnp.where(padded == m_up, flat_full, big)
-    idx = jax.lax.reduce_window(
-        idx_full, big, jax.lax.min, (bz, 1, 1), (bz, 1, 1), "VALID"
-    )
-    idx = jax.lax.reduce_window(idx, big, jax.lax.min, (1, by, 1), (1, by, 1), "VALID")
-    idx = jax.lax.reduce_window(idx, big, jax.lax.min, (1, 1, bx), (1, 1, bx), "VALID")
+    cshape = (cz_, cy_, cx_)
+    flat_full = (
+        jax.lax.broadcasted_iota(jnp.int32, cshape, 0) * y
+        + jax.lax.broadcasted_iota(jnp.int32, cshape, 1)
+    ) * x + jax.lax.broadcasted_iota(jnp.int32, cshape, 2)
+    idx_full = jnp.where(sm == m_up, flat_full, big)
+    idx_pads = [
+        (p, ps - c - p) for c, p, ps in zip(cshape, pads, padded_sizes)
+    ]
+    idx = idx_full
+    for axis, (b, wp) in enumerate(zip(block_size, idx_pads)):
+        window = [1, 1, 1]
+        window[axis] = b
+        padding = [(0, 0)] * 3
+        padding[axis] = wp
+        idx = jax.lax.reduce_window(
+            idx, big, jax.lax.min, tuple(window), tuple(window),
+            tuple(padding),
+        )
     return m.ravel(), idx.ravel()
 
 

@@ -84,6 +84,10 @@ def detail_benchmarks(budget_seconds: float = 420.0) -> dict:
                     px_to_scan_ratio=0.371,
                     keep_overhang=False,
                     average_window=3,
+                    # Production configuration: the verb skips the device
+                    # flip and applies it as a free host view at the zarr
+                    # write (runner post_fetch) — an XLA rev costs ~1 ms.
+                    skip_flip=True,
                 )
             )(v)
             return out, jnp.sum(out[:, 0, 0, :8])

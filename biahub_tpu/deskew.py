@@ -176,6 +176,10 @@ def deskew(
     resolved = resolve_cluster(cluster=cluster)
     click.echo(f"Running on-device batches (mode='{resolved}')")
 
+    # The coverslip-axis flip is a pure index reversal: as device work it
+    # costs ~1 ms/volume (XLA sublane rev), as a host numpy view on the
+    # fetched result it is free — the executor's post_fetch applies it just
+    # before the zarr write.
     kernel = partial(
         deskew_zyx,
         ls_angle_deg=settings.ls_angle_deg,
@@ -183,6 +187,7 @@ def deskew(
         keep_overhang=settings.keep_overhang,
         average_window=settings.average_n_slices,
         overhang_fill=settings.overhang_fill,
+        skip_flip=True,
     )
 
     output_position_paths = get_output_paths(input_position_dirpaths, output_dirpath)
@@ -270,6 +275,7 @@ def deskew(
         resume=resume,
         resume_token=settings_fingerprint(settings),
         monitor=monitor and resolved != "debug",
+        post_fetch=lambda a: a[:, ::-1],  # the skipped coverslip flip
     )
     click.echo(f"Deskewed {n} (t, c) volumes across {len(input_positions)} positions")
     for path in input_position_dirpaths:

@@ -365,6 +365,7 @@ class BatchRunner:
         progress_label: str = "",
         monitor: bool = False,
         unit_workspace_bytes: int = 0,
+        post_fetch: Callable[[np.ndarray], np.ndarray] | None = None,
     ) -> int:
         """Process work units; returns the number of units computed.
 
@@ -374,7 +375,10 @@ class BatchRunner:
         ``per_unit_params``. ``unit_workspace_bytes`` declares the kernel's
         per-unit internal working set (e.g. the multipass warp's common
         frame) so batch sizing doesn't overcommit HBM on intermediates that
-        shape tracing can't see.
+        shape tracing can't see. ``post_fetch`` transforms each unit's numpy
+        result before the zarr write — for index-space rearrangements that
+        are free as host views but cost a device pass (e.g. deskew's
+        coverslip flip, ~1 ms/volume as an XLA rev).
 
         ``monitor=True`` runs the batches on a worker thread while the calling
         thread renders a live per-position job table (ctrl-C cancels the run
@@ -428,7 +432,7 @@ class BatchRunner:
             return self._execute(
                 kernel, units, input_positions, output_positions,
                 out_dtype, resume, progress, per_unit_params,
-                int(unit_workspace_bytes),
+                int(unit_workspace_bytes), post_fetch,
             )
 
         from biahub_tpu.cli.monitor import monitor_jobs
@@ -440,7 +444,7 @@ class BatchRunner:
                 result["n"] = self._execute(
                     kernel, units, input_positions, output_positions,
                     out_dtype, resume, progress, per_unit_params,
-                    int(unit_workspace_bytes),
+                    int(unit_workspace_bytes), post_fetch,
                 )
             except RunCancelled:
                 result["n"] = 0
@@ -498,6 +502,7 @@ class BatchRunner:
         progress: dict[int, ProgressStore],
         per_unit_params,
         unit_workspace_bytes: int = 0,
+        post_fetch=None,
     ) -> int:
         # Group by input volume shape — ragged positions can't share a batch.
         groups: dict[tuple[int, ...], _Group] = {}
@@ -573,6 +578,8 @@ class BatchRunner:
                     out_pos = output_positions[u.pos_idx]
                     out_arr = out_pos["0"]
                     data = result_np[i]
+                    if post_fetch is not None:
+                        data = post_fetch(data)
                     if out_dtype is not None:
                         data = data.astype(out_dtype)
                     else:

@@ -31,7 +31,7 @@ def _timed_ms(fn, sync, iters: int = 5) -> float:
     return (time.perf_counter() - t0) * 1e3 / iters
 
 
-def detail_benchmarks(budget_seconds: float = 420.0) -> dict:
+def detail_benchmarks(budget_seconds: float = 900.0) -> dict:
     """Per-kernel steady-state numbers for every hot path the headline chain
     does not cover: PCC drift estimation, peak detection, one registration-
     optimizer iteration (gradients through the Pallas warp's custom VJP), the
@@ -66,6 +66,22 @@ def detail_benchmarks(budget_seconds: float = 420.0) -> dict:
             detail[name] = None
             print(f"# detail bench {name} failed: {exc!r}")
 
+    def _pin4(fn):
+        """Pin (4D array, scalar) outputs to default layouts like the
+        BatchRunner does — XLA otherwise appends a result-compaction copy
+        after the final Pallas kernel (scripts/probe_outlayout.py)."""
+        if jax.default_backend() != "tpu":
+            return jax.jit(fn)
+        from jax.experimental.layout import Format, Layout
+
+        sds = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        return jax.jit(
+            fn,
+            out_shardings=(
+                Format(Layout((0, 1, 2, 3)), sds), Format(None, sds),
+            ),
+        )
+
     def bench_deskew():
         """Batched (the production configuration: BatchRunner always
         batches) — a single-volume dispatch would add the ~2.5 ms axon
@@ -75,7 +91,6 @@ def detail_benchmarks(budget_seconds: float = 420.0) -> dict:
 
         vols = jnp.asarray(rng.random((4, 256, 256, 1024), np.float32))
 
-        @jax.jit
         def run(v):
             out = jax.vmap(
                 lambda vv: deskew_zyx(
@@ -95,7 +110,8 @@ def detail_benchmarks(budget_seconds: float = 420.0) -> dict:
         def sync(r):
             float(r[1])
 
-        return _timed_ms(lambda: run(vols), sync) / 4  # per volume
+        runp = _pin4(run)
+        return _timed_ms(lambda: runp(vols), sync) / 4  # per volume
 
     def bench_phase_recon():
         """Steady-state per-volume time at batch 4 (a single-volume dispatch
@@ -107,14 +123,14 @@ def detail_benchmarks(budget_seconds: float = 420.0) -> dict:
         vols = jnp.asarray(rng.random((4,) + shape, np.float32))
         h = jnp.fft.fftn(jnp.asarray(rng.standard_normal(shape).astype(np.float32)))
 
-        @jax.jit
         def run(v, H):
             out = jax.vmap(
                 lambda vv: tikhonov_inverse_3d(vv, H, 1e-3, assume_hermitian=True)
             )(v)
             return out, jnp.sum(out[:, 0, 0, :8])
 
-        return _timed_ms(lambda: run(vols, h), lambda r: float(r[1])) / 4
+        runp = _pin4(run)
+        return _timed_ms(lambda: runp(vols, h), lambda r: float(r[1])) / 4
 
     def bench_pcc():
         from biahub_tpu.kernels.fft import pcc_shifts_pairwise

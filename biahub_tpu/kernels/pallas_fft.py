@@ -1032,16 +1032,26 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
     # -- Pass C ------------------------------------------------------------
     yzx = yzx_pad is not None and z % 8 == 0
     if yzx:
-        # Chain mode: 8 real-z slices per program, output written directly
-        # in the (Y + pad, Z, X) transposed+edge-padded layout the fused
-        # deskew kernel consumes (static [:, j, :] stores — see
+        # Chain mode: 8 (or 16) real-z slices per program, output written
+        # directly in the (Y + pad, Z, X) transposed+edge-padded layout the
+        # fused deskew kernel consumes (static [:, j, :] stores — see
         # _inv_yx_kernel). Kills the deskew-prep transpose + pad copies.
+        # 16 z-slots per program double the store DMA chunks to 64 KB when
+        # the working set fits (the 8-slot mode measured ~+0.3 ms vs the
+        # plain-layout pass C — store granularity).
         c_zb = 8
-        c_grid = z // 8
-        blk0 = 4 if radix_z else 8
+        if z % 16 == 0:
+            c16_vmem = (
+                (y + yzx_pad) * 16 * x + nspec * 8 * yw * xw
+            ) * 4 * 2 + 16 * y * x * 4
+            if c16_vmem < _VMEM_BUDGET_BYTES - 16 * 1024 * 1024:
+                c_zb = 16
+        c_grid = z // c_zb
+        blk0 = c_zb // 2 if radix_z else c_zb
         c_spec_in = pl.BlockSpec((blk0, yw, xw), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
-        c_out_specs = pl.BlockSpec((y + yzx_pad, 8, x), lambda i: (0, i, 0),
+        c_out_specs = pl.BlockSpec((y + yzx_pad, c_zb, x),
+                                   lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM)
         c_out_shape = jax.ShapeDtypeStruct((y + yzx_pad, z, x), jnp.float32)
     else:

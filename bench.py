@@ -380,10 +380,13 @@ def main() -> None:
 
     def fused(v, tf, prep):
         # Pass-C layout handoff: deconvolve emits deskew's tilt-major
-        # padded input directly (kernels/chain.py).
+        # padded input directly (kernels/chain.py). skip_flip is the
+        # production configuration: the coverslip flip is a free host view
+        # at the zarr write (deskew verb post_fetch), ~1 ms as an XLA rev.
         return deconvolve_then_deskew(
             v, tf, 1e-3, ls_angle_deg, px_to_scan_ratio,
             keep_overhang=False, average_window=3, prepared=prep,
+            skip_flip=True,
         )
 
     from biahub_tpu.kernels.chain import deconvolve_deskew_warp

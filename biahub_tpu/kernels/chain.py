@@ -69,6 +69,7 @@ def deconvolve_then_deskew(
     keep_overhang: bool = False,
     average_window: int = 1,
     prepared=None,
+    skip_flip: bool = False,
 ) -> jax.Array:
     """Deconvolve then deskew with the pass-C layout handoff engaged.
 
@@ -76,6 +77,11 @@ def deconvolve_then_deskew(
     flipped zyx frame), but deconvolve's pass C emits deskew's tilt-major
     padded input directly when the gates allow, skipping the deskew-prep
     transpose + pad copies (~1.6 ms per flagship volume).
+
+    ``skip_flip`` returns the Y (coverslip) axis REVERSED — an XLA rev of
+    the deskewed volume costs ~1 ms; consumers that write to storage apply
+    the flip as a free host view instead (the deskew verb's post_fetch),
+    and fused pipelines fold it into the next warp's affine.
     """
     from biahub_tpu.kernels.deconvolve import deconvolve_zyx
     from biahub_tpu.kernels.deskew import deskew_zyx
@@ -94,6 +100,7 @@ def deconvolve_then_deskew(
             decon, ls_angle_deg=ls_angle_deg,
             px_to_scan_ratio=px_to_scan_ratio,
             keep_overhang=keep_overhang, average_window=average_window,
+            skip_flip=skip_flip,
         )
 
     from biahub_tpu.kernels.pallas_deskew import deskew_zyx_pallas
@@ -109,6 +116,7 @@ def deconvolve_then_deskew(
     return deskew_zyx_pallas(
         decon_yzx, ls_angle_deg, px_to_scan_ratio, keep_overhang,
         average_window=avg, pre_transposed_zyx_shape=(Z, Y, X),
+        skip_flip=skip_flip,
     )
 
 

@@ -170,4 +170,12 @@ def test_deconvolve_then_deskew_matches_naive(monkeypatch):
                    keep_overhang=False, average_window=3)
     )
     np.testing.assert_allclose(fusedv, naive, atol=1e-5)
+
+    # skip_flip (the production step configuration: the flip is a free
+    # host view at the zarr write) is exactly the Y-reversed output.
+    unflipped = np.asarray(
+        deconvolve_then_deskew(vol, tf_half, 1e-3, 30.0, 0.4,
+                               average_window=3, skip_flip=True)
+    )
+    np.testing.assert_array_equal(unflipped[:, ::-1], fusedv)
     jax.clear_caches()

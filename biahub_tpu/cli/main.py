@@ -115,6 +115,8 @@ COMMANDS = [
      "Apply inverse transfer function to dataset"),
     ("reconstruct", "biahub_tpu.reconstruct.reconstruct_cli",
      "Reconstruct a dataset using config"),
+    ("fuse", "biahub_tpu.fuse.fuse_cli",
+     "Fuse deconvolve/deskew/warps into one device program"),
     ("estimate-psf", "biahub_tpu.estimate_psf.estimate_psf_cli",
      "Estimate point spread function from beads"),
     ("deconvolve", "biahub_tpu.deconvolve.deconvolve_cli",

@@ -551,6 +551,74 @@ class StabilizationSettings(MyBaseModel):
         return v
 
 
+class FuseWarpSettings(MyBaseModel):
+    """One 4x4 affine for the fused pipeline's registration stage.
+
+    A trimmed :class:`RegistrationSettings` — the fused pipeline warps every
+    channel of one input store (there is no separate source/target store to
+    name channels from), so only the matrix remains.
+    """
+
+    affine_transform_zyx: list
+
+    @field_validator("affine_transform_zyx")
+    @classmethod
+    def _check_matrix(cls, v):
+        _require_4x4(v, "affine_transform_zyx")
+        return v
+
+
+class FuseStabilizeSettings(MyBaseModel):
+    """Per-timepoint 4x4 affines for the fused pipeline's stabilize stage.
+
+    ``affine_transform_zyx_list[t]`` applies to raw timepoint ``t`` — the
+    same indexing contract as :class:`StabilizationSettings`.
+    """
+
+    affine_transform_zyx_list: list
+
+    @field_validator("affine_transform_zyx_list")
+    @classmethod
+    def _check_matrix_list(cls, v):
+        if not isinstance(v, list) or not v:
+            raise ValueError("affine_transform_zyx_list must be a non-empty list")
+        for arr in v:
+            _require_4x4(arr, "each element of affine_transform_zyx_list")
+        return v
+
+
+class FusePipelineSettings(MyBaseModel):
+    """Multi-verb fused pipeline: deconvolve -> deskew -> register/stabilize.
+
+    Each stage is optional (at least one required); enabled stages run as ONE
+    device program per (t, c) volume — no intermediate zarr stores between
+    verbs (the reference pipeline materializes a plate after every step,
+    reference: nextflow/mantis-v2.nf:56-67). Stage sub-configs reuse the
+    per-verb schemas where they transfer verbatim (deconvolve, deskew).
+    """
+
+    deconvolve: DeconvolveSettings | None = None
+    deskew: DeskewSettings | None = None
+    registration: FuseWarpSettings | None = None
+    stabilization: FuseStabilizeSettings | None = None
+    time_indices: NonNegativeInt | list[NonNegativeInt] | Literal["all"] = "all"
+    output_shape_zyx: list[NonNegativeInt] | None = None
+    output_ome_zarr_version: OmeZarrVersion | None = None
+
+    @model_validator(mode="after")
+    def _check_stages(self):
+        if not any(
+            (self.deconvolve, self.deskew, self.registration, self.stabilization)
+        ):
+            raise ValueError(
+                "FusePipelineSettings needs at least one stage "
+                "(deconvolve / deskew / registration / stabilization)"
+            )
+        if self.output_shape_zyx is not None and len(self.output_shape_zyx) != 3:
+            raise ValueError("output_shape_zyx must have 3 entries (Z, Y, X)")
+        return self
+
+
 class StitchSettings(BaseModel):
     channels: list[str] | None = None
     total_translation: dict[str, list[float]] | None = None

@@ -19,6 +19,7 @@ from biahub_tpu.settings import (
     EstimateRegistrationSettings,
     EstimateStabilizationSettings,
     FlatFieldCorrectionSettings,
+    FusePipelineSettings,
     ProcessingImportFuncSettings,
     RegistrationSettings,
     SegmentationSettings,
@@ -39,6 +40,7 @@ SETTINGS_MODELS = {
     "example_concatenate_settings_organelle_dynamics.yml": ConcatenateSettings,
     "example_flat_field_settings.yml": FlatFieldCorrectionSettings,
     "example_deconvolve_settings.yml": DeconvolveSettings,
+    "example_fuse_pipeline_settings.yml": FusePipelineSettings,
     "example_stitch_settings.yml": StitchSettings,
     "example_characterize_settings.yml": CharacterizeSettings,
     "example_segmentation_settings.yml": SegmentationSettings,

@@ -43,8 +43,13 @@ __all__ = ["flat_field", "flat_field_cli"]
 
 
 def _resolve_target_indices(
-    settings: FlatFieldCorrectionSettings, all_channel_names: list[str]
+    settings: FlatFieldCorrectionSettings,
+    all_channel_names: list[str],
+    others_note: str = "Other channels will be copied as-is",
 ) -> list[int]:
+    """Channel-name -> index resolution; ``others_note`` lets callers whose
+    non-selected channels are NOT copies (the fuse verb runs the rest of the
+    chain on them) echo the truth."""
     if settings.channel_names is None:
         click.echo(f"Flat fielding ALL channels: {all_channel_names}")
         target = all_channel_names
@@ -58,7 +63,7 @@ def _resolve_target_indices(
         target = settings.channel_names
         click.echo(f"Input channels: {all_channel_names}")
         click.echo(f"Flat field channels: {target}")
-        click.echo("Other channels will be copied as-is")
+        click.echo(others_note)
     else:
         raise click.ClickException(
             "Must specify either 'channel_names' or set channel_names to null in config."

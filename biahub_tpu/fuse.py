@@ -1,5 +1,5 @@
-"""``biahub fuse``: run deconvolve -> deskew -> register/stabilize as ONE
-device program per volume.
+"""``biahub fuse``: run flat-field -> deconvolve -> deskew ->
+register/stabilize as ONE device program per volume.
 
 Beyond-reference verb. The reference pipeline materializes a full OME-Zarr
 plate after every step (reference: nextflow/mantis-v2.nf:56-67 runs deskew,
@@ -15,6 +15,11 @@ of the final result.
 Stage semantics match the individual verbs exactly (each stage's config block
 reuses that verb's schema where it transfers):
 
+- ``flat_field``: per-channel median-pattern illumination correction on the
+  raw frame, reference: biahub/flat_field.py:37-54. Non-selected channels
+  skip the correction but still run the rest of the chain (the standalone
+  verb copies them; with downstream stages configured a copy would drop
+  those stages).
 - ``deconvolve``: Tikhonov inverse filter from a PSF (``-p psf.zarr``),
   reference: biahub/deconvolve.py:34-70.
 - ``deskew``: oblique-plane light-sheet deskew, reference:
@@ -238,8 +243,8 @@ def fuse(
 
     n_stages = sum(
         s is not None
-        for s in (settings.deconvolve, settings.deskew, settings.registration,
-                  settings.stabilization)
+        for s in (settings.flat_field, settings.deconvolve, settings.deskew,
+                  settings.registration, settings.stabilization)
     )
     time_minutes, num_cpus, gb_ram_per_cpu = estimate_resources(
         shape=(T, C, Z, Y, X), ram_multiplier=8 + 4 * n_stages, time_multiplier=0.5,
@@ -408,6 +413,39 @@ def fuse(
                 **extras_fn(u.t),
             }
 
+    # -- flat-field stage: a per-channel prefix on the raw volume -------------
+    # The correction is per-(t, c) self-contained (median-over-Z pattern,
+    # reference: biahub/flat_field.py:37-54), so it prepends to every kernel
+    # variant; non-selected channels run the rest of the chain unchanged
+    # (the standalone verb would copy them — here the chain still applies).
+    ff = settings.flat_field
+    ff_targets: set[int] = set()
+    other_stages = any(
+        (settings.deconvolve, dk, settings.registration, settings.stabilization)
+    )
+    if ff is not None:
+        from biahub_tpu.flat_field import _resolve_target_indices
+
+        ff_targets = set(
+            _resolve_target_indices(
+                ff, channel_names,
+                others_note=(
+                    "Other channels skip the correction but run the rest of "
+                    "the chain" if other_stages
+                    else "Other channels will be copied as-is"
+                ),
+            )
+        )
+
+        from biahub_tpu.kernels.flat_field import flat_field_zyx
+
+        base_kernel = kernel
+
+        def kernel_ff(zyx, *args, **kwargs):
+            return base_kernel(flat_field_zyx(zyx), *args, **kwargs)
+    else:
+        kernel_ff = kernel
+
     # -- run -------------------------------------------------------------------
     output_position_paths = get_output_paths(input_position_dirpaths, output_dirpath)
     input_positions = [open_ome_zarr(p, mode="r") for p in input_position_dirpaths]
@@ -438,11 +476,7 @@ def fuse(
         for t_out, t in enumerate(time_indices)
         for c in range(C)
     ]
-    n = runner.run_units(
-        kernel,
-        units,
-        input_positions,
-        output_positions,
+    run_kwargs = dict(
         resume=resume,
         resume_token=settings_fingerprint(settings),
         per_unit_params=per_unit_params,
@@ -450,9 +484,36 @@ def fuse(
         unit_workspace_bytes=workspace_bytes,
         post_fetch=post_fetch,
     )
+    if ff is None:
+        n = runner.run_units(
+            kernel, units, input_positions, output_positions, **run_kwargs
+        )
+    else:
+        ff_units = [u for u in units if u.c_in in ff_targets]
+        plain_units = [u for u in units if u.c_in not in ff_targets]
+        n = runner.run_units(
+            kernel_ff, ff_units, input_positions, output_positions, **run_kwargs
+        )
+        if plain_units and not other_stages:
+            # flat-field is the ONLY stage: the rest of the chain is the
+            # identity, so non-selected channels are a host-side copy (same
+            # as the standalone verb; reference: biahub/flat_field.py:84-97).
+            runner.copy_channels(
+                input_positions,
+                output_positions,
+                sorted({(u.c_in, u.c_out) for u in plain_units}),
+                time_indices=time_indices,
+            )
+            n += len(plain_units)
+        elif plain_units:
+            n += runner.run_units(
+                kernel, plain_units, input_positions, output_positions,
+                **run_kwargs,
+            )
     stages = [
         name
         for name, s in (
+            ("flat-field", settings.flat_field),
             ("deconvolve", settings.deconvolve),
             ("deskew", settings.deskew),
             ("register", settings.registration),

@@ -597,6 +597,7 @@ class FusePipelineSettings(MyBaseModel):
     per-verb schemas where they transfer verbatim (deconvolve, deskew).
     """
 
+    flat_field: FlatFieldCorrectionSettings | None = None
     deconvolve: DeconvolveSettings | None = None
     deskew: DeskewSettings | None = None
     registration: FuseWarpSettings | None = None
@@ -608,11 +609,12 @@ class FusePipelineSettings(MyBaseModel):
     @model_validator(mode="after")
     def _check_stages(self):
         if not any(
-            (self.deconvolve, self.deskew, self.registration, self.stabilization)
+            (self.flat_field, self.deconvolve, self.deskew, self.registration,
+             self.stabilization)
         ):
             raise ValueError(
-                "FusePipelineSettings needs at least one stage "
-                "(deconvolve / deskew / registration / stabilization)"
+                "FusePipelineSettings needs at least one stage (flat_field / "
+                "deconvolve / deskew / registration / stabilization)"
             )
         if self.output_shape_zyx is not None and len(self.output_shape_zyx) != 3:
             raise ValueError("output_shape_zyx must have 3 entries (Z, Y, X)")

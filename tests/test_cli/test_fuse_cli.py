@@ -205,6 +205,81 @@ def test_fuse_pallas_path_matches_sequential(
     jax.clear_caches()
 
 
+def test_fuse_flat_field_prefix_and_channel_selection(example_plate_2, tmp_path):
+    """flat_field stage: selected channel corrected then deskewed; the other
+    channel runs the remaining chain on the RAW data."""
+    from biahub_tpu.kernels.deskew import deskew_zyx
+    from biahub_tpu.kernels.flat_field import flat_field_zyx
+
+    plate_path, _ = example_plate_2
+    config = _fuse_config(
+        tmp_path, flat_field={"channel_names": ["GFP"]}
+    )
+    output_path = tmp_path / "fused_ff.zarr"
+    result = CliRunner().invoke(
+        cli,
+        [
+            "fuse",
+            "-i", str(plate_path / "A" / "1" / "0"),
+            "-c", str(config),
+            "-o", str(output_path),
+            "--cluster", "debug",
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    in_pos = open_ome_zarr(plate_path)["A/1/0"]
+    out_pos = open_ome_zarr(output_path)["A/1/0"]
+
+    def deskewed(v):
+        return np.asarray(
+            deskew_zyx(
+                v, ls_angle_deg=LS_ANGLE, px_to_scan_ratio=PX_TO_SCAN,
+                keep_overhang=False, average_window=1,
+            )
+        )
+
+    raw = np.asarray(in_pos.data[0, 0], np.float32)
+    np.testing.assert_allclose(
+        out_pos.data[0, 0],
+        deskewed(np.asarray(flat_field_zyx(raw))),
+        atol=1e-4, rtol=1e-4,
+    )
+    raw_other = np.asarray(in_pos.data[0, 1], np.float32)
+    np.testing.assert_allclose(
+        out_pos.data[0, 1], deskewed(raw_other), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_fuse_flat_field_only_copies_other_channels(example_plate_2, tmp_path):
+    """flat_field as the only stage: non-selected channels are copied."""
+    from biahub_tpu.kernels.flat_field import flat_field_zyx
+
+    plate_path, _ = example_plate_2
+    config = tmp_path / "ff_only.yml"
+    config.write_text(yaml.safe_dump({"flat_field": {"channel_names": ["RFP"]}}))
+    output_path = tmp_path / "ff_only.zarr"
+    result = CliRunner().invoke(
+        cli,
+        [
+            "fuse",
+            "-i", str(plate_path / "A" / "1" / "0"),
+            "-c", str(config),
+            "-o", str(output_path),
+            "--cluster", "debug",
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    in_pos = open_ome_zarr(plate_path)["A/1/0"]
+    out_pos = open_ome_zarr(output_path)["A/1/0"]
+    raw = np.asarray(in_pos.data[1, 1], np.float32)
+    np.testing.assert_allclose(
+        out_pos.data[1, 1], np.asarray(flat_field_zyx(raw)), atol=1e-5
+    )
+    np.testing.assert_allclose(  # untouched channel copied verbatim
+        out_pos.data[1, 0], np.asarray(in_pos.data[1, 0], np.float32)
+    )
+
+
 def test_fuse_init_prints_resources(example_plate, psf_store, tmp_path):
     plate_path, _ = example_plate
     config = _fuse_config(

@@ -224,8 +224,6 @@ def fuse(
         if settings.output_shape_zyx is not None
         else tuple(frame_zyx)
     )
-    if m_single is None and mats_per_t is None:
-        out_zyx = tuple(frame_zyx)  # no warp stage resizes the frame
 
     version = settings.output_ome_zarr_version or get_ome_zarr_version(
         Path(input_position_dirpaths[0]).parents[2]

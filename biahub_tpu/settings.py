@@ -618,6 +618,15 @@ class FusePipelineSettings(MyBaseModel):
             )
         if self.output_shape_zyx is not None and len(self.output_shape_zyx) != 3:
             raise ValueError("output_shape_zyx must have 3 entries (Z, Y, X)")
+        if self.output_shape_zyx is not None and not any(
+            (self.registration, self.stabilization)
+        ):
+            # Without a warp stage the output frame IS the (deskewed) input
+            # frame; a resize here would otherwise be silently ignored.
+            raise ValueError(
+                "output_shape_zyx only applies to the warp stage — add a "
+                "registration or stabilization block, or drop it"
+            )
         return self
 
 

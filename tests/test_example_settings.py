@@ -79,6 +79,40 @@ def test_example_settings_validate(filename, model):
     assert instance is not None
 
 
+def test_fuse_output_shape_requires_warp_stage():
+    """output_shape_zyx without a warp stage would be silently ignored —
+    the model rejects it instead."""
+    with pytest.raises(ValueError, match="output_shape_zyx"):
+        FusePipelineSettings(
+            deskew={
+                "pixel_size_um": 0.116,
+                "ls_angle_deg": 36.0,
+                "px_to_scan_ratio": 0.38,
+            },
+            output_shape_zyx=[8, 16, 16],
+        )
+    # With a registration stage the same shape is accepted.
+    ok = FusePipelineSettings(
+        deskew={
+            "pixel_size_um": 0.116,
+            "ls_angle_deg": 36.0,
+            "px_to_scan_ratio": 0.38,
+        },
+        registration={
+            "affine_transform_zyx": [
+                [1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]
+            ]
+        },
+        output_shape_zyx=[8, 16, 16],
+    )
+    assert ok.output_shape_zyx == [8, 16, 16]
+
+
+def test_fuse_needs_at_least_one_stage():
+    with pytest.raises(ValueError, match="at least one stage"):
+        FusePipelineSettings()
+
+
 def test_reference_name_compatibility_aliases():
     """Module-level names from the reference resolve here (PARITY.md)."""
     import os

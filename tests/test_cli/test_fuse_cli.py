@@ -336,3 +336,27 @@ def test_fuse_resume_skips_finished_units(example_plate_2, tmp_path):
     second = CliRunner().invoke(cli, args)
     assert second.exit_code == 0, second.output
     assert "Resume: skipping" in second.output
+
+
+def test_fuse_over_budget_volume_is_an_actionable_error(
+    example_plate, tmp_path, monkeypatch
+):
+    """A (t, c) volume whose fused footprint exceeds the device batch budget
+    must fail fast with a pointer at the chunking standalone verbs (the
+    fused chain has no spatial-chunking fallback by design)."""
+    plate_path, _ = example_plate
+    config = _fuse_config(tmp_path)
+    monkeypatch.setenv("BIAHUB_TPU_MAX_BATCH_BYTES", "1024")
+    result = CliRunner().invoke(
+        cli,
+        [
+            "fuse",
+            "-i", str(plate_path / "A" / "1" / "0"),
+            "-c", str(config),
+            "-o", str(tmp_path / "overbudget.zarr"),
+            "--cluster", "debug",
+        ],
+    )
+    assert result.exit_code != 0
+    assert "batch budget" in result.output
+    assert "individual verbs" in result.output

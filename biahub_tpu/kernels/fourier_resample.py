@@ -1,0 +1,148 @@
+"""Exact 2-tap-lerp resampling evaluated from the z-spectrum.
+
+Groundwork for folding the deskew shear-resample INTO the inverse-FFT
+passes (CLAUDE.md round-4 item 0): the deskew is a 1D linear interpolation
+along the raw scan axis at positions ``p = px*x' - px*ct*z' + offset``
+(kernels/deskew.py:233-259, mirroring reference biahub/deskew.py:139-151).
+Instead of iDFT-ing to the integer z grid and then lerping, one matrix per
+output row evaluates the lerp DIRECTLY from the spectrum:
+
+    lerp(ifft(V), p) == M(p) @ V          (exact, not band-limited/sinc)
+
+because the lerp is a linear functional of the samples:
+
+    M[n, kz] = (1/Z) * [(1-f) e^{i*theta*z0} + f e^{i*theta*(z0+1)}]
+             = (1/Z) * e^{i*theta*p} * g(theta, f)
+    g(theta, f) = (1-f) e^{-i*theta*f} + f e^{i*theta*(1-f)}
+
+with theta = 2*pi*kz/Z, z0 = floor(p), f = p - z0. The factored form is the
+one the future Pallas pass C' wants: ``g`` depends only on (kz, frac(p)) and
+the phase ramp is an outer product, so per-y matrices are a cheap modulation
+of shared tables — but both forms are O(N*Z) transcendentals, so matrices
+are PRECOMPUTED per acquisition (like pallas_fft.prepare_fourier_filter),
+~126 MB bf16 at the flagship shape.
+
+Caveats pinned by tests/test_fourier_resample.py:
+
+- Spectrum evaluation is PERIODIC: positions whose lerp taps fall outside
+  [0, Z-1] wrap instead of reading the zero-padding the real-space kernel
+  uses. ``deskew_sample_positions`` returns the exactness mask; with
+  ``keep_overhang=False`` geometries the interior is typically fully exact
+  and any boundary columns must be zeroed (or real-space-patched) by the
+  consumer.
+- Matches the f32 real-space lerp to ~1e-6 relative in f64, limited by the
+  pipeline's own f32 rounding when compared against deskew_zyx.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "lerp_dft_matrix",
+    "lerp_dft_factors",
+    "deskew_sample_positions",
+    "fourier_deskew_reference",
+]
+
+
+def lerp_dft_matrix(n: int, positions: np.ndarray) -> np.ndarray:
+    """Complex (len(positions), n) matrix M with ``M @ fft(v) == lerp(v, p)``.
+
+    Uses the numpy DFT convention (``np.fft.fft`` spectra). Positions may be
+    any reals; taps wrap periodically (see module caveat).
+    """
+    p = np.asarray(positions, dtype=np.float64).ravel()
+    z0 = np.floor(p)
+    f = (p - z0)[:, None]
+    kz = np.arange(n, dtype=np.float64)[None, :]
+    theta = 2.0 * np.pi * kz / n
+    return (
+        (1.0 - f) * np.exp(1j * theta * z0[:, None])
+        + f * np.exp(1j * theta * (z0[:, None] + 1.0))
+    ) / n
+
+
+def lerp_dft_factors(
+    n: int, positions: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """The factored form: ``(phase, g)`` with ``phase * g == lerp_dft_matrix``.
+
+    ``phase[j, kz] = e^{i*theta*p_j}/n`` is a pure position ramp (rank-1 in
+    the exponent — the kernel-side per-y modulation), and
+    ``g[j, kz] = (1-f)e^{-i*theta*f} + f e^{i*theta*(1-f)}`` depends only on
+    the fractional part, so rows with equal ``frac(p)`` share it.
+    """
+    p = np.asarray(positions, dtype=np.float64).ravel()
+    f = (p - np.floor(p))[:, None]
+    kz = np.arange(n, dtype=np.float64)[None, :]
+    theta = 2.0 * np.pi * kz / n
+    phase = np.exp(1j * theta * p[:, None]) / n
+    g = (1.0 - f) * np.exp(-1j * theta * f) + f * np.exp(1j * theta * (1.0 - f))
+    return phase, g
+
+
+def deskew_sample_positions(
+    raw_shape: tuple[int, int, int],
+    ls_angle_deg: float,
+    px_to_scan_ratio: float,
+    keep_overhang: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Scan-axis sample positions of the deskew resample, plus exactness mask.
+
+    Returns ``(in_z, exact)`` of shape (Z_out, X_out): ``in_z`` is the
+    fractional raw-z position feeding output voxel (z_out, :, x_out) —
+    IDENTICAL math to kernels/deskew.py:233-244 — and ``exact`` marks
+    entries whose periodic-spectrum evaluation equals the real-space masked
+    lerp (both taps in range, or tap 0 in range with zero fraction).
+    """
+    from biahub_tpu.kernels.deskew import get_deskewed_data_shape
+
+    Z_in, Y_in, X_in = raw_shape
+    output_shape, _ = get_deskewed_data_shape(
+        (Z_in, Y_in, X_in), ls_angle_deg, px_to_scan_ratio, keep_overhang
+    )
+    Z_out, X_out = Y_in, output_shape[2]
+    ct = float(np.cos(ls_angle_deg * np.pi / 180))
+    px = float(px_to_scan_ratio)
+    offset = px * ct * (Z_out - 1) / 2 - px * (X_out - 1) / 2 + (Z_in - 1) / 2
+    z_idx = np.arange(Z_out, dtype=np.float64)[:, None]
+    x_idx = np.arange(X_out, dtype=np.float64)[None, :]
+    in_z = px * x_idx - px * ct * z_idx + offset
+    i0 = np.floor(in_z)
+    f = in_z - i0
+    both_in = (i0 >= 0) & (i0 + 1 <= Z_in - 1)
+    lower_only = (i0 >= 0) & (i0 <= Z_in - 1) & (f == 0)
+    return in_z, both_in | lower_only
+
+
+def fourier_deskew_reference(
+    raw_data: np.ndarray,
+    ls_angle_deg: float,
+    px_to_scan_ratio: float,
+    keep_overhang: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deskew one ZYX volume entirely via spectrum-domain lerp matrices.
+
+    Slow reference implementation of the round-4 fused pass C' numerics
+    (axis permute as in kernels/deskew.py:229-232 with ``skip_flip``-style
+    unflipped Y, then per-z_out matrix application). Returns
+    ``(deskewed, exact_mask)`` with the deskewed volume in the UNFLIPPED
+    (Z_out, Y_out, X_out) frame of ``deskew_zyx(..., skip_flip=True)`` and
+    the (Z_out, X_out) exactness mask; entries outside the mask wrap and
+    must be zeroed/patched by the caller before comparing.
+    """
+    Z_in, Y_in, X_in = raw_data.shape
+    in_z, exact = deskew_sample_positions(
+        (Z_in, Y_in, X_in), ls_angle_deg, px_to_scan_ratio, keep_overhang
+    )
+    Z_out, X_out = in_z.shape
+    # (Z_out rows, raw scan z, Y_out) — the tilt axis leads, the scan axis is
+    # the transform axis, and the coverslip-plane axis rides along.
+    data = np.flip(np.transpose(raw_data.astype(np.float64), (1, 0, 2)), axis=0)
+    spectra = np.fft.fft(data, axis=1)  # (Z_out, Z_in, Y_out)
+    out = np.empty((Z_out, X_out, data.shape[2]), dtype=np.float64)
+    for z_out in range(Z_out):
+        m = lerp_dft_matrix(Z_in, in_z[z_out])  # (X_out, Z_in)
+        out[z_out] = (m @ spectra[z_out]).real
+    return np.transpose(out, (0, 2, 1)), exact

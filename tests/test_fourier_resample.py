@@ -1,0 +1,100 @@
+"""Math validation for the spectrum-domain lerp (round-4 fused-deskew prep).
+
+Pins the three identities the future fused pass C' rests on
+(biahub_tpu/kernels/fourier_resample.py):
+
+1. ``lerp_dft_matrix(Z, p) @ fft(v) == lerp(v, p)`` exactly (linear
+   functional of the samples — NOT a band-limited approximation).
+2. The factored (phase, g) form reproduces the dense matrix — the kernel's
+   per-y modulation layout is mathematically equivalent.
+3. The full Fourier-domain deskew equals ``deskew_zyx(..., skip_flip=True)``
+   on every exact-mask voxel, and the keep_overhang=False interior is
+   majority-exact (the wrap-affected boundary is a thin set of columns).
+"""
+
+import numpy as np
+import pytest
+
+from biahub_tpu.kernels.fourier_resample import (
+    deskew_sample_positions,
+    fourier_deskew_reference,
+    lerp_dft_factors,
+    lerp_dft_matrix,
+)
+
+LS_ANGLE, PX_TO_SCAN = 36.0, 0.387
+
+
+def _real_lerp(v, positions):
+    z0 = np.floor(positions).astype(int)
+    f = positions - z0
+    return (1 - f) * v[z0 % len(v)] + f * v[(z0 + 1) % len(v)]
+
+
+@pytest.mark.parametrize("n", [8, 23, 64])
+def test_lerp_dft_matrix_matches_real_space_lerp(n):
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(n)
+    # In-range positions, including exact integers and near-edge fractions.
+    p = np.concatenate(
+        [rng.uniform(0, n - 1, size=17), np.array([0.0, 1.0, n - 1.0, n - 1.5])]
+    )
+    got = (lerp_dft_matrix(n, p) @ np.fft.fft(v)).real
+    np.testing.assert_allclose(got, _real_lerp(v, p), atol=1e-10)
+
+
+def test_lerp_dft_matrix_wraps_periodically_out_of_range():
+    """Out-of-range taps wrap (the documented caveat) — pinned so the fused
+    kernel's boundary handling stays honest."""
+    n = 16
+    v = np.arange(n, dtype=np.float64)
+    p = np.array([n - 0.5])  # taps n-1 and n -> wraps to v[0]
+    got = (lerp_dft_matrix(n, p) @ np.fft.fft(v)).real
+    np.testing.assert_allclose(got, [0.5 * v[n - 1] + 0.5 * v[0]], atol=1e-10)
+
+
+def test_factored_form_equals_dense_matrix():
+    n = 24
+    rng = np.random.default_rng(1)
+    p = rng.uniform(-3, n + 3, size=40)  # any reals, in and out of range
+    phase, g = lerp_dft_factors(n, p)
+    np.testing.assert_allclose(phase * g, lerp_dft_matrix(n, p), atol=1e-12)
+
+
+def test_fourier_deskew_matches_real_space_kernel():
+    """End-to-end: spectrum-domain deskew == deskew_zyx on the exact mask."""
+    import jax
+
+    from biahub_tpu.kernels.deskew import deskew_zyx
+
+    rng = np.random.default_rng(2)
+    raw = rng.random((12, 10, 16), dtype=np.float32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        want = np.asarray(
+            deskew_zyx(
+                raw,
+                ls_angle_deg=LS_ANGLE,
+                px_to_scan_ratio=PX_TO_SCAN,
+                keep_overhang=False,
+                average_window=1,
+                skip_flip=True,
+            )
+        )
+    got, exact = fourier_deskew_reference(
+        raw, LS_ANGLE, PX_TO_SCAN, keep_overhang=False
+    )
+    assert got.shape == want.shape
+    # (Z_out, X_out) mask broadcasts over the middle (Y_out) axis.
+    mask = np.broadcast_to(exact[:, None, :], got.shape)
+    assert mask.mean() > 0.5, "keep_overhang=False interior should be mostly exact"
+    np.testing.assert_allclose(got[mask], want[mask], atol=1e-5)
+
+
+def test_exact_mask_matches_tap_validity():
+    in_z, exact = deskew_sample_positions(
+        (12, 10, 16), LS_ANGLE, PX_TO_SCAN, keep_overhang=False
+    )
+    i0 = np.floor(in_z)
+    f = in_z - i0
+    want = ((i0 >= 0) & (i0 + 1 <= 11)) | ((i0 >= 0) & (i0 <= 11) & (f == 0))
+    np.testing.assert_array_equal(exact, want)

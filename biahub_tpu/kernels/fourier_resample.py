@@ -121,6 +121,7 @@ def fourier_deskew_reference(
     ls_angle_deg: float,
     px_to_scan_ratio: float,
     keep_overhang: bool,
+    average_window: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Deskew one ZYX volume entirely via spectrum-domain lerp matrices.
 
@@ -131,6 +132,15 @@ def fourier_deskew_reference(
     (Z_out, Y_out, X_out) frame of ``deskew_zyx(..., skip_flip=True)`` and
     the (Z_out, X_out) exactness mask; entries outside the mask wrap and
     must be zeroed/patched by the caller before comparing.
+
+    ``average_window`` demonstrates the kernel-side slice-averaging fold:
+    the pooled axis is the TILT axis, and each pooled member samples at a
+    different shear offset, so the pool cannot ride a smaller iDFT_y — the
+    per-row matmul results are accumulated into w-fold fewer output rows at
+    store time instead (edge-padding the tail with the last row, matching
+    kernels/deskew.py::average_n_slices). Output traffic shrinks w-fold;
+    matmul count does not. The returned mask is pooled conservatively (an
+    output row is exact only when every contributing row is).
     """
     Z_in, Y_in, X_in = raw_data.shape
     in_z, exact = deskew_sample_positions(
@@ -141,8 +151,13 @@ def fourier_deskew_reference(
     # the transform axis, and the coverslip-plane axis rides along.
     data = np.flip(np.transpose(raw_data.astype(np.float64), (1, 0, 2)), axis=0)
     spectra = np.fft.fft(data, axis=1)  # (Z_out, Z_in, Y_out)
-    out = np.empty((Z_out, X_out, data.shape[2]), dtype=np.float64)
-    for z_out in range(Z_out):
-        m = lerp_dft_matrix(Z_in, in_z[z_out])  # (X_out, Z_in)
-        out[z_out] = (m @ spectra[z_out]).real
-    return np.transpose(out, (0, 2, 1)), exact
+    w = int(average_window)
+    n_groups = -(-Z_out // w)
+    out = np.zeros((n_groups, X_out, data.shape[2]), dtype=np.float64)
+    pooled_exact = np.ones((n_groups, X_out), dtype=bool)
+    for z_out in range(n_groups * w):
+        src = min(z_out, Z_out - 1)  # edge-pad the tail group
+        m = lerp_dft_matrix(Z_in, in_z[src])  # (X_out, Z_in)
+        out[z_out // w] += (m @ spectra[src]).real / w
+        pooled_exact[z_out // w] &= exact[src]
+    return np.transpose(out, (0, 2, 1)), pooled_exact

@@ -90,6 +90,35 @@ def test_fourier_deskew_matches_real_space_kernel():
     np.testing.assert_allclose(got[mask], want[mask], atol=1e-5)
 
 
+@pytest.mark.parametrize("window", [2, 3])
+def test_fourier_deskew_with_slice_averaging(window):
+    """The store-time accumulation fold == deskew then average_n_slices."""
+    import jax
+
+    from biahub_tpu.kernels.deskew import deskew_zyx
+
+    rng = np.random.default_rng(3)
+    raw = rng.random((12, 10, 16), dtype=np.float32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        want = np.asarray(
+            deskew_zyx(
+                raw,
+                ls_angle_deg=LS_ANGLE,
+                px_to_scan_ratio=PX_TO_SCAN,
+                keep_overhang=False,
+                average_window=window,
+                skip_flip=True,
+            )
+        )
+    got, exact = fourier_deskew_reference(
+        raw, LS_ANGLE, PX_TO_SCAN, keep_overhang=False, average_window=window
+    )
+    assert got.shape == want.shape
+    mask = np.broadcast_to(exact[:, None, :], got.shape)
+    assert mask.mean() > 0.5
+    np.testing.assert_allclose(got[mask], want[mask], atol=1e-5)
+
+
 def test_exact_mask_matches_tap_validity():
     in_z, exact = deskew_sample_positions(
         (12, 10, 16), LS_ANGLE, PX_TO_SCAN, keep_overhang=False

@@ -43,6 +43,7 @@ __all__ = [
     "lerp_dft_factors",
     "deskew_sample_positions",
     "fourier_deskew_reference",
+    "fourier_deconvolve_deskew_reference",
 ]
 
 
@@ -158,6 +159,53 @@ def fourier_deskew_reference(
     for z_out in range(n_groups * w):
         src = min(z_out, Z_out - 1)  # edge-pad the tail group
         m = lerp_dft_matrix(Z_in, in_z[src])  # (X_out, Z_in)
+        out[z_out // w] += (m @ spectra[src]).real / w
+        pooled_exact[z_out // w] &= exact[src]
+    return np.transpose(out, (0, 2, 1)), pooled_exact
+
+
+def fourier_deconvolve_deskew_reference(
+    raw_data: np.ndarray,
+    transfer_function: np.ndarray,
+    regularization_strength: float,
+    ls_angle_deg: float,
+    px_to_scan_ratio: float,
+    keep_overhang: bool,
+    average_window: int = 1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deconvolve + deskew as ONE spectral pipeline — the full round-4 chain.
+
+    Validates the pass-commutation the planned B'/C' restructure rests on:
+    Tikhonov filter in the full 3D frequency domain, inverse transforms over
+    the tilt and coverslip axes FIRST (the future A/B' passes), then the
+    per-tilt-row fused lerp matrices along the remaining scan-axis spectrum
+    (the future pass C') — against the production composition
+    ``deconvolve_zyx`` then ``deskew_zyx`` (reference semantics:
+    biahub/deconvolve.py:34-70 then biahub/deskew.py:459-545).
+
+    Same returns/conventions as :func:`fourier_deskew_reference`.
+    """
+    Z_in, Y_in, X_in = raw_data.shape
+    tf = np.asarray(transfer_function, dtype=np.float64)
+    filt = tf / (tf**2 + float(regularization_strength))
+    spec = np.fft.fftn(raw_data.astype(np.float64)) * filt
+    # Inverse over tilt (axis 1) and coverslip (axis 2); the scan axis stays
+    # in the frequency domain for the fused resample.
+    part = np.fft.ifft(np.fft.ifft(spec, axis=1), axis=2)
+    in_z, exact = deskew_sample_positions(
+        (Z_in, Y_in, X_in), ls_angle_deg, px_to_scan_ratio, keep_overhang
+    )
+    Z_out, X_out = in_z.shape
+    # (tilt rows, scan-axis spectrum, coverslip) with the tilt flip of
+    # kernels/deskew.py:229-232 (skip_flip frame).
+    spectra = np.flip(np.transpose(part, (1, 0, 2)), axis=0)
+    w = int(average_window)
+    n_groups = -(-Z_out // w)
+    out = np.zeros((n_groups, X_out, X_in), dtype=np.float64)
+    pooled_exact = np.ones((n_groups, X_out), dtype=bool)
+    for z_out in range(n_groups * w):
+        src = min(z_out, Z_out - 1)
+        m = lerp_dft_matrix(Z_in, in_z[src])
         out[z_out // w] += (m @ spectra[src]).real / w
         pooled_exact[z_out // w] &= exact[src]
     return np.transpose(out, (0, 2, 1)), pooled_exact

@@ -119,6 +119,53 @@ def test_fourier_deskew_with_slice_averaging(window):
     np.testing.assert_allclose(got[mask], want[mask], atol=1e-5)
 
 
+def test_fourier_deconvolve_deskew_matches_production_composition():
+    """The full item-0 chain in one spectral pipeline == deconvolve_zyx then
+    deskew_zyx (pass-commutation of the planned B'/C' restructure)."""
+    import jax
+
+    from biahub_tpu.kernels.deconvolve import (
+        compute_transfer_function,
+        deconvolve_zyx,
+    )
+    from biahub_tpu.kernels.deskew import deskew_zyx
+    from biahub_tpu.kernels.fourier_resample import (
+        fourier_deconvolve_deskew_reference,
+    )
+
+    rng = np.random.default_rng(4)
+    shape = (12, 10, 16)
+    raw = rng.random(shape, dtype=np.float32)
+    psf = np.zeros((3, 3, 3), np.float32)
+    psf[1, 1, 1] = 0.6
+    psf[0, 1, 1] = psf[2, 1, 1] = 0.2
+    tf = compute_transfer_function(psf, shape)
+    reg = 1e-3
+    with jax.default_device(jax.devices("cpu")[0]):
+        decon = np.asarray(
+            deconvolve_zyx(
+                raw, tf[..., : shape[-1] // 2 + 1], regularization_strength=reg
+            )
+        )
+        want = np.asarray(
+            deskew_zyx(
+                decon,
+                ls_angle_deg=LS_ANGLE,
+                px_to_scan_ratio=PX_TO_SCAN,
+                keep_overhang=False,
+                average_window=2,
+                skip_flip=True,
+            )
+        )
+    got, exact = fourier_deconvolve_deskew_reference(
+        raw, tf, reg, LS_ANGLE, PX_TO_SCAN, keep_overhang=False, average_window=2
+    )
+    assert got.shape == want.shape
+    mask = np.broadcast_to(exact[:, None, :], got.shape)
+    scale = float(np.abs(want).max())
+    np.testing.assert_allclose(got[mask], want[mask], atol=1e-5 * scale)
+
+
 def test_exact_mask_matches_tap_validity():
     in_z, exact = deskew_sample_positions(
         (12, 10, 16), LS_ANGLE, PX_TO_SCAN, keep_overhang=False

@@ -40,6 +40,7 @@ import numpy as np
 
 __all__ = [
     "lerp_dft_matrix",
+    "masked_lerp_dft_matrix",
     "lerp_dft_factors",
     "deskew_sample_positions",
     "fourier_deskew_reference",
@@ -62,6 +63,34 @@ def lerp_dft_matrix(n: int, positions: np.ndarray) -> np.ndarray:
         (1.0 - f) * np.exp(1j * theta * z0[:, None])
         + f * np.exp(1j * theta * (z0[:, None] + 1.0))
     ) / n
+
+
+def masked_lerp_dft_matrix(n: int, positions: np.ndarray) -> np.ndarray:
+    """Like :func:`lerp_dft_matrix` but with PER-TAP validity masking: a tap
+    whose index falls outside ``[0, n-1]`` is dropped from the row instead of
+    wrapping, which reproduces the real-space kernel's zero-padded lerp
+    EXACTLY (kernels/deskew.py:250-258 masks v0/v1 the same way) — including
+    boundary columns and fully-out-of-range rows (which become zero). This is
+    the production table the fused pass C' consumes
+    (kernels/pallas_spectral.py); the unmasked form above remains the
+    textbook identity the tests pin.
+
+    Built from integer-mod roots of unity: ``e^{i*theta*z0}`` with integer
+    ``z0`` and ``theta = 2*pi*kz/n`` is ``E[(kz*z0) mod n]`` for the n-entry
+    table ``E[m] = e^{2i*pi*m/n}`` — exact in f64, no large-angle
+    transcendental loss, and fast enough to build per acquisition.
+    """
+    p = np.asarray(positions, dtype=np.float64).ravel()
+    i0 = np.floor(p)
+    f = p - i0
+    i0 = i0.astype(np.int64)
+    kz = np.arange(n, dtype=np.int64)
+    e_table = np.exp(2j * np.pi * np.arange(n) / n)
+    w0 = np.where((i0 >= 0) & (i0 <= n - 1), 1.0 - f, 0.0)
+    w1 = np.where((i0 + 1 >= 0) & (i0 + 1 <= n - 1), f, 0.0)
+    m0 = np.mod(i0[:, None] * kz[None, :], n)
+    m1 = np.mod((i0 + 1)[:, None] * kz[None, :], n)
+    return (w0[:, None] * e_table[m0] + w1[:, None] * e_table[m1]) / n
 
 
 def lerp_dft_factors(
@@ -96,6 +125,13 @@ def deskew_sample_positions(
     IDENTICAL math to kernels/deskew.py:233-244 — and ``exact`` marks
     entries whose periodic-spectrum evaluation equals the real-space masked
     lerp (both taps in range, or tap 0 in range with zero fraction).
+
+    Caveat: the zero-fraction test is an exact f64 ``f == 0``, while the
+    production kernels compute fractions in f32 — a position that is integer
+    in one precision but not the other can flip classification right at the
+    boundary. The mask is only consumed by the UNMASKED-matrix reference
+    paths here; the production table (:func:`masked_lerp_dft_matrix`) drops
+    invalid taps per entry and needs no mask at all.
     """
     from biahub_tpu.kernels.deskew import get_deskewed_data_shape
 
@@ -115,6 +151,32 @@ def deskew_sample_positions(
     both_in = (i0 >= 0) & (i0 + 1 <= Z_in - 1)
     lower_only = (i0 >= 0) & (i0 <= Z_in - 1) & (f == 0)
     return in_z, both_in | lower_only
+
+
+def _pooled_lerp_rows(
+    spectra: np.ndarray,
+    in_z: np.ndarray,
+    exact: np.ndarray,
+    n: int,
+    window: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared pass-C' accumulation loop: per tilt row, apply the lerp-DFT
+    matrix to that row's scan-axis spectrum and accumulate ``window``
+    consecutive rows into each pooled output row at store time (edge-padding
+    the tail with the last row, matching kernels/deskew.py::average_n_slices).
+    The pooled mask is conservative: an output row is exact only when every
+    contributing row is. ``spectra`` is (Z_out_rows, n, Y_out)."""
+    Z_out, X_out = in_z.shape
+    w = int(window)
+    n_groups = -(-Z_out // w)
+    out = np.zeros((n_groups, X_out, spectra.shape[2]), dtype=np.float64)
+    pooled_exact = np.ones((n_groups, X_out), dtype=bool)
+    for z_out in range(n_groups * w):
+        src = min(z_out, Z_out - 1)  # edge-pad the tail group
+        m = lerp_dft_matrix(n, in_z[src])  # (X_out, n)
+        out[z_out // w] += (m @ spectra[src]).real / w
+        pooled_exact[z_out // w] &= exact[src]
+    return np.transpose(out, (0, 2, 1)), pooled_exact
 
 
 def fourier_deskew_reference(
@@ -152,16 +214,7 @@ def fourier_deskew_reference(
     # the transform axis, and the coverslip-plane axis rides along.
     data = np.flip(np.transpose(raw_data.astype(np.float64), (1, 0, 2)), axis=0)
     spectra = np.fft.fft(data, axis=1)  # (Z_out, Z_in, Y_out)
-    w = int(average_window)
-    n_groups = -(-Z_out // w)
-    out = np.zeros((n_groups, X_out, data.shape[2]), dtype=np.float64)
-    pooled_exact = np.ones((n_groups, X_out), dtype=bool)
-    for z_out in range(n_groups * w):
-        src = min(z_out, Z_out - 1)  # edge-pad the tail group
-        m = lerp_dft_matrix(Z_in, in_z[src])  # (X_out, Z_in)
-        out[z_out // w] += (m @ spectra[src]).real / w
-        pooled_exact[z_out // w] &= exact[src]
-    return np.transpose(out, (0, 2, 1)), pooled_exact
+    return _pooled_lerp_rows(spectra, in_z, exact, Z_in, average_window)
 
 
 def fourier_deconvolve_deskew_reference(
@@ -195,17 +248,7 @@ def fourier_deconvolve_deskew_reference(
     in_z, exact = deskew_sample_positions(
         (Z_in, Y_in, X_in), ls_angle_deg, px_to_scan_ratio, keep_overhang
     )
-    Z_out, X_out = in_z.shape
     # (tilt rows, scan-axis spectrum, coverslip) with the tilt flip of
     # kernels/deskew.py:229-232 (skip_flip frame).
     spectra = np.flip(np.transpose(part, (1, 0, 2)), axis=0)
-    w = int(average_window)
-    n_groups = -(-Z_out // w)
-    out = np.zeros((n_groups, X_out, X_in), dtype=np.float64)
-    pooled_exact = np.ones((n_groups, X_out), dtype=bool)
-    for z_out in range(n_groups * w):
-        src = min(z_out, Z_out - 1)
-        m = lerp_dft_matrix(Z_in, in_z[src])
-        out[z_out // w] += (m @ spectra[src]).real / w
-        pooled_exact[z_out // w] &= exact[src]
-    return np.transpose(out, (0, 2, 1)), pooled_exact
+    return _pooled_lerp_rows(spectra, in_z, exact, Z_in, average_window)

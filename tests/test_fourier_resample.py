@@ -20,6 +20,7 @@ from biahub_tpu.kernels.fourier_resample import (
     fourier_deskew_reference,
     lerp_dft_factors,
     lerp_dft_matrix,
+    masked_lerp_dft_matrix,
 )
 
 LS_ANGLE, PX_TO_SCAN = 36.0, 0.387
@@ -51,6 +52,43 @@ def test_lerp_dft_matrix_wraps_periodically_out_of_range():
     p = np.array([n - 0.5])  # taps n-1 and n -> wraps to v[0]
     got = (lerp_dft_matrix(n, p) @ np.fft.fft(v)).real
     np.testing.assert_allclose(got, [0.5 * v[n - 1] + 0.5 * v[0]], atol=1e-10)
+
+
+def _masked_real_lerp(v, positions):
+    """Zero-padded 2-tap lerp — the real-space kernel's boundary semantics
+    (kernels/deskew.py:250-258)."""
+    n = len(v)
+    z0 = np.floor(positions).astype(int)
+    f = positions - z0
+    v0 = np.where((z0 >= 0) & (z0 <= n - 1), v[np.clip(z0, 0, n - 1)], 0.0)
+    v1 = np.where((z0 + 1 >= 0) & (z0 + 1 <= n - 1), v[np.clip(z0 + 1, 0, n - 1)], 0.0)
+    return (1 - f) * v0 + f * v1
+
+
+@pytest.mark.parametrize("n", [8, 23, 64])
+def test_masked_lerp_dft_matrix_matches_zero_padded_lerp(n):
+    """The production table drops invalid taps per entry, so it equals the
+    zero-padded real-space lerp EVERYWHERE — boundary columns, out-of-range
+    rows (zero), and the interior — with no exactness mask needed."""
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal(n)
+    p = np.concatenate(
+        [
+            rng.uniform(-3, n + 2, size=23),  # spans fully/partially out of range
+            np.array([0.0, n - 1.0, -0.5, n - 0.5, n - 1.5, -1.0, float(n)]),
+        ]
+    )
+    got = (masked_lerp_dft_matrix(n, p) @ np.fft.fft(v)).real
+    np.testing.assert_allclose(got, _masked_real_lerp(v, p), atol=1e-10)
+
+
+def test_masked_matrix_agrees_with_unmasked_on_interior():
+    n = 16
+    rng = np.random.default_rng(6)
+    p = rng.uniform(0, n - 1.001, size=20)
+    np.testing.assert_allclose(
+        masked_lerp_dft_matrix(n, p), lerp_dft_matrix(n, p), atol=1e-12
+    )
 
 
 def test_factored_form_equals_dense_matrix():

@@ -682,6 +682,186 @@ def _pipeline_flags(z: int, y: int, x: int):
     return peel, xw, radix_x, radix_y, radix_z, interpret
 
 
+class _Geom(NamedTuple):
+    """Static per-shape pipeline geometry (derived from _pipeline_flags)."""
+
+    z: int
+    y: int
+    x: int
+    peel: bool
+    xw: int
+    radix_x: int
+    radix_y: bool
+    radix_z: bool
+    interpret: bool
+    zb: int
+    z2: int
+    y2: int
+    nz: int
+    ny: int
+    yw: int
+    zw: int
+
+
+def _geometry(z: int, y: int, x: int) -> _Geom:
+    peel, xw, radix_x, radix_y, radix_z, interpret = _pipeline_flags(z, y, x)
+    zb = 2 if z % 2 == 0 else 1
+    z2, y2 = z // 2, y // 2
+    nz = 2 if radix_z else 1
+    ny = 2 if radix_y else 1
+    return _Geom(
+        z, y, x, peel, xw, radix_x, radix_y, radix_z, interpret, zb, z2, y2,
+        nz, ny, y2 if radix_y else y, z2 if radix_z else z,
+    )
+
+
+class _Mats(NamedTuple):
+    """Device copies of the DFT matrices one _Geom needs, fwd + inv."""
+
+    cx: jax.Array
+    sx: jax.Array
+    x_fwd_extra: tuple
+    ax: jax.Array
+    bx: jax.Array
+    x_inv_extra: tuple
+    wyr: jax.Array
+    wyi: jax.Array
+    iyr: jax.Array
+    iyi: jax.Array
+    y_fwd_tw: tuple  # (twyr, twyi) when radix_y else ()
+    y_inv_tw: tuple  # (ctwr, ctwi) when radix_y else ()
+    b_mats_v: tuple  # z-DFT matrices for pass B (4 dense / 6 radix)
+
+
+def _build_mats(g: _Geom) -> _Mats:
+    if g.radix_x:
+        mats = _radix_x_fwd_mats(g.x, g.radix_x)
+        cx, sx, *x_fwd_extra = (jnp.asarray(m) for m in mats)
+        imats = _radix_x_inv_mats(g.x, g.radix_x)
+        ax, bx, *x_inv_extra = (jnp.asarray(m) for m in imats)
+    else:
+        cx, sx = (jnp.asarray(m[:, : g.xw]) for m in _rfft_mats(g.x))
+        ax, bx = (jnp.asarray(m[: g.xw]) for m in _irfft_mats(g.x))
+        x_fwd_extra = []
+        x_inv_extra = []
+    if g.radix_y:
+        wyr, wyi = (jnp.asarray(m) for m in _dft_mats(g.y2))
+        iyr, iyi = (jnp.asarray(m / 2.0) for m in _idft_mats(g.y2))
+        y_fwd_tw = tuple(jnp.asarray(m) for m in _twiddles(g.y2, g.y, -1.0))
+        y_inv_tw = tuple(jnp.asarray(m) for m in _twiddles(g.y2, g.y, +1.0))
+    else:
+        wyr, wyi = (jnp.asarray(m) for m in _dft_mats(g.y))
+        iyr, iyi = (jnp.asarray(m) for m in _idft_mats(g.y))
+        y_fwd_tw = ()
+        y_inv_tw = ()
+    if g.radix_z:
+        wzr, wzi = (jnp.asarray(m) for m in _dft_mats(g.z2))
+        izr, izi = (jnp.asarray(m / 2.0) for m in _idft_mats(g.z2))
+        tzr, tzi = (jnp.asarray(m) for m in _twiddles(g.z2, g.z, -1.0))
+        b_mats_v = (wzr, wzi, izr, izi, tzr, tzi)
+    else:
+        wzr, wzi = (jnp.asarray(m) for m in _dft_mats(g.z))
+        izr, izi = (jnp.asarray(m) for m in _idft_mats(g.z))
+        b_mats_v = (wzr, wzi, izr, izi)
+    return _Mats(
+        cx, sx, tuple(x_fwd_extra), ax, bx, tuple(x_inv_extra),
+        wyr, wyi, iyr, iyi, y_fwd_tw, y_inv_tw, b_mats_v,
+    )
+
+
+def _vmem_params(interpret: bool) -> dict:
+    """Raise the scoped-VMEM budget: working sets exceed the 16 MB default
+    at flagship shapes, and the kernels are MXU-bound, so trading pipeline
+    headroom for big blocks is the right side of the bargain."""
+    if interpret:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET_BYTES
+        )
+    }
+
+
+def _t01(a):
+    return jnp.transpose(a, (1, 0, 2))
+
+
+def _run_pass_a(v: jax.Array, g: _Geom, m: _Mats, prec: str):
+    """Forward rfft_X + DFT_Y over every z slice (pass A of both pipelines).
+
+    Returns ``(spectra, nyq_raw)`` with ``spectra`` ALWAYS in the ky-major
+    (yw, z-dim, xw) layout pass B consumes — emitted natively by the slab
+    kernel when the gates allow, via XLA transposes otherwise — and
+    ``nyq_raw`` the (z, y, 128) peeled-Nyquist block (None when not peeled).
+    """
+    nspec = g.nz * g.ny * 2
+    zb = g.zb
+    # Slab mode: 16 z-slices per program, spectra stored DIRECTLY in the
+    # ky-major (ky, z, kx) layout pass B consumes (8 static middle-axis
+    # z-slots per parity per program) — pass B's input-side XLA transposes
+    # never materialize.
+    slab_a = g.radix_z and g.z % 16 == 0 and (
+        (16 * g.y * g.x + nspec * g.yw * 8 * g.xw
+         + (16 * g.y * 128 if g.peel else 0)) * 4 * 2
+        < _VMEM_BUDGET_BYTES - 16 * 1024 * 1024
+    )
+    if slab_a:
+        zb = 16
+        a_spec = pl.BlockSpec((g.yw, 8, g.xw), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+        a_shape = jax.ShapeDtypeStruct((g.yw, g.z2, g.xw), jnp.float32)
+    elif g.radix_z:
+        a_spec = pl.BlockSpec((1, g.yw, g.xw), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        a_shape = jax.ShapeDtypeStruct((g.z2, g.yw, g.xw), jnp.float32)
+    else:
+        a_spec = pl.BlockSpec((zb, g.yw, g.xw), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        a_shape = jax.ShapeDtypeStruct((g.z, g.yw, g.xw), jnp.float32)
+    a_out_specs = [a_spec] * nspec
+    a_out_shapes = [a_shape] * nspec
+    if g.peel:
+        a_out_specs.append(
+            pl.BlockSpec((zb, g.y, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        a_out_shapes.append(jax.ShapeDtypeStruct((g.z, g.y, 128), jnp.float32))
+    a_extra = m.x_fwd_extra + m.y_fwd_tw
+    a_extra_specs = [_full_spec(tuple(e.shape)) for e in m.x_fwd_extra]
+    a_extra_specs += [_full_spec((g.y2, 1))] * 2 if g.radix_y else []
+    a_out = pl.pallas_call(
+        partial(
+            _fwd_yx_kernel,
+            prec=prec, zb=zb, peel=g.peel, radix_z=g.radix_z,
+            radix_y=g.radix_y, radix_x=g.radix_x, slab=slab_a,
+        ),
+        grid=(g.z // zb,),
+        in_specs=[
+            pl.BlockSpec((zb, g.y, g.x), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _full_spec(tuple(m.cx.shape)),
+            _full_spec(tuple(m.cx.shape)),
+            _full_spec((g.yw, g.yw)),
+            _full_spec((g.yw, g.yw)),
+        ]
+        + a_extra_specs,
+        out_specs=tuple(a_out_specs),
+        out_shape=tuple(a_out_shapes),
+        interpret=g.interpret,
+        **_vmem_params(g.interpret),
+    )(v, m.cx, m.sx, m.wyr, m.wyi, *a_extra)
+    spectra = list(a_out[:nspec])
+    if not slab_a:
+        spectra = [_t01(s) for s in spectra]
+    return spectra, (a_out[-1] if g.peel else None)
+
+
+def _full_spec(shape):
+    return pl.BlockSpec(
+        shape, lambda *_: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+
+
 def _build_filt_main(filter_arrays, xw, radix_x, radix_y, n_filt):
     """Filter blocks for pass B: drop the peeled bin, permute kx lanes to
     the radix-x order when engaged, split ky parity to match the spectra
@@ -795,13 +975,11 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
     # n/256 utilization, eating the 2x FLOP saving (measured: it slowed the
     # 64x256x256 phase reconstruction). Tests shrink the floor via env to
     # exercise the radix kernels on tiny shapes in interpret mode.
-    peel, xw, radix_x, radix_y, radix_z, interpret = _pipeline_flags(z, y, x)
-    zb = 2 if z % 2 == 0 else 1
-    z2, y2 = z // 2, y // 2
-    nz = 2 if radix_z else 1
-    ny = 2 if radix_y else 1
-    yw = y2 if radix_y else y  # per-parity ky rows
-    zw = z2 if radix_z else z  # per-parity z rows
+    g = _geometry(z, y, x)
+    peel, xw, radix_x, radix_y, radix_z, interpret = (
+        g.peel, g.xw, g.radix_x, g.radix_y, g.radix_z, g.interpret,
+    )
+    zb, z2, y2, nz, ny, yw, zw = g.zb, g.z2, g.y2, g.nz, g.ny, g.yw, g.zw
     n_filt = 1 if reg is not None else 2
     prec = _precision()
     if prepared is not None:
@@ -818,108 +996,20 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
         # The Tikhonov transform is folded into the prepared blocks.
         reg = "pre" if reg is not None else None
 
-    if radix_x:
-        mats = _radix_x_fwd_mats(x, radix_x)
-        cx, sx, *x_fwd_extra = (jnp.asarray(m) for m in mats)
-        x_fwd_extra = tuple(x_fwd_extra)
-        imats = _radix_x_inv_mats(x, radix_x)
-        ax, bx, *x_inv_extra = (jnp.asarray(m) for m in imats)
-        x_inv_extra = tuple(x_inv_extra)
-    else:
-        cx, sx = (jnp.asarray(m[:, :xw]) for m in _rfft_mats(x))
-        ax, bx = (jnp.asarray(m[:xw]) for m in _irfft_mats(x))
-        x_fwd_extra = ()
-        x_inv_extra = ()
+    m = _build_mats(g)
+    ax, bx, x_inv_extra = m.ax, m.bx, m.x_inv_extra
+    iyr, iyi = m.iyr, m.iyi
+    b_mats_v = m.b_mats_v
     if radix_y:
-        wyr, wyi = (jnp.asarray(m) for m in _dft_mats(y2))
-        iyr, iyi = (jnp.asarray(m / 2.0) for m in _idft_mats(y2))
-        twyr, twyi = (jnp.asarray(m) for m in _twiddles(y2, y, -1.0))
-        ctwr, ctwi = (jnp.asarray(m) for m in _twiddles(y2, y, +1.0))
-    else:
-        wyr, wyi = (jnp.asarray(m) for m in _dft_mats(y))
-        iyr, iyi = (jnp.asarray(m) for m in _idft_mats(y))
-    if radix_z:
-        wzr, wzi = (jnp.asarray(m) for m in _dft_mats(z2))
-        izr, izi = (jnp.asarray(m / 2.0) for m in _idft_mats(z2))
-        tzr, tzi = (jnp.asarray(m) for m in _twiddles(z2, z, -1.0))
-        b_mats_v = (wzr, wzi, izr, izi, tzr, tzi)
-    else:
-        wzr, wzi = (jnp.asarray(m) for m in _dft_mats(z))
-        izr, izi = (jnp.asarray(m) for m in _idft_mats(z))
-        b_mats_v = (wzr, wzi, izr, izi)
+        ctwr, ctwi = m.y_inv_tw
 
     v = zyx_data.astype(jnp.float32)
-
-    def full(shape):
-        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
-
-    # Working sets exceed the 16 MB default scoped-VMEM budget at flagship
-    # shapes; the kernels are MXU-bound, so trading pipeline headroom for
-    # big blocks is the right side of the bargain.
-    vmem_params = (
-        {}
-        if interpret
-        else {
-            "compiler_params": pltpu.CompilerParams(
-                vmem_limit_bytes=_VMEM_BUDGET_BYTES
-            )
-        }
-    )
+    full = _full_spec
+    vmem_params = _vmem_params(interpret)
 
     # -- Pass A ------------------------------------------------------------
     nspec = nz * ny * 2
-    # Slab mode: 16 z-slices per program, spectra stored DIRECTLY in the
-    # ky-major (ky, z, kx) layout pass B consumes (8 static middle-axis
-    # z-slots per parity per program) — pass B's input-side XLA transposes
-    # never materialize.
-    slab_a = radix_z and z % 16 == 0 and (
-        (16 * y * x + nspec * yw * 8 * xw + (16 * y * 128 if peel else 0))
-        * 4 * 2
-        < _VMEM_BUDGET_BYTES - 16 * 1024 * 1024
-    )
-    if slab_a:
-        zb = 16
-        a_spec = pl.BlockSpec((yw, 8, xw), lambda i: (0, i, 0),
-                              memory_space=pltpu.VMEM)
-        a_shape = jax.ShapeDtypeStruct((yw, z2, xw), jnp.float32)
-    elif radix_z:
-        a_spec = pl.BlockSpec((1, yw, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        a_shape = jax.ShapeDtypeStruct((z2, yw, xw), jnp.float32)
-    else:
-        a_spec = pl.BlockSpec((zb, yw, xw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        a_shape = jax.ShapeDtypeStruct((z, yw, xw), jnp.float32)
-    a_out_specs = [a_spec] * nspec
-    a_out_shapes = [a_shape] * nspec
-    if peel:
-        a_out_specs.append(
-            pl.BlockSpec((zb, y, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        )
-        a_out_shapes.append(jax.ShapeDtypeStruct((z, y, 128), jnp.float32))
-    a_extra = x_fwd_extra + ((twyr, twyi) if radix_y else ())
-    a_extra_specs = [full(tuple(m.shape)) for m in x_fwd_extra]
-    a_extra_specs += [full((y2, 1))] * 2 if radix_y else []
-    x_mat_shape = tuple(cx.shape)
-    a_out = pl.pallas_call(
-        partial(
-            _fwd_yx_kernel,
-            prec=prec, zb=zb, peel=peel, radix_z=radix_z, radix_y=radix_y,
-            radix_x=radix_x, slab=slab_a,
-        ),
-        grid=(z // zb,),
-        in_specs=[
-            pl.BlockSpec((zb, y, x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            full(x_mat_shape),
-            full(x_mat_shape),
-            full((yw, yw)),
-            full((yw, yw)),
-        ]
-        + a_extra_specs,
-        out_specs=tuple(a_out_specs),
-        out_shape=tuple(a_out_shapes),
-        interpret=interpret,
-        **vmem_params,
-    )(v, cx, sx, wyr, wyi, *a_extra)
-    spectra = list(a_out[:nspec])
+    spectra, nyq_raw = _run_pass_a(v, g, m, prec)
     nyq_plane = None
     if peel:
         planes = (
@@ -927,11 +1017,10 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
             if prepared is not None
             else tuple(f[..., -1] for f in filter_arrays)
         )
-        nyq_plane = _nyq_filter_chain(a_out[-1][..., 0], planes, reg, x)
+        nyq_plane = _nyq_filter_chain(nyq_raw[..., 0], planes, reg, x)
 
     # -- Pass B ------------------------------------------------------------
-    def t01(a):
-        return jnp.transpose(a, (1, 0, 2))
+    t01 = _t01
 
     # Filter blocks: hoisted to prepare_fourier_filter when the caller
     # passes a PreparedFilter (the arrangement is ~1.5 ms of XLA copies per
@@ -975,10 +1064,7 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
         reg=reg if reg in (None, "pre") else float(reg),
         prec=prec, radix_z=radix_z, ny=ny, n_filt=n_filt,
     )
-    b_args = (
-        *(spectra if slab_a else [t01(s) for s in spectra]),
-        *filt_main, *b_mats_v,
-    )
+    b_args = (*spectra, *filt_main, *b_mats_v)
     if slab_b:
         def fullb(shape):
             return pl.BlockSpec(

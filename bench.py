@@ -377,16 +377,31 @@ def main() -> None:
     reg_stab[:3, 3] = [0.5, -1.25, 2.0]
 
     from biahub_tpu.kernels.chain import deconvolve_then_deskew
+    from biahub_tpu.kernels.pallas_spectral import (
+        prepare_spectral_deskew,
+        spectral_deskew_supported,
+    )
+
+    # Hoist the per-acquisition lerp table (kernels/pallas_spectral.py) the
+    # way the verbs hoist the prepared filter.
+    table_d = None
+    if spectral_deskew_supported(shape, ls_angle_deg, px_to_scan_ratio,
+                                 False, 3):
+        table_d = jax.device_put(
+            prepare_spectral_deskew(shape, ls_angle_deg, px_to_scan_ratio,
+                                    False, 3)
+        )
 
     def fused(v, tf, prep):
-        # Pass-C layout handoff: deconvolve emits deskew's tilt-major
-        # padded input directly (kernels/chain.py). skip_flip is the
-        # production configuration: the coverslip flip is a free host view
-        # at the zarr write (deskew verb post_fetch), ~1 ms as an XLA rev.
+        # Fused spectral engine when supported (the deconvolved volume
+        # never touches HBM); pass-C layout handoff otherwise. skip_flip is
+        # the production configuration: the coverslip flip is a free host
+        # view at the zarr write (deskew verb post_fetch), ~1 ms as an XLA
+        # rev.
         return deconvolve_then_deskew(
             v, tf, 1e-3, ls_angle_deg, px_to_scan_ratio,
             keep_overhang=False, average_window=3, prepared=prep,
-            skip_flip=True,
+            skip_flip=True, deskew_table=table_d,
         )
 
     from biahub_tpu.kernels.chain import deconvolve_deskew_warp

@@ -176,6 +176,203 @@ def _make_warp_stage(all_mats, in_shape, out_shape):
         return stage, (lambda i: {}), workspace
 
 
+def _flat_field_slabbed(vol: np.ndarray, budget: int) -> np.ndarray:
+    """flat_field_zyx semantics in Y slabs when the whole volume cannot ride
+    the device: the per-(y, x) median over Z is slab-exact and the global
+    pattern mean accumulates across slabs (two passes)."""
+    import jax.numpy as jnp
+
+    from biahub_tpu.kernels.flat_field import flat_field_zyx
+
+    if 2 * vol.nbytes <= budget:
+        return np.asarray(flat_field_zyx(jnp.asarray(vol)))
+    y_chunk = max(1, int(budget // (2 * 4 * vol.shape[0] * vol.shape[2])))
+    patterns = []
+    for y0 in range(0, vol.shape[1], y_chunk):
+        slab = jnp.asarray(vol[:, y0 : y0 + y_chunk])
+        patterns.append(np.asarray(jnp.median(slab, axis=0)))
+    pattern = np.concatenate(patterns, axis=0)  # (Y, X)
+    mean = np.float32(pattern.mean())
+    out = np.empty_like(vol)
+    for y0 in range(0, vol.shape[1], y_chunk):
+        y1 = min(y0 + y_chunk, vol.shape[1])
+        out[:, y0:y1] = vol[:, y0:y1] / pattern[y0:y1] * mean
+    return out
+
+
+def _deskew_slabbed(vol: np.ndarray, dk, budget: int) -> np.ndarray:
+    """deskew_zyx in input-X slabs (= output-Y slabs; exact split, the scan
+    resample involves only the scan and tilt axes) — the standalone verb's
+    over-budget path (biahub_tpu/deskew.py, mirroring reference
+    biahub/deskew.py:554-582) applied to an in-memory volume."""
+    import jax.numpy as jnp
+    from functools import partial
+
+    from biahub_tpu.kernels.deskew import (
+        deskew_zyx,
+        fill_overhang,
+        get_deskewed_data_shape,
+    )
+
+    Z, Y, X = vol.shape
+    out_shape, _ = get_deskewed_data_shape(
+        (Z, Y, X), dk.ls_angle_deg, dk.px_to_scan_ratio, dk.keep_overhang,
+        dk.average_n_slices,
+    )
+    kernel = partial(
+        deskew_zyx,
+        ls_angle_deg=dk.ls_angle_deg,
+        px_to_scan_ratio=dk.px_to_scan_ratio,
+        keep_overhang=dk.keep_overhang,
+        average_window=dk.average_n_slices,
+        overhang_fill=0,
+    )
+    volume_bytes = 4 * (int(np.prod((Z, Y, X))) + int(np.prod(out_shape)))
+    if volume_bytes <= budget:
+        out = np.asarray(kernel(jnp.asarray(vol)))
+    else:
+        n_splits = -(-volume_bytes // budget)
+        x_chunk = max(1, -(-X // int(n_splits)))
+        out = np.empty(tuple(out_shape), np.float32)
+        for x0 in range(0, X, x_chunk):
+            x1 = min(x0 + x_chunk, X)
+            out[:, X - x1 : X - x0, :] = np.asarray(
+                kernel(jnp.asarray(vol[:, :, x0:x1]))
+            )
+    if dk.keep_overhang and dk.overhang_fill != 0:
+        fill = None if dk.overhang_fill == "mean" else float(dk.overhang_fill)
+        if 2 * out.nbytes <= budget:
+            out = np.asarray(fill_overhang(jnp.asarray(out), fill_value=fill))
+        else:
+            from biahub_tpu.kernels.deskew import overhang_mask
+
+            # Slab fill with a 4-voxel halo (dilation reaches 3); the mean
+            # fill needs a first pass for the whole-volume valid mean.
+            y_chunk = max(8, int(budget // (4 * 4 * out.shape[0] * out.shape[2])))
+            if fill is None:
+                total, count = 0.0, 0
+                for y0 in range(0, out.shape[1], y_chunk):
+                    y1 = min(y0 + y_chunk, out.shape[1])
+                    lo, hi = max(0, y0 - 4), min(out.shape[1], y1 + 4)
+                    slab = out[:, lo:hi, :]
+                    mask = np.asarray(overhang_mask(jnp.asarray(slab)))
+                    valid = ~mask[:, y0 - lo : y0 - lo + (y1 - y0), :]
+                    center = slab[:, y0 - lo : y0 - lo + (y1 - y0), :]
+                    total += float(center[valid].sum())
+                    count += int(valid.sum())
+                fill = np.float32(total / max(count, 1))
+            for y0 in range(0, out.shape[1], y_chunk):
+                y1 = min(y0 + y_chunk, out.shape[1])
+                lo, hi = max(0, y0 - 4), min(out.shape[1], y1 + 4)
+                slab = out[:, lo:hi, :]
+                mask = np.asarray(overhang_mask(jnp.asarray(slab)))
+                center_mask = mask[:, y0 - lo : y0 - lo + (y1 - y0), :]
+                center = out[:, y0:y1, :]
+                out[:, y0:y1, :] = np.where(center_mask, np.float32(fill), center)
+    return out
+
+
+def _fuse_over_budget(
+    settings,
+    input_positions,
+    output_positions,
+    time_indices,
+    n_channels,
+    ff_targets,
+    tf_half,
+    prepared,
+    reg_strength,
+    dk,
+    m_single,
+    mats_per_t,
+    frame_zyx,
+    out_zyx,
+    budget,
+    resume,
+    token,
+) -> int:
+    """Sequential per-unit composition of the standalone verbs' chunked
+    kernels — the fuse verb's over-budget fallback. Same output store, same
+    stage semantics (standard deskew frame, warp matrices uncomposed with
+    the flip), bit-parity with running the verbs one after another."""
+    import jax.numpy as jnp
+
+    from biahub_tpu.io.progress import ProgressStore
+    from biahub_tpu.runtime.executor import stripe_units
+
+    units = [
+        (p_idx, int(t), c, int(t_out))
+        for p_idx in range(len(input_positions))
+        for t_out, t in enumerate(time_indices)
+        for c in range(n_channels)
+    ]
+    progress_stores: dict[int, ProgressStore] = {}
+    n = 0
+    for p_idx, t, c, t_out in stripe_units(units):
+        in_pos = input_positions[p_idx]
+        out_pos = output_positions[p_idx]
+        if resume and p_idx not in progress_stores:
+            progress_stores[p_idx] = ProgressStore(out_pos.path, token)
+        progress = progress_stores.get(p_idx)
+        if progress is not None and progress.is_done(t_out, c):
+            n += 1
+            continue
+        vol = np.asarray(in_pos.data[t, c], np.float32)
+        if settings.flat_field is not None and c in ff_targets:
+            vol = _flat_field_slabbed(vol, budget)
+        if settings.deconvolve is not None:
+            from biahub_tpu.kernels.deconvolve import deconvolve_zyx
+
+            vol = np.asarray(
+                deconvolve_zyx(
+                    jnp.asarray(vol), tf_half,
+                    regularization_strength=reg_strength, prepared=prepared,
+                )
+            )
+        if dk is not None:
+            vol = _deskew_slabbed(vol, dk, budget)
+        m = m_single if m_single is not None else (
+            mats_per_t[t] if mats_per_t is not None else None
+        )
+        if m is not None:
+            from biahub_tpu.kernels.affine import affine_warp_auto
+            from biahub_tpu.kernels.multipass_warp import (
+                chunked_affine_warp_zyx,
+                common_frame_bytes,
+            )
+
+            warp_bytes = (
+                4 * (int(np.prod(vol.shape)) + int(np.prod(out_zyx)))
+                + common_frame_bytes(m, tuple(vol.shape), out_zyx)
+            )
+            if warp_bytes <= budget:
+                out_pos["0"][t_out, c] = np.asarray(
+                    affine_warp_auto(jnp.asarray(vol), m, out_zyx)
+                )
+            else:
+                chunk = tuple(
+                    max(32, s // max(1, int(np.ceil(warp_bytes / budget))))
+                    for s in out_zyx
+                )
+
+                def read_fn(zs, ys, xs, _v=vol):
+                    return _v[zs, ys, xs]
+
+                def write_fn(zs, ys, xs, d, _t=t_out, _c=c, _p=out_pos):
+                    _p["0"][_t, _c, zs, ys, xs] = d
+
+                chunked_affine_warp_zyx(
+                    read_fn, m, tuple(vol.shape), out_zyx, chunk,
+                    write_fn=write_fn, order=1,
+                )
+        else:
+            out_pos["0"][t_out, c] = vol
+        if progress is not None:
+            progress.mark_done(t_out, c)
+        n += 1
+    return n
+
+
 def fuse(
     input_position_dirpaths: list[Path],
     config_filepath: Path,
@@ -460,13 +657,53 @@ def fuse(
         workspace_bytes += 4 * int(np.prod((Z, Y, X)))
     unit_bytes = 4 * (int(np.prod((Z, Y, X))) + int(np.prod(out_zyx))) + workspace_bytes
     if unit_bytes > runner.max_batch_bytes:
-        raise click.ClickException(
-            f"One fused (t, c) volume needs ~{unit_bytes / 2**30:.1f} GiB, over "
-            f"the device batch budget ({runner.max_batch_bytes / 2**30:.1f} GiB; "
-            "BIAHUB_TPU_MAX_BATCH_BYTES). The fused chain has no spatial-"
-            "chunking fallback — run the individual verbs (deskew, deconvolve, "
-            "register, stabilize), which chunk over-budget volumes."
+        # Degrade gracefully: the same invocation auto-composes the
+        # standalone verbs' chunked kernels per (t, c) unit (bit-parity with
+        # running the verbs sequentially; each stage self-splits the way the
+        # reference's GPU X-split does, reference: biahub/deskew.py:554-582).
+        # Only a deconvolve stage whose own minimal footprint cannot fit
+        # keeps the fail-fast (an FFT has no exact spatial split — that
+        # needs the multi-chip sharded FFT, BIAHUB_TPU_SHARDED_FFT).
+        decon_bytes = 4 * 4 * int(np.prod((Z, Y, X)))
+        if settings.deconvolve is not None and decon_bytes > runner.max_batch_bytes:
+            raise click.ClickException(
+                f"One deconvolution volume needs ~{decon_bytes / 2**30:.1f} "
+                f"GiB on device, over the batch budget "
+                f"({runner.max_batch_bytes / 2**30:.1f} GiB; "
+                "BIAHUB_TPU_MAX_BATCH_BYTES). An FFT has no exact spatial "
+                "split on one chip — raise the budget or shard the FFT "
+                "across chips (BIAHUB_TPU_SHARDED_FFT=1)."
+            )
+        click.echo(
+            f"One fused (t, c) volume needs ~{unit_bytes / 2**30:.1f} GiB, "
+            f"over the device batch budget "
+            f"({runner.max_batch_bytes / 2**30:.1f} GiB); composing the "
+            "standalone verbs' chunked kernels per unit instead."
         )
+        n = _fuse_over_budget(
+            settings=settings,
+            input_positions=input_positions,
+            output_positions=output_positions,
+            time_indices=time_indices,
+            n_channels=C,
+            ff_targets=ff_targets,
+            tf_half=tf_half,
+            prepared=prepared,
+            reg_strength=reg_strength,
+            dk=dk,
+            m_single=m_single,
+            mats_per_t=mats_per_t,
+            frame_zyx=tuple(int(s) for s in frame_zyx),
+            out_zyx=tuple(int(s) for s in out_zyx),
+            budget=runner.max_batch_bytes,
+            resume=resume,
+            token=settings_fingerprint(settings),
+        )
+        click.echo(
+            f"Fused (chunked fallback): {n} (t, c) volumes across "
+            f"{len(input_position_dirpaths)} positions"
+        )
+        return
 
     units = [
         WorkUnit(p_idx, int(t), c, c, int(t_out))

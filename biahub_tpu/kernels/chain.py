@@ -21,7 +21,10 @@ executors.
 
 from __future__ import annotations
 
+import os
+
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
@@ -70,24 +73,53 @@ def deconvolve_then_deskew(
     average_window: int = 1,
     prepared=None,
     skip_flip: bool = False,
+    deskew_table=None,
 ) -> jax.Array:
-    """Deconvolve then deskew with the pass-C layout handoff engaged.
+    """Deconvolve then deskew, fused as deep as the geometry allows.
 
     Output is identical to ``deskew_zyx(deconvolve_zyx(v))`` (standard
-    flipped zyx frame), but deconvolve's pass C emits deskew's tilt-major
-    padded input directly when the gates allow, skipping the deskew-prep
-    transpose + pad copies (~1.6 ms per flagship volume).
+    flipped zyx frame). Preferred engine: the SPECTRAL fusion
+    (kernels/pallas_spectral.py) — the scan-axis lerp evaluates straight
+    from the z-spectrum, so the deconvolved volume never touches HBM and
+    the whole deskew pass disappears. Where its gates fail, the pass-C
+    layout handoff engages instead (deconvolve's pass C emits deskew's
+    tilt-major padded input, ~1.6 ms saved per flagship volume); where
+    THOSE gates fail, the standard composition runs.
 
     ``skip_flip`` returns the Y (coverslip) axis REVERSED — an XLA rev of
     the deskewed volume costs ~1 ms; consumers that write to storage apply
     the flip as a free host view instead (the deskew verb's post_fetch),
     and fused pipelines fold it into the next warp's affine.
+    ``deskew_table``: a prepare_spectral_deskew result to hoist the
+    per-acquisition lerp table out of the hot loop (built lazily, cached by
+    geometry, when omitted).
     """
     from biahub_tpu.kernels.deconvolve import deconvolve_zyx
     from biahub_tpu.kernels.deskew import deskew_zyx
 
     Z, Y, X = (int(s) for s in volume.shape)
     avg = int(average_window)
+
+    from biahub_tpu.kernels.pallas_spectral import (
+        deconvolve_deskew_zyx_spectral,
+        spectral_deskew_supported,
+    )
+
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        or os.environ.get("BIAHUB_TPU_FORCE_PALLAS") == "1"
+    ) and os.environ.get("BIAHUB_TPU_NO_PALLAS") != "1"
+    if use_pallas and spectral_deskew_supported(
+        (Z, Y, X), ls_angle_deg, px_to_scan_ratio, keep_overhang, avg
+    ):
+        out = deconvolve_deskew_zyx_spectral(
+            volume, transfer_function_half, regularization_strength,
+            ls_angle_deg=ls_angle_deg, px_to_scan_ratio=px_to_scan_ratio,
+            keep_overhang=keep_overhang, average_window=avg,
+            prepared=prepared, deskew_table=deskew_table,
+        )
+        return out if skip_flip else jnp.flip(out, axis=1)
+
     ok, _ = _handoff_gate((Z, Y, X), avg, ls_angle_deg, px_to_scan_ratio,
                           keep_overhang)
     if not ok:

@@ -179,3 +179,57 @@ def test_deconvolve_then_deskew_matches_naive(monkeypatch):
     )
     np.testing.assert_array_equal(unflipped[:, ::-1], fusedv)
     jax.clear_caches()
+
+
+def test_deconvolve_then_deskew_spectral_route(monkeypatch):
+    """On a spectral-supported geometry, deconvolve_then_deskew routes
+    through the fused spectral engine and still matches the composition
+    (flipped and skip_flip frames); BIAHUB_TPU_SPECTRAL_DESKEW=0 falls back
+    to the handoff path with the same answer."""
+    import jax
+
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")
+    jax.clear_caches()
+
+    from biahub_tpu.kernels.chain import deconvolve_then_deskew
+    from biahub_tpu.kernels.deconvolve import (
+        compute_transfer_function,
+        deconvolve_zyx,
+    )
+    from biahub_tpu.kernels.deskew import deskew_zyx
+    from biahub_tpu.kernels.pallas_spectral import spectral_deskew_supported
+
+    shape = (16, 16, 64)
+    assert spectral_deskew_supported(shape, 30.0, 0.4, False, 3)
+    rng = np.random.default_rng(33)
+    vol = rng.random(shape, dtype=np.float32)
+    psf = np.zeros((3, 3, 3), np.float32)
+    psf[1, 1, 1] = 1.0
+    tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
+
+    fusedv = np.asarray(
+        deconvolve_then_deskew(vol, tf_half, 1e-3, 30.0, 0.4,
+                               average_window=3)
+    )
+    decon = deconvolve_zyx(vol, tf_half, regularization_strength=1e-3)
+    naive = np.asarray(
+        deskew_zyx(decon, ls_angle_deg=30.0, px_to_scan_ratio=0.4,
+                   keep_overhang=False, average_window=3)
+    )
+    np.testing.assert_allclose(fusedv, naive, atol=2e-4 * np.abs(naive).max())
+
+    unflipped = np.asarray(
+        deconvolve_then_deskew(vol, tf_half, 1e-3, 30.0, 0.4,
+                               average_window=3, skip_flip=True)
+    )
+    np.testing.assert_array_equal(unflipped[:, ::-1], fusedv)
+
+    monkeypatch.setenv("BIAHUB_TPU_SPECTRAL_DESKEW", "0")
+    jax.clear_caches()
+    handoff = np.asarray(
+        deconvolve_then_deskew(vol, tf_half, 1e-3, 30.0, 0.4,
+                               average_window=3)
+    )
+    np.testing.assert_allclose(handoff, naive, atol=2e-4 * np.abs(naive).max())
+    jax.clear_caches()

@@ -338,25 +338,83 @@ def test_fuse_resume_skips_finished_units(example_plate_2, tmp_path):
     assert "Resume: skipping" in second.output
 
 
-def test_fuse_over_budget_volume_is_an_actionable_error(
+def test_fuse_over_budget_degrades_to_chunked_verbs(
     example_plate, tmp_path, monkeypatch
 ):
     """A (t, c) volume whose fused footprint exceeds the device batch budget
-    must fail fast with a pointer at the chunking standalone verbs (the
-    fused chain has no spatial-chunking fallback by design)."""
+    auto-composes the standalone verbs' chunked kernels in the SAME
+    invocation and matches the in-budget run bit-for-bit (reference analog:
+    every verb self-splits, biahub/deskew.py:554-582)."""
+    plate_path, _ = example_plate
+    matrix = np.eye(4)
+    matrix[:3, 3] = [0.0, -1.0, 1.5]
+    config = _fuse_config(
+        tmp_path, registration={"affine_transform_zyx": matrix.tolist()}
+    )
+
+    big = CliRunner().invoke(
+        cli,
+        [
+            "fuse", "-i", str(plate_path / "A" / "1" / "0"),
+            "-c", str(config), "-o", str(tmp_path / "inbudget.zarr"),
+            "--cluster", "debug",
+        ],
+    )
+    assert big.exit_code == 0, big.output
+
+    monkeypatch.setenv("BIAHUB_TPU_MAX_BATCH_BYTES", "1024")
+    small = CliRunner().invoke(
+        cli,
+        [
+            "fuse", "-i", str(plate_path / "A" / "1" / "0"),
+            "-c", str(config), "-o", str(tmp_path / "overbudget.zarr"),
+            "--cluster", "debug",
+        ],
+    )
+    assert small.exit_code == 0, small.output
+    assert "composing the standalone verbs' chunked kernels" in small.output
+
+    want = open_ome_zarr(tmp_path / "inbudget.zarr")["A/1/0"].data[:]
+    got = open_ome_zarr(tmp_path / "overbudget.zarr")["A/1/0"].data[:]
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_fuse_over_budget_resume_skips_finished_units(
+    example_plate, tmp_path, monkeypatch
+):
     plate_path, _ = example_plate
     config = _fuse_config(tmp_path)
+    monkeypatch.setenv("BIAHUB_TPU_MAX_BATCH_BYTES", "1024")
+    args = [
+        "fuse", "-i", str(plate_path / "A" / "1" / "0"),
+        "-c", str(config), "-o", str(tmp_path / "ob_resume.zarr"),
+        "--cluster", "debug", "--resume",
+    ]
+    first = CliRunner().invoke(cli, args)
+    assert first.exit_code == 0, first.output
+    second = CliRunner().invoke(cli, args)
+    assert second.exit_code == 0, second.output
+    # Every unit was recorded: the second run re-processes none of them.
+    assert "Fused (chunked fallback): 18 (t, c) volumes" in second.output
+
+
+def test_fuse_impossible_deconvolve_budget_is_an_actionable_error(
+    example_plate, psf_store, tmp_path, monkeypatch
+):
+    """Only a deconvolve stage whose own FFT volume cannot fit keeps the
+    fail-fast (an FFT has no exact spatial split on one chip)."""
+    plate_path, _ = example_plate
+    config = _fuse_config(tmp_path, deconvolve={"regularization_strength": 0.001})
     monkeypatch.setenv("BIAHUB_TPU_MAX_BATCH_BYTES", "1024")
     result = CliRunner().invoke(
         cli,
         [
-            "fuse",
-            "-i", str(plate_path / "A" / "1" / "0"),
-            "-c", str(config),
-            "-o", str(tmp_path / "overbudget.zarr"),
+            "fuse", "-i", str(plate_path / "A" / "1" / "0"),
+            "-p", str(psf_store),
+            "-c", str(config), "-o", str(tmp_path / "impossible.zarr"),
             "--cluster", "debug",
         ],
     )
     assert result.exit_code != 0
     assert "batch budget" in result.output
-    assert "individual verbs" in result.output
+    assert "BIAHUB_TPU_SHARDED_FFT" in result.output

@@ -283,11 +283,7 @@ def detail_benchmarks(budget_seconds: float = 900.0) -> dict:
 
             return _timed_ms(run, lambda r: None, iters=3)
 
-    def bench_stitch_blend():
-        """Compute-only blend math on in-memory FOVs: overlap slicing,
-        distance-transform weight maps, and weighted accumulation for one
-        456x256x32 output chunk — the stitch work that is NOT filesystem
-        I/O."""
+    def _blend_fixture():
         from biahub_tpu.stitch import fov_edge_distance, overlap_slices
 
         fov_extent = np.array([32, 256, 256])
@@ -298,15 +294,53 @@ def detail_benchmarks(budget_seconds: float = 900.0) -> dict:
         ]
         fovs = [rng.random(tuple(fov_extent), np.float32) for _ in range(4)]
         dist = fov_edge_distance(fov_extent)
+        pairs = []
+        for corner in corners:
+            fixed, moving = overlap_slices(
+                chunk_corner, chunk_extent, corner, fov_extent
+            )
+            if fixed is not None:
+                pairs.append((fixed, moving))
+        return chunk_extent, pairs, fovs, dist
+
+    def bench_stitch_blend():
+        """Device blend kernel for one 32x256x256 output chunk (weight
+        windows + power/normalize/accumulate as one XLA program,
+        kernels/stitch_blend.py), with the FOV stack pre-put — the compute
+        the host path spent ~50 ms on. Transfers are excluded: over the
+        axon tunnel they dominate any number (same convention as
+        peaks_kernel_ms); stitch_blend_host_ms keeps the NumPy figure."""
+        from biahub_tpu.kernels.stitch_blend import _blend, pad_distance_map
+
+        chunk_extent, pairs, fovs, dist = _blend_fixture()
+        ce = tuple(int(c) for c in chunk_extent)
+        padded = jax.device_put(pad_distance_map(dist, ce))
+        offsets = jax.device_put(
+            np.array(
+                [
+                    [m.start - f.start for m, f in zip(mv, fx)]
+                    for fx, mv in pairs
+                ]
+            ).astype(np.int32)
+            + np.asarray(ce, np.int32)
+        )
+        stack = np.zeros((len(pairs), 1, 1) + ce, np.float32)
+        for i, (fixed, moving) in enumerate(pairs):
+            stack[(i, 0, 0, *fixed)] = fovs[i][moving]
+        stack_d = jax.device_put(stack)
+        float(stack_d[0, 0, 0, 0, 0, 0])
 
         def run():
-            pairs = []
-            for corner in corners:
-                fixed, moving = overlap_slices(
-                    chunk_corner, chunk_extent, corner, fov_extent
-                )
-                if fixed is not None:
-                    pairs.append((fixed, moving))
+            return _blend(padded, offsets, stack_d, ce, 1.0)
+
+        return _timed_ms(run, lambda r: float(r[0, 0, 0, 0, 0]), iters=3)
+
+    def bench_stitch_blend_host():
+        """The BIAHUB_TPU_HOST_BLEND=1 fallback: NumPy scatter weight maps
+        + weighted accumulation (the pre-round-4 production path)."""
+        chunk_extent, pairs, fovs, dist = _blend_fixture()
+
+        def run():
             maps = np.zeros((len(pairs),) + tuple(chunk_extent), np.float32)
             for i, (fixed, moving) in enumerate(pairs):
                 maps[(i, *fixed)] = dist[moving]
@@ -328,6 +362,7 @@ def detail_benchmarks(budget_seconds: float = 900.0) -> dict:
     record("batched_warp_ms_per_volume", bench_batched_warp)
     record("stitch_chunk_ms", bench_stitch_chunk)
     record("stitch_blend_ms", bench_stitch_blend)
+    record("stitch_blend_host_ms", bench_stitch_blend_host)
     return detail
 
 

@@ -114,8 +114,14 @@ def write_output_chunk(
     verbose: bool,
     blending_exponent: float = 1.0,
     centered_distance: np.ndarray | None = None,
+    distance_pad: tuple[int, int, int] | None = None,
 ) -> None:
-    """Blend all contributing FOVs into one output chunk and write it."""
+    """Blend all contributing FOVs into one output chunk and write it.
+
+    ``distance_pad``: when set, ``centered_distance`` is already a
+    :func:`biahub_tpu.kernels.stitch_blend.pad_distance_map` result padded
+    by this (nominal chunk) extent — the verb hoists the pad out of the
+    per-chunk loop."""
     contributing = find_contributing_fovs(
         output_chunk_slices, fov_shifts, input_fov_shape[-3:]
     )
@@ -152,21 +158,57 @@ def write_output_chunk(
     if centered_distance is None:
         centered_distance = fov_edge_distance(fov_extent)
 
-    distance_maps = np.zeros((len(kept),) + tuple(chunk_extent), dtype=np.float32)
-    for i, (fixed, moving) in enumerate(zip(fixed_slices, moving_slices)):
-        distance_maps[(i, *fixed)] = centered_distance[moving]
+    if kept and os.environ.get("BIAHUB_TPU_HOST_BLEND") != "1":
+        # Device blend (kernels/stitch_blend.py): the per-FOV weight map is
+        # a dynamic_slice window of the shared zero-padded distance map, and
+        # the power/normalize/accumulate chain runs as ONE XLA program —
+        # the host only pads the ragged tensorstore reads into the dense
+        # stack (a memcpy).
+        from biahub_tpu.kernels.stitch_blend import blend_chunk, pad_distance_map
 
-    # note: np.power(..., where=...) without out= leaves masked entries
-    # uninitialized; allocate zeros explicitly.
-    w = np.zeros_like(distance_maps)
-    np.power(distance_maps, blending_exponent, out=w, where=(distance_maps > 0))
-    weight_maps = w / (np.sum(w, axis=0, keepdims=True) + 1e-8)
+        if distance_pad is None:
+            padded = pad_distance_map(centered_distance, tuple(chunk_extent))
+            pad = tuple(int(c) for c in chunk_extent)
+        else:
+            padded = centered_distance
+            pad = tuple(int(c) for c in distance_pad)
+        offsets = np.array(
+            [
+                [m.start - f.start for m, f in zip(moving, fixed)]
+                for fixed, moving in zip(fixed_slices, moving_slices)
+            ],
+            dtype=np.int64,
+        )
+        data_stack = np.zeros(
+            (len(kept), T, n_channels) + tuple(chunk_extent), np.float32
+        )
+        for i, ci, name, fixed, future in reads:
+            if verbose:
+                click.echo(f"\t\tStacking {name}")
+            data_stack[(i, slice(None), ci, *fixed)] = np.asarray(
+                future.result(), dtype=np.float32
+            )
+        output_chunk = blend_chunk(
+            padded, offsets, data_stack, blending_exponent, pad_extent=pad
+        )
+    else:
+        distance_maps = np.zeros(
+            (len(kept),) + tuple(chunk_extent), dtype=np.float32
+        )
+        for i, (fixed, moving) in enumerate(zip(fixed_slices, moving_slices)):
+            distance_maps[(i, *fixed)] = centered_distance[moving]
 
-    for i, ci, name, fixed, future in reads:
-        if verbose:
-            click.echo(f"\t\tApplying weight maps to {name}")
-        data = np.asarray(future.result(), dtype=np.float32)
-        output_chunk[(slice(None), ci, *fixed)] += data * weight_maps[(i, *fixed)]
+        # note: np.power(..., where=...) without out= leaves masked entries
+        # uninitialized; allocate zeros explicitly.
+        w = np.zeros_like(distance_maps)
+        np.power(distance_maps, blending_exponent, out=w, where=(distance_maps > 0))
+        weight_maps = w / (np.sum(w, axis=0, keepdims=True) + 1e-8)
+
+        for i, ci, name, fixed, future in reads:
+            if verbose:
+                click.echo(f"\t\tApplying weight maps to {name}")
+            data = np.asarray(future.result(), dtype=np.float32)
+            output_chunk[(slice(None), ci, *fixed)] += data * weight_maps[(i, *fixed)]
 
     if verbose:
         click.echo(f"\t\tWriting chunk to output array: {output_chunk_slices}")
@@ -278,6 +320,19 @@ def stitch_cli(
         )
         n_workers = int(os.environ.get("BIAHUB_TPU_STITCH_WORKERS", "8"))
         centered_distance = fov_edge_distance(input_fov_shape[-3:])
+        distance_pad = None
+        if os.environ.get("BIAHUB_TPU_HOST_BLEND") != "1":
+            # Hoist the device blend's padded distance map (and its
+            # host->device transfer) out of the per-chunk loop; ragged edge
+            # chunks reuse it (kernels/stitch_blend.py).
+            import jax
+
+            from biahub_tpu.kernels.stitch_blend import pad_distance_map
+
+            distance_pad = tuple(int(c) for c in output_chunk_zyx)
+            centered_distance = jax.device_put(
+                pad_distance_map(centered_distance, distance_pad)
+            )
         with ThreadPoolExecutor(max_workers=max(1, n_workers)) as pool:
             futures = [
                 pool.submit(
@@ -291,6 +346,7 @@ def stitch_cli(
                     verbose,
                     blending_exponent,
                     centered_distance,
+                    distance_pad,
                 )
                 for chunk in chunks
             ]

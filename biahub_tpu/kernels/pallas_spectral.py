@@ -564,8 +564,24 @@ def deconvolve_deskew_zyx_spectral(
     vmem_params = _vmem_params(g.interpret)
     v = zyx_data.astype(jnp.float32)
 
+    _debug = os.environ.get(
+        "BIAHUB_TPU_SPECTRAL_DEBUG"
+    ) == "1" and not isinstance(zyx_data, jax.core.Tracer)
+
+    def _dbg(tag, arr):
+        # BIAHUB_TPU_SPECTRAL_DEBUG=1: per-pass compile/run isolation on the
+        # real chip (eager callers only; never fires under jit tracing).
+        if _debug:
+            import time as _t
+
+            t0 = _t.time()
+            probe = float(jnp.sum(arr[(0,) * (arr.ndim - 1)][:1]))
+            print(f"# spectral {tag}: {_t.time() - t0:.1f}s probe {probe:.3e}",
+                  flush=True)
+
     # -- Pass A --------------------------------------------------------------
     spectra, nyq_raw = _run_pass_a(v, g, m, prec)
+    _dbg("pass A", spectra[0])
 
     # -- Pass B'1: DFT_Z + filter, kz-major out -------------------------------
     nspec = g.nz * g.ny * 2
@@ -596,6 +612,7 @@ def deconvolve_deskew_zyx_spectral(
         interpret=g.interpret,
         **vmem_params,
     )(*spectra, *filt_main, *fwd_mats)
+    _dbg("pass B'1", b1[0])
 
     # -- Pass B'2: iDFT_Y, y-major front-padded out ---------------------------
     b2_extra = (m.iyr, m.iyi) + m.y_inv_tw
@@ -623,6 +640,7 @@ def deconvolve_deskew_zyx_spectral(
         interpret=g.interpret,
         **vmem_params,
     )(*b1, *b2_extra)
+    _dbg("pass B'2", b2[0])
 
     # -- Pass C': fused lerp-resample + transposed irfft_X --------------------
     if g.radix_x:

@@ -11,8 +11,12 @@ test:
 bench:
 	python bench.py
 
+# Matches .github/workflows/pull-request-ci.yml's lint job; falls back to a
+# bytecode compile check where ruff is not installed.
 lint:
-	python -m compileall -q biahub_tpu
+	@command -v ruff >/dev/null 2>&1 \
+		&& (ruff check . && ruff format --check .) \
+		|| python -m compileall -q biahub_tpu
 
 check-examples:
 	python -m pytest tests/test_example_settings.py -q

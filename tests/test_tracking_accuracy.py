@@ -373,3 +373,153 @@ def test_hierarchy_division_of_touching_daughters():
     daughters = df[df.parent_track_id > 0]
     assert daughters.track_id.nunique() == 2
     assert set(daughters.parent_track_id) == {int(df[df.t == 0].track_id.iloc[0])}
+
+
+def _center_tids(out, centers):
+    """Map (t, gt_id) -> predicted track id by a 5x5 vote at the GT center."""
+    node_tid = {}
+    for (t, g), (cy, cx) in centers.items():
+        win = out[t, max(cy - 2, 0) : cy + 3, max(cx - 2, 0) : cx + 3]
+        vals = win[win > 0]
+        node_tid[(t, g)] = (
+            int(np.bincount(vals).argmax()) if len(vals) else 0
+        )
+    return node_tid
+
+
+def _center_edge_f1(out, df, centers, gt_edges):
+    node_tid = _center_tids(out, centers)
+    parent_of = dict(
+        df.drop_duplicates("track_id")[["track_id", "parent_track_id"]].values
+    )
+    pred = set()
+    nodes = sorted(node_tid)
+    for a in nodes:
+        for b in nodes:
+            if b[0] != a[0] + 1:
+                continue
+            ta, tb = node_tid[a], node_tid[b]
+            if ta == 0 or tb == 0:
+                continue
+            if ta == tb or parent_of.get(tb, -1) == ta:
+                pred.add((a, b))
+    tp = len(pred & gt_edges)
+    precision = tp / max(len(pred), 1)
+    recall = tp / max(len(gt_edges), 1)
+    return 2 * precision * recall / max(precision + recall, 1e-9)
+
+
+def test_hierarchy_dense_contact_division_envelope():
+    """A three-cell cluster in PERSISTENT contact whose middle cell divides
+    mid-movie into daughters that also stay in contact — hierarchy selection
+    must arbitrate under-segmentation repair (identities through contact)
+    against keeping the real division split. Measured envelope: edge
+    F1 >= 0.9 with the division recorded (published in docs/models.md)."""
+    from biahub_tpu.tracking.engine import track_from_foreground_contour
+
+    T = 8
+    frames, centers = [], {}
+    gt = set()
+    for t in range(T):
+        x = 24 + 6 * t
+        pts = {"A": (19, x), "C": (45, x)}
+        if t < 4:
+            pts["B"] = (32, x)
+        else:
+            pts["B1"] = (28, x)
+            pts["B2"] = (36, x)
+        disks = [(y, xx, 7) if g in ("A", "B", "C") else (y, xx, 5)
+                 for g, (y, xx) in pts.items()]
+        cores = [tuple(p) for p in pts.values()]
+        frames.append({"disks": disks, "cores": cores})
+        for g, p in pts.items():
+            centers[(t, g)] = p
+    for g, t0, t1 in (("A", 0, T - 1), ("C", 0, T - 1), ("B", 0, 3),
+                      ("B1", 4, T - 1), ("B2", 4, T - 1)):
+        for t in range(t0, t1):
+            gt.add(((t, g), (t + 1, g)))
+    gt.add(((3, "B"), (4, "B1")))
+    gt.add(((3, "B"), (4, "B2")))
+
+    fg, ct = _fg_contour_scene(frames, shape=(64, 96))
+    out, df = track_from_foreground_contour(
+        fg, ct, max_distance=12.0, hierarchy=True
+    )
+    f1 = _center_edge_f1(out, df, centers, gt)
+    assert f1 >= 0.9, f1
+    daughters = df.drop_duplicates("track_id")
+    assert (daughters.parent_track_id >= 0).sum() >= 2, "division not recorded"
+
+
+def test_hierarchy_long_gap_occlusion_with_simultaneous_reappearance():
+    """TWO cells occluded for the same 3-frame window among continuing
+    distractors: gap closing must re-join each identity to ITS OWN
+    continuation (cross-assignment is geometrically wrong), exercising the
+    second-pass global segment linking at max_gap=3."""
+    from biahub_tpu.tracking.engine import track_from_foreground_contour
+
+    T = 10
+    hidden = {3, 4, 5}
+    frames, centers = [], {}
+    for t in range(T):
+        pts = {"D": (50, 12 + 3 * t)}  # continuing distractor
+        if t not in hidden:
+            # 10 px apart vertically: after the 3-frame gap the WRONG
+            # rejoin (A's end -> C's resume) is within max_distance too
+            # (15.6 vs the correct 12), so the pass must arbitrate by cost.
+            pts["A"] = (16, 10 + 3 * t)
+            pts["C"] = (26, 10 + 3 * t)
+        frames.append({
+            "disks": [(y, x, 4) for (y, x) in pts.values()],
+            "cores": [tuple(p) for p in pts.values()],
+        })
+        for g, p in pts.items():
+            centers[(t, g)] = p
+
+    fg, ct = _fg_contour_scene(frames, shape=(72, 96))
+    out, df = track_from_foreground_contour(
+        fg, ct, max_distance=16.0, max_gap=3
+    )
+    tids = _center_tids(out, centers)
+    # Each occluded identity resumes with its own pre-gap track id...
+    assert tids[(6, "A")] == tids[(2, "A")] != 0
+    assert tids[(6, "C")] == tids[(2, "C")] != 0
+    # ...and not with each other's or the distractor's.
+    assert tids[(6, "A")] != tids[(2, "C")]
+    assert tids[(6, "C")] != tids[(2, "A")]
+    assert tids[(6, "A")] != tids[(6, "D")]
+    assert df.track_id.nunique() == 3
+
+
+def test_hierarchy_dense_cluster_random_walk_envelope():
+    """Five cells jittering in a tight cluster with intermittent pairwise
+    contacts (flat contour during contact: the fine level cannot split) —
+    the hierarchy Voronoi repair carries identities. Measured envelope:
+    edge F1 >= 0.85 (published in docs/models.md)."""
+    from biahub_tpu.tracking.engine import track_from_foreground_contour
+
+    rng = np.random.default_rng(5)
+    T, n = 8, 5
+    base = np.array([[20, 24], [20, 48], [40, 36], [60, 24], [60, 48]], float)
+    pos = base.copy()
+    frames, centers = [], {}
+    gt = set()
+    for t in range(T):
+        pos = pos + rng.uniform(-3, 3, pos.shape)
+        pos[:, 0] = np.clip(pos[:, 0], 10, 70)
+        pos[:, 1] = np.clip(pos[:, 1], 10, 62)
+        pts = {i: (int(round(p[0])), int(round(p[1]))) for i, p in enumerate(pos)}
+        frames.append({
+            "disks": [(y, x, 7) for (y, x) in pts.values()],
+            "cores": [tuple(p) for p in pts.values()],
+        })
+        for g, p in pts.items():
+            centers[(t, g)] = p
+            if t:
+                gt.add(((t - 1, g), (t, g)))
+    fg, ct = _fg_contour_scene(frames, shape=(80, 72))
+    out, df = track_from_foreground_contour(
+        fg, ct, max_distance=10.0, hierarchy=True
+    )
+    f1 = _center_edge_f1(out, df, centers, gt)
+    assert f1 >= 0.85, f1

@@ -418,7 +418,9 @@ def main() -> None:
     )
 
     # Hoist the per-acquisition lerp table (kernels/pallas_spectral.py) the
-    # way the verbs hoist the prepared filter.
+    # way the verbs hoist the prepared filter. It MUST thread through jit as
+    # an ARGUMENT: a closed-over table becomes a ~250 MB HLO constant and
+    # the axon relay rejects the compile request (HTTP 413).
     table_d = None
     if spectral_deskew_supported(shape, ls_angle_deg, px_to_scan_ratio,
                                  False, 3):
@@ -427,7 +429,7 @@ def main() -> None:
                                     False, 3)
         )
 
-    def fused(v, tf, prep):
+    def fused(v, tf, prep, table):
         # Fused spectral engine when supported (the deconvolved volume
         # never touches HBM); pass-C layout handoff otherwise. skip_flip is
         # the production configuration: the coverslip flip is a free host
@@ -436,7 +438,7 @@ def main() -> None:
         return deconvolve_then_deskew(
             v, tf, 1e-3, ls_angle_deg, px_to_scan_ratio,
             keep_overhang=False, average_window=3, prepared=prep,
-            skip_flip=True, deskew_table=table_d,
+            skip_flip=True, deskew_table=table,
         )
 
     from biahub_tpu.kernels.chain import deconvolve_deskew_warp
@@ -451,8 +453,8 @@ def main() -> None:
             keep_overhang=False, average_window=3, prepared=prep,
         )
 
-    def step_with_probe(v, tf, prep):
-        out = jax.vmap(fused, in_axes=(0, None, None))(v, tf, prep)
+    def step_with_probe(v, tf, prep, table):
+        out = jax.vmap(fused, in_axes=(0, None, None, None))(v, tf, prep, table)
         # The probe scalar forces real device completion when fetched:
         # block_until_ready is not reliable over remote-attached devices.
         return out, jnp.sum(out[:, 0, 0, :8])
@@ -495,12 +497,12 @@ def main() -> None:
         )(tf_d)
 
     # Warm-up compile, then force completion via a host fetch.
-    out, probe = step(vol_d, tf_d, prep_d)
+    out, probe = step(vol_d, tf_d, prep_d, table_d)
     float(probe)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out, probe = step(vol_d, tf_d, prep_d)
+        out, probe = step(vol_d, tf_d, prep_d, table_d)
     # Device execution is ordered, so fetching the last probe waits for all.
     float(probe)
     elapsed = time.perf_counter() - t0

@@ -118,12 +118,14 @@ def deconvolve(
         prepared = prepare_fourier_filter(
             (Z, Y, X), (tf_half,), float(settings.regularization_strength)
         )
+    # The TF + prepared filter thread through the runner as broadcast
+    # ARGUMENTS (device-put once, traced) — closure would embed them as
+    # HLO constants (runtime/executor.py::_put_broadcast).
     kernel = partial(
         deconvolve_zyx,
-        transfer_function_half=tf_half,
         regularization_strength=float(settings.regularization_strength),
-        prepared=prepared,
     )
+    broadcast = {"transfer_function_half": tf_half, "prepared": prepared}
 
     input_positions = [open_ome_zarr(p, mode="r") for p in input_position_dirpaths]
     output_positions = [open_ome_zarr(p, mode="r+") for p in output_position_paths]
@@ -201,6 +203,7 @@ def deconvolve(
             input_positions,
             output_positions,
             monitor=monitor and resolved != "debug",
+            broadcast_params=broadcast,
         )
     click.echo(f"Deconvolved {n} (t, c) volumes across {len(input_positions)} positions")
 

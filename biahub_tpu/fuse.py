@@ -510,7 +510,30 @@ def fuse(
     # just without the pass-C layout handoff).
     fill_needed = dk is not None and dk.keep_overhang and dk.overhang_fill != 0
 
-    def pre_stage(zyx):
+    # Per-acquisition device arrays thread through the runner's
+    # broadcast_params (traced jit ARGUMENTS, device-put once) — closing
+    # over them would embed multi-hundred-MB HLO constants
+    # (runtime/executor.py::_put_broadcast).
+    broadcast: dict = {}
+    if settings.deconvolve is not None:
+        broadcast = {"tf_half": tf_half, "prepared": prepared}
+    deskew_table = None
+    if settings.deconvolve is not None and dk is not None and not fill_needed:
+        from biahub_tpu.kernels.pallas_spectral import (
+            prepare_spectral_deskew,
+            spectral_deskew_supported,
+        )
+
+        if spectral_deskew_supported(
+            (Z, Y, X), dk.ls_angle_deg, dk.px_to_scan_ratio,
+            dk.keep_overhang, dk.average_n_slices,
+        ):
+            deskew_table = prepare_spectral_deskew(
+                (Z, Y, X), dk.ls_angle_deg, dk.px_to_scan_ratio,
+                dk.keep_overhang, dk.average_n_slices,
+            )
+
+    def pre_stage(zyx, tf_half=None, prepared=None, deskew_table=None):
         """The (deconvolve?, deskew?) prefix, in deskew's UNFLIPPED zyx
         output frame (the flip is a free host view or rides the warp)."""
         if settings.deconvolve is not None and dk is not None and not fill_needed:
@@ -522,6 +545,7 @@ def fuse(
                 keep_overhang=dk.keep_overhang,
                 average_window=dk.average_n_slices,
                 prepared=prepared, skip_flip=True,
+                deskew_table=deskew_table,
             )
         if settings.deconvolve is not None:
             from biahub_tpu.kernels.deconvolve import deconvolve_zyx
@@ -543,10 +567,12 @@ def fuse(
             )
         return zyx
 
+    if deskew_table is not None:
+        broadcast["deskew_table"] = deskew_table
     if m_single is None and mats_per_t is None:
         # No warp stage: the deskew flip (if any) is a free host view.
-        def kernel(zyx):
-            return pre_stage(zyx)
+        def kernel(zyx, **bc):
+            return pre_stage(zyx, **bc)
 
         if dk is not None:
             post_fetch = lambda a: a[:, ::-1]  # noqa: E731
@@ -557,7 +583,11 @@ def fuse(
         if settings.deconvolve is not None and dk is not None and not fill_needed:
             from biahub_tpu.kernels.chain import deconvolve_deskew_warp
 
-            def kernel(zyx):
+            # The fused warp chain rides the pass-C xzy handoff (zero
+            # transposes into the warp); the spectral table is not used.
+            broadcast.pop("deskew_table", None)
+
+            def kernel(zyx, tf_half=None, prepared=None):
                 return deconvolve_deskew_warp(
                     zyx, tf_half, reg_strength,
                     dk.ls_angle_deg, dk.px_to_scan_ratio, m_single,
@@ -583,8 +613,8 @@ def fuse(
             else:
                 m_total = m_single
 
-            def kernel(zyx):
-                return affine_warp_auto(pre_stage(zyx), m_total, out_zyx)
+            def kernel(zyx, **bc):
+                return affine_warp_auto(pre_stage(zyx, **bc), m_total, out_zyx)
     else:
         # Per-timepoint matrices: traced through one compiled batched warp.
         # The deskew flip composes into every matrix (kernels/chain.py).
@@ -599,8 +629,11 @@ def fuse(
             all_mats, frame_zyx, out_zyx
         )
 
-        def kernel(zyx, matrix, **extras):
-            return stage(pre_stage(zyx), matrix, **extras)
+        def kernel(zyx, matrix, tf_half=None, prepared=None,
+                   deskew_table=None, **extras):
+            bc = dict(tf_half=tf_half, prepared=prepared,
+                      deskew_table=deskew_table)
+            return stage(pre_stage(zyx, **bc), matrix, **extras)
 
         def per_unit_params(u):
             return {
@@ -718,6 +751,7 @@ def fuse(
         monitor=monitor and resolved != "debug",
         unit_workspace_bytes=workspace_bytes,
         post_fetch=post_fetch,
+        broadcast_params=broadcast,
     )
     if ff is None:
         n = runner.run_units(

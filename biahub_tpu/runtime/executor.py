@@ -278,12 +278,13 @@ class BatchRunner:
             b = min(((b + nd - 1) // nd) * nd, ((n_units + nd - 1) // nd) * nd)
         return max(b, 1)
 
-    def _unit_output_bytes(self, kernel, group, per_unit_params) -> int:
+    def _unit_output_bytes(self, kernel, group, per_unit_params,
+                           broadcast=None) -> int:
         """Per-unit output footprint via an abstract trace (no compute)."""
         example = per_unit_params(group.units[0]) if per_unit_params else {}
         try:
             out = jax.eval_shape(
-                lambda v: kernel(v, **example),
+                lambda v: kernel(v, **example, **(broadcast or {})),
                 jax.ShapeDtypeStruct(group.shape, np.float32),
             )
             return sum(
@@ -293,15 +294,43 @@ class BatchRunner:
         except Exception:  # non-traceable kernel: assume output matches input
             return int(np.prod(group.shape)) * 4
 
-    def _jitted(self, kernel: Callable, param_names: tuple[str, ...]) -> Callable:
-        key = (id(kernel), param_names)
-        if key not in self._jit_cache:
-            in_axes = (0,) + tuple(0 for _ in param_names)
+    def _put_broadcast(self, broadcast_params):
+        """Device-put per-acquisition kernel arrays ONCE (replicated on
+        multi-device meshes). These must thread through jit as ARGUMENTS:
+        a closed-over device array becomes an HLO constant, which bloats
+        the executable and can exceed compile-service request limits
+        (measured: a ~250 MB spectral-deskew table closure drew HTTP 413
+        from the remote compiler)."""
+        if not broadcast_params:
+            return {}
+        if self.n_devices > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
 
-            def batched(volumes, *params):
-                return jax.vmap(lambda v, *p: kernel(v, **dict(zip(param_names, p))))(
-                    volumes, *params
-                )
+            sh = NamedSharding(self.mesh, PartitionSpec())
+            return {
+                k: (jax.device_put(v, sh) if v is not None else None)
+                for k, v in broadcast_params.items()
+            }
+        return {
+            k: (jax.device_put(v) if v is not None else None)
+            for k, v in broadcast_params.items()
+        }
+
+    def _jitted(self, kernel: Callable, param_names: tuple[str, ...],
+                broadcast_names: tuple[str, ...] = ()) -> Callable:
+        key = (id(kernel), param_names, broadcast_names)
+        if key not in self._jit_cache:
+            n_p = len(param_names)
+
+            def batched(volumes, *args):
+                params, bs = args[:n_p], args[n_p:]
+                return jax.vmap(
+                    lambda v, *p: kernel(
+                        v,
+                        **dict(zip(param_names, p)),
+                        **dict(zip(broadcast_names, bs)),
+                    )
+                )(volumes, *params)
 
             # Donating the input batch lets XLA reuse its HBM for outputs —
             # material headroom when outputs are larger than inputs (deskew).
@@ -366,13 +395,18 @@ class BatchRunner:
         monitor: bool = False,
         unit_workspace_bytes: int = 0,
         post_fetch: Callable[[np.ndarray], np.ndarray] | None = None,
+        broadcast_params: dict | None = None,
     ) -> int:
         """Process work units; returns the number of units computed.
 
         ``kernel`` maps one ZYX (c_in is an int) or CZYX (c_in is a tuple)
         volume to its output volume and must be jittable; per-unit traced
         parameters (e.g. a per-timepoint transform) come from
-        ``per_unit_params``. ``unit_workspace_bytes`` declares the kernel's
+        ``per_unit_params``. ``broadcast_params`` carries per-ACQUISITION
+        kernel arrays (transfer functions, prepared filters, lerp tables)
+        shared by every unit: they are device-put once and threaded through
+        jit as traced arguments — closing over them instead would embed
+        them as HLO constants (see :meth:`_put_broadcast`). ``unit_workspace_bytes`` declares the kernel's
         per-unit internal working set (e.g. the multipass warp's common
         frame) so batch sizing doesn't overcommit HBM on intermediates that
         shape tracing can't see. ``post_fetch`` transforms each unit's numpy
@@ -432,7 +466,7 @@ class BatchRunner:
             return self._execute(
                 kernel, units, input_positions, output_positions,
                 out_dtype, resume, progress, per_unit_params,
-                int(unit_workspace_bytes), post_fetch,
+                int(unit_workspace_bytes), post_fetch, broadcast_params,
             )
 
         from biahub_tpu.cli.monitor import monitor_jobs
@@ -444,7 +478,7 @@ class BatchRunner:
                 result["n"] = self._execute(
                     kernel, units, input_positions, output_positions,
                     out_dtype, resume, progress, per_unit_params,
-                    int(unit_workspace_bytes), post_fetch,
+                    int(unit_workspace_bytes), post_fetch, broadcast_params,
                 )
             except RunCancelled:
                 result["n"] = 0
@@ -503,7 +537,10 @@ class BatchRunner:
         per_unit_params,
         unit_workspace_bytes: int = 0,
         post_fetch=None,
+        broadcast_params: dict | None = None,
     ) -> int:
+        broadcast = self._put_broadcast(broadcast_params)
+        b_names = tuple(sorted(broadcast))
         # Group by input volume shape — ragged positions can't share a batch.
         groups: dict[tuple[int, ...], _Group] = {}
         for u in units:
@@ -518,7 +555,8 @@ class BatchRunner:
             B = self._batch_size(
                 group.shape,
                 len(group.units),
-                self._unit_output_bytes(kernel, group, per_unit_params),
+                self._unit_output_bytes(kernel, group, per_unit_params,
+                                        broadcast),
                 unit_workspace_bytes,
             )
             chunks = [
@@ -560,8 +598,9 @@ class BatchRunner:
                             [params[name], params[name][-1:].repeat(pad, 0)]
                         )
 
-                fn = self._jitted(kernel, tuple(sorted(params)))
+                fn = self._jitted(kernel, tuple(sorted(params)), b_names)
                 args = [params[k] for k in sorted(params)]
+                args += [broadcast[k] for k in b_names]
                 with batch_timer(f"batch {ci + 1}/{len(chunks)}", len(chunk), unit_bytes):
                     # Always materialize on device: input donation only frees
                     # HBM for a device-resident committed array (and donating

@@ -50,13 +50,16 @@ def main():
         return jax.jit(fn, out_shardings=(Format(Layout((0, 1, 2, 3)), sds),
                                           Format(None, sds)))
 
-    def spectral(v):
+    def spectral(v, tf, prep, table):
+        # tf/prep/table MUST be jit arguments: closed-over device arrays
+        # become HLO constants and the ~250 MB table blows the remote
+        # compiler's request limit (HTTP 413; measured).
         out = jax.vmap(
             lambda vv: deconvolve_then_deskew(
-                vv, tf_d, 1e-3, ANGLE, PX, keep_overhang=False,
-                average_window=AVG, prepared=prep_d, skip_flip=True,
-                deskew_table=table_d,
-            )
+                vv, tf, 1e-3, ANGLE, PX, keep_overhang=False,
+                average_window=AVG, prepared=prep, skip_flip=True,
+                deskew_table=table,
+            ),
         )(v)
         return out, jnp.sum(out[:, 0, 0, :8])
 
@@ -64,15 +67,16 @@ def main():
 
     def run(fn, name):
         t0 = time.perf_counter()
-        out, probe = fn(vol_d)
+        out, probe = fn(vol_d, tf_d, prep_d, table_d)
         float(probe)
-        print(f"{name} compile+first {time.perf_counter() - t0:.1f}s")
+        print(f"{name} compile+first {time.perf_counter() - t0:.1f}s",
+              flush=True)
         t0 = time.perf_counter()
         for _ in range(10):
-            out, probe = fn(vol_d)
+            out, probe = fn(vol_d, tf_d, prep_d, table_d)
         float(probe)
         ms = (time.perf_counter() - t0) * 1e3 / (10 * BATCH)
-        print(f"{name}: {ms:.2f} ms/volume")
+        print(f"{name}: {ms:.2f} ms/volume", flush=True)
         return np.asarray(out[0])
 
     got = run(pinned(spectral), "spectral")

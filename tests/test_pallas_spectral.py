@@ -155,7 +155,9 @@ def test_table_shape_mismatch_raises(monkeypatch):
     rng = np.random.default_rng(14)
     vol = rng.standard_normal(shape, dtype=np.float32)
     tf_half = _tf_half(shape, rng)
-    bad = prepare_spectral_deskew(shape, LS_ANGLE, PX_TO_SCAN, False, 2)
+    # avg=3 -> 9 table rows vs the 8 the avg=1 call expects (avg=2 would
+    # coincidentally share the padded row count at this tiny geometry).
+    bad = prepare_spectral_deskew(shape, LS_ANGLE, PX_TO_SCAN, False, 3)
     with pytest.raises(ValueError, match="PreparedSpectralDeskew"):
         deconvolve_deskew_zyx_spectral(
             jnp.asarray(vol), jnp.asarray(tf_half), 1e-3,

@@ -326,6 +326,7 @@ def inplane_affine_warp_zyx_pallas(
     output_shape: tuple[int, int, int],
     fill: float = 0.0,
     input_xzy: bool = False,
+    logical_zyx_shape: tuple[int, int, int] | None = None,
 ) -> jax.Array:
     """In-plane warp via the fused MXU shear-resample kernels (concrete matrix).
 
@@ -335,6 +336,14 @@ def inplane_affine_warp_zyx_pallas(
     the pass coefficients are unchanged), saving one full-volume HBM round
     trip; and of the three remaining layout changes only the first moves the
     lane axis (the other two permute major axes — ~2x cheaper copies).
+
+    ``logical_zyx_shape``: the input's LOGICAL (Z, Y, X) extent when the
+    physical array carries trailing ZERO padding (the spectral chain's
+    (X', Z'_pad, Y') handoff pads the z axis to the kernel's store-block
+    width). The exact domain mask uses the logical extent, so coordinates
+    landing in the pad become ``fill`` exactly as they would on the
+    unpadded volume; in-domain samples never touch the pad (interior lerp
+    windows stop at the last logical slice).
     """
     from biahub_tpu.kernels.pallas_resample import shear_resample2_pallas_t
 
@@ -348,11 +357,12 @@ def inplane_affine_warp_zyx_pallas(
     b2 = ty - b1 * tx
 
     v = volume.astype(jnp.float32)
-    in_zyx_shape = (
-        (volume.shape[1], volume.shape[2], volume.shape[0])
-        if input_xzy
-        else tuple(volume.shape)
-    )
+    if logical_zyx_shape is not None:
+        in_zyx_shape = tuple(int(s) for s in logical_zyx_shape)
+    elif input_xzy:
+        in_zyx_shape = (volume.shape[1], volume.shape[2], volume.shape[0])
+    else:
+        in_zyx_shape = tuple(volume.shape)
     # Fused z+y pass in (Xi, Zi, Yi): sublane axis resamples z
     # (zi = mzz*zo + tz), lane axis resamples y (yi = b0*yo + b1*x + b2,
     # x being the o/grid axis — still the pre-resample x, as in the 3-pass

@@ -210,21 +210,77 @@ def deconvolve_deskew_warp(
     average_window: int = 1,
     fill: float = 0.0,
     prepared=None,
+    deskew_table=None,
 ) -> jax.Array:
     """The full fused reconstruction chain with every cross-verb layout
     optimization engaged.
 
-    On the Pallas path with an 8-divisible Z, deconvolve's pass C emits the
-    (Y + pad, Z, X) tilt-major edge-padded layout deskew consumes natively
-    (pallas_fft.py ``yzx_pad``) — the deskew-prep transpose + pad copies
-    (~1.6 ms per flagship volume) never materialize — and the deskew Y-flip
-    rides the warp's affine (:func:`deskew_then_warp`). Anywhere the gates
-    fail, the same composition runs through the verbs' standard contracts.
+    Preferred engine (in-plane warp, spectral-supported geometry): the
+    SPECTRAL fusion emits the deskewed volume straight out of the frequency
+    domain in the warp's (X', Z', Y') input layout
+    (kernels/pallas_spectral.py ``out_layout='xzy'``) — the deconvolved
+    volume never touches HBM, the whole deskew pass disappears, and zero
+    transposes sit between the engine and the warp. ``deskew_table``: a
+    ``prepare_spectral_deskew(..., out_layout='xzy')`` result to hoist the
+    per-acquisition lerp table (built lazily when omitted).
+
+    Otherwise, on the Pallas path with an 8-divisible Z, deconvolve's pass C
+    emits the (Y + pad, Z, X) tilt-major edge-padded layout deskew consumes
+    natively (pallas_fft.py ``yzx_pad``) — the deskew-prep transpose + pad
+    copies (~1.6 ms per flagship volume) never materialize — and the deskew
+    Y-flip rides the warp's affine (:func:`deskew_then_warp`). Anywhere the
+    gates fail, the same composition runs through the verbs' standard
+    contracts.
     """
     from biahub_tpu.kernels.deconvolve import deconvolve_zyx
 
     Z, Y, X = (int(s) for s in volume.shape)
     avg = int(average_window)
+
+    from biahub_tpu.kernels.affine import (
+        inplane_affine_warp_zyx_pallas,
+        is_inplane_matrix,
+    )
+    from biahub_tpu.kernels.deskew import get_deskewed_data_shape
+    from biahub_tpu.kernels.pallas_spectral import (
+        deconvolve_deskew_zyx_spectral,
+        spectral_deskew_supported,
+    )
+
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        or os.environ.get("BIAHUB_TPU_FORCE_PALLAS") == "1"
+    ) and os.environ.get("BIAHUB_TPU_NO_PALLAS") != "1"
+    if use_pallas and spectral_deskew_supported(
+        (Z, Y, X), ls_angle_deg, px_to_scan_ratio, keep_overhang, avg,
+        out_layout="xzy",
+    ):
+        dshape_full, _ = get_deskewed_data_shape(
+            (Z, Y, X), ls_angle_deg, px_to_scan_ratio, keep_overhang
+        )
+        groups = -(-Y // avg)
+        d_zyx_shape = (groups, dshape_full[1], dshape_full[2])
+        m = flip_y_matrix(int(dshape_full[1])) @ np.asarray(
+            matrix, dtype=np.float64
+        )
+        if is_inplane_matrix(m):
+            xzy = deconvolve_deskew_zyx_spectral(
+                volume, transfer_function_half, regularization_strength,
+                ls_angle_deg=ls_angle_deg,
+                px_to_scan_ratio=px_to_scan_ratio,
+                keep_overhang=keep_overhang, average_window=avg,
+                prepared=prepared, deskew_table=deskew_table,
+                out_layout="xzy",
+            )  # (X', Z'_pad, Y') — zero slices beyond `groups`
+            out_shape = tuple(
+                int(s) for s in
+                (output_shape if output_shape is not None else d_zyx_shape)
+            )
+            return inplane_affine_warp_zyx_pallas(
+                xzy, m, out_shape, fill=fill, input_xzy=True,
+                logical_zyx_shape=d_zyx_shape,
+            )
+
     ok, dshape = _handoff_gate((Z, Y, X), avg, ls_angle_deg,
                                px_to_scan_ratio, keep_overhang)
     if not ok:

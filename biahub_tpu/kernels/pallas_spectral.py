@@ -57,6 +57,7 @@ from biahub_tpu.kernels.pallas_fft import (
     _build_filt_main,
     _build_mats,
     _cdot,
+    _cdot_r,
     _dot,
     _full_spec,
     _geometry,
@@ -120,6 +121,14 @@ def _deskew_geom(
     return Z_out, X_out, groups, groups * avg, ct, px, offset
 
 
+_XZY_GPP = 8  # output-group block (middle-axis store width) of the xzy kernel
+
+
+def _groups_pad(groups: int) -> int:
+    """xzy-mode group count padded to the middle-axis block width."""
+    return -(-groups // _XZY_GPP) * _XZY_GPP
+
+
 @lru_cache(maxsize=8)
 def _spectral_table_np(
     raw_shape: tuple[int, int, int],
@@ -127,19 +136,23 @@ def _spectral_table_np(
     px_to_scan_ratio: float,
     keep_overhang: bool,
     average_window: int,
+    pad_groups: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     from biahub_tpu.kernels.fourier_resample import masked_lerp_dft_matrix
 
     Z_in = raw_shape[0]
-    Z_out, X_out, _, ypt, ct, px, offset = _deskew_geom(
+    Z_out, X_out, groups, ypt, ct, px, offset = _deskew_geom(
         raw_shape, ls_angle_deg, px_to_scan_ratio, keep_overhang,
         average_window,
     )
+    # xzy mode pads the group axis to the store-block width; the pad rows'
+    # matrices are ZERO so the junk output z' slices are defined zeros.
+    ypt_full = (_groups_pad(groups) if pad_groups else groups) * average_window
     zp = np.minimum(np.arange(ypt, dtype=np.float64), Z_out - 1)
     x_idx = np.arange(X_out, dtype=np.float64)
     in_z = px * x_idx[None, :] - px * ct * zp[:, None] + offset  # (YpT, X_out)
-    mr = np.empty((ypt, X_out, Z_in), np.float32)
-    mi = np.empty((ypt, X_out, Z_in), np.float32)
+    mr = np.zeros((ypt_full, X_out, Z_in), np.float32)
+    mi = np.zeros((ypt_full, X_out, Z_in), np.float32)
     scale = 1.0 / average_window
     # Chunked rows bound the f64/int64 temporaries (~8x the f32 output).
     for r0 in range(0, ypt, 16):
@@ -158,14 +171,21 @@ def prepare_spectral_deskew(
     px_to_scan_ratio: float,
     keep_overhang: bool,
     average_window: int = 1,
+    out_layout: str = "zyx",
 ) -> PreparedSpectralDeskew:
-    """Build (host) the per-acquisition lerp-DFT table; cached by params."""
+    """Build (host) the per-acquisition lerp-DFT table; cached by params.
+
+    ``out_layout`` must match the ``deconvolve_deskew_zyx_spectral`` call the
+    table feeds: ``"xzy"`` pads the group axis to the store-block width with
+    zero rows (the chain/warp handoff mode)."""
+    assert out_layout in ("zyx", "xzy"), out_layout
     mr, mi = _spectral_table_np(
         tuple(int(s) for s in raw_shape),
         float(ls_angle_deg),
         float(px_to_scan_ratio),
         bool(keep_overhang),
         int(average_window),
+        out_layout == "xzy",
     )
     return PreparedSpectralDeskew(jnp.asarray(mr), jnp.asarray(mi))
 
@@ -411,6 +431,125 @@ def _lerp_irfft_kernel(*refs, prec, avg, peel, radix_x):
     out_ref[0] = out
 
 
+def _lerp_irfft_xzy_kernel(*refs, prec, avg, peel, radix_x, gpp):
+    """Pass C' in the chain/warp handoff mode: (X', Z', Y') output.
+
+    Same math as :func:`_lerp_irfft_kernel`, restructured around the
+    probe-measured fast formulation (scripts/probe_cprime.py: 23% faster
+    than the transposed form): the lerp contraction runs as the NATURAL
+    ``M @ S`` dot (both operands feed the MXU in their stored layouts) and
+    the irfft along the coverslip axis runs on the LANE axis — the same
+    orientation as pallas_fft's proven pass C — emitting (x'-tile, Y')
+    slices. The grid is (group_blocks, x'_tiles) with the x'-tile axis
+    inner (the S block index is constant along it, so Mosaic fetches each
+    group block once); each program stores its ``gpp`` group slices into
+    STATIC middle-axis slots of the (X', Z'_pad, Y') output — the free
+    transpose direction — which is exactly the (Xi, Zi, Yi) layout the
+    in-plane warp kernels consume (kernels/affine.py ``input_xzy``).
+
+    Z'_pad is the group count padded to ``gpp``; the pad groups' table rows
+    are zero (prepare_spectral_deskew(out_layout='xzy')) so the junk z'
+    slices are defined zeros — downstream warps mask them via the logical
+    input shape.
+    """
+    sr_ref, si_ref, mr_ref, mi_ref = refs[:4]
+    rest = refs[4:]
+    if radix_x == 0:
+        ax_ref, bx_ref = rest[0], rest[1]
+        rest = rest[2:]
+    elif radix_x == 1:
+        prc_ref, pic_ref, wrow_ref, itwc_ref, itws_ref = rest[:5]
+        rest = rest[5:]
+    else:
+        (prc_ref, pic_ref, wrow_ref, t2c_ref, t2s_ref, t1c_ref, t1s_ref,
+         t3c_ref, t3s_ref) = rest[:9]
+        rest = rest[9:]
+    if peel:
+        nyqr_ref, nyqi_ref = rest[0], rest[1]
+        rest = rest[2:]
+    out_ref = rest[0]
+
+    for gg in range(gpp):
+        # S blocks arrive in REVERSED group order (the front-padded tilt
+        # axis), M/out ascending in z': within a block the halves pair
+        # crosswise — see _lerp_irfft_kernel's row-mapping derivation.
+        s_base = (gpp - 1 - gg) * avg
+        ur = ui = None
+        for j in range(avg):
+            t_r, t_i = _cdot(
+                mr_ref[gg * avg + avg - 1 - j],
+                mi_ref[gg * avg + avg - 1 - j],
+                sr_ref[s_base + j], si_ref[s_base + j], prec,
+            )  # (xt, Xw)
+            ur = t_r if ur is None else ur + t_r
+            ui = t_i if ui is None else ui + t_i
+
+        if radix_x == 2:
+            prc, pic = prc_ref[:], pic_ref[:]  # (O, Q)
+            o = prc.shape[0]
+            w = wrow_ref[:]  # (1, O)
+            a0 = (_dot(ur[:, :o] * w, prc, prec)
+                  - _dot(ui[:, :o] * w, pic, prec))
+            c2r, c2i = _cdot_r(ur[:, o : 2 * o], ui[:, o : 2 * o], prc, pic,
+                               prec)
+            c1r, c1i = _cdot_r(ur[:, 2 * o : 3 * o], ui[:, 2 * o : 3 * o],
+                               prc, pic, prec)
+            c3r, c3i = _cdot_r(ur[:, 3 * o :], ui[:, 3 * o :], prc, pic, prec)
+            t2c, t2s = t2c_ref[:], t2s_ref[:]  # (1, Q) rows
+            t1c, t1s = t1c_ref[:], t1s_ref[:]
+            t3c, t3s = t3c_ref[:], t3s_ref[:]
+            t2 = c2r * t2c - c2i * t2s
+            u1r = c1r * t1c - c1i * t1s
+            u1i = c1r * t1s + c1i * t1c
+            u3r = c3r * t3c - c3i * t3s
+            u3i = c3r * t3s + c3i * t3c
+            out = jnp.concatenate(
+                [
+                    a0 + t2 + u1r + u3r,
+                    a0 - t2 - u1i + u3i,
+                    a0 + t2 - u1r - u3r,
+                    a0 - t2 + u1i - u3i,
+                ],
+                axis=1,
+            )
+        elif radix_x == 1:
+            prc, pic = prc_ref[:], pic_ref[:]  # (Q, M)
+            q = prc.shape[0]
+            w = wrow_ref[:]  # (1, Q)
+            a = (_dot(ur[:, :q] * w, prc, prec)
+                 - _dot(ui[:, :q] * w, pic, prec))
+            cr_, ci_ = _cdot_r(ur[:, q:], ui[:, q:], prc, pic, prec)
+            t = cr_ * itwc_ref[:] - ci_ * itws_ref[:]
+            out = jnp.concatenate([a + t, a - t], axis=1)
+        else:
+            out = _dot(ur, ax_ref[:], prec) + _dot(ui, bx_ref[:], prec)
+
+        if peel:
+            # real(M_j @ nyq_row_j) accumulated over the group, broadcast
+            # with the (-1)^y basis on the LANE axis (Y' is the lane axis
+            # in this orientation).
+            nrows_r = nyqr_ref[gg]  # (avgP, Z)
+            nrows_i = nyqi_ref[gg]
+            dims = (((1,), (1,)), ((), ()))
+            acc = None
+            for j in range(avg):
+                nr = nrows_r[j : j + 1, :]
+                ni = nrows_i[j : j + 1, :]
+                m_r = mr_ref[gg * avg + avg - 1 - j]
+                m_i = mi_ref[gg * avg + avg - 1 - j]
+                val = jax.lax.dot_general(
+                    m_r, nr, dims, preferred_element_type=jnp.float32
+                ) - jax.lax.dot_general(
+                    m_i, ni, dims, preferred_element_type=jnp.float32
+                )  # (xt, 1)
+                acc = val if acc is None else acc + val
+            sign = 1.0 - 2.0 * (
+                jax.lax.broadcasted_iota(jnp.int32, (1, out.shape[1]), 1) % 2
+            ).astype(jnp.float32)
+            out = out + acc * sign
+        out_ref[:, gg, :] = out
+
+
 # ---------------------------------------------------------------------------
 # Driver
 # ---------------------------------------------------------------------------
@@ -423,6 +562,7 @@ def spectral_deskew_supported(
     keep_overhang: bool,
     average_window: int = 1,
     n_filt: int = 1,
+    out_layout: str = "zyx",
 ) -> bool:
     """True when the fused spectral deconvolve+deskew engine handles this
     geometry. Falls back to the pass-C handoff composition otherwise."""
@@ -456,12 +596,21 @@ def spectral_deskew_supported(
     b2 = (
         g.ny * 2 * 8 * g.yw * g.xw + 2 * ypt * 8 * g.xw
     ) * f32 * dbuf
-    c = (
-        2 * avg * z * g.xw      # spectrum rows
-        + 2 * avg * x_out * z   # lerp table rows
-        + x * x_out             # output slice
-        + 2 * g.xw * x_out      # U accumulator
-    ) * f32 * dbuf
+    if out_layout == "xzy":
+        xt = 128 if x_out > 128 else x_out
+        c = (
+            2 * _XZY_GPP * avg * z * g.xw   # group-block spectrum rows
+            + 2 * _XZY_GPP * avg * xt * z   # lerp table tile
+            + xt * _XZY_GPP * x             # output block
+            + 2 * xt * g.xw                 # U accumulator
+        ) * f32 * dbuf
+    else:
+        c = (
+            2 * avg * z * g.xw      # spectrum rows
+            + 2 * avg * x_out * z   # lerp table rows
+            + x * x_out             # output slice
+            + 2 * g.xw * x_out      # U accumulator
+        ) * f32 * dbuf
     return max(b1, b2, c) < _VMEM_BUDGET_BYTES - 6 * 1024 * 1024
 
 
@@ -501,6 +650,7 @@ def deconvolve_deskew_zyx_spectral(
     prepared=None,
     deskew_table: PreparedSpectralDeskew | None = None,
     filter_halves: tuple | None = None,
+    out_layout: str = "zyx",
 ) -> jax.Array:
     """Fused Tikhonov deconvolution + deskew, never materializing the
     deconvolved volume (see module docstring). Output matches
@@ -512,7 +662,16 @@ def deconvolve_deskew_zyx_spectral(
     (re, im) Hermitian filter arrays instead of a transfer function (the
     phase-reconstruction chain; ``regularization_strength=None``).
     ``deskew_table``: a :func:`prepare_spectral_deskew` result — built on
-    the fly (host, cached) when omitted, but hoist it in hot loops.
+    the fly (host, cached) when omitted, but hoist it in hot loops; its
+    ``out_layout`` must match.
+
+    ``out_layout='xzy'`` (the chain/warp handoff): the output is
+    (X_out, Z'_pad, X_in) — the (Xi, Zi, Yi) layout the in-plane warp
+    consumes natively — where Z'_pad pads ceil(Y/avg) up to the store-block
+    width with zero slices (callers pass the LOGICAL group count to the
+    warp's domain mask). Probe-measured 23% faster than the transposed zyx
+    kernel (scripts/probe_cprime.py) on top of skipping the warp-side
+    transpose.
     """
     z, y, x = (int(s) for s in zyx_data.shape)
     g = _geometry(z, y, x)
@@ -544,20 +703,27 @@ def deconvolve_deskew_zyx_spectral(
         )
         reg_mode = reg
 
+    assert out_layout in ("zyx", "xzy"), out_layout
     avg = int(average_window)
     z_out, x_out, groups, ypt, _, _, _ = _deskew_geom(
         (z, y, x), ls_angle_deg, px_to_scan_ratio, keep_overhang, avg
     )
+    if out_layout == "xzy":
+        groups_eff = _groups_pad(groups)
+        ypt = groups_eff * avg
+    else:
+        groups_eff = groups
     pad = ypt - z_out
     if deskew_table is None:
         deskew_table = prepare_spectral_deskew(
-            (z, y, x), ls_angle_deg, px_to_scan_ratio, keep_overhang, avg
+            (z, y, x), ls_angle_deg, px_to_scan_ratio, keep_overhang, avg,
+            out_layout=out_layout,
         )
     mr, mi = deskew_table
     if tuple(mr.shape) != (ypt, x_out, z):
         raise ValueError(
             f"PreparedSpectralDeskew shape {tuple(mr.shape)} does not match "
-            f"this geometry (expected {(ypt, x_out, z)})."
+            f"this geometry / out_layout (expected {(ypt, x_out, z)})."
         )
 
     m = _build_mats(g)
@@ -642,7 +808,68 @@ def deconvolve_deskew_zyx_spectral(
     )(*b1, *b2_extra)
     _dbg("pass B'2", b2[0])
 
-    # -- Pass C': fused lerp-resample + transposed irfft_X --------------------
+    # -- Pass C': fused lerp-resample + irfft_X -------------------------------
+    nyq_planes = None
+    if g.peel:
+        nyq_planes = (
+            prepared.nyq
+            if prepared is not None
+            else tuple(f[..., -1] for f in filter_arrays)
+        )
+
+    if out_layout == "xzy":
+        # Chain/warp handoff: natural-orientation dots + lane irfft, stored
+        # as (X', Z'_pad, Y') via static middle slots (_lerp_irfft_xzy_kernel).
+        if g.radix_x:
+            c_mats = tuple(
+                jnp.asarray(mm) for mm in _radix_x_inv_mats(x, g.radix_x)
+            )
+        else:
+            c_mats = tuple(jnp.asarray(mm[: g.xw]) for mm in _irfft_mats(x))
+        gpp = _XZY_GPP
+        n_gb = groups_eff // gpp
+        xt = 128 if x_out > 128 else x_out
+        n_xt = -(-x_out // xt)
+        c_args = [
+            b2[0], b2[1], mr.astype(jnp.float32), mi.astype(jnp.float32),
+            *c_mats,
+        ]
+        c_specs = [
+            pl.BlockSpec((gpp * avg, z, g.xw),
+                         lambda gb, t: (n_gb - 1 - gb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpp * avg, z, g.xw),
+                         lambda gb, t: (n_gb - 1 - gb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpp * avg, xt, z), lambda gb, t: (gb, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpp * avg, xt, z), lambda gb, t: (gb, t, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [_full_spec(tuple(mm.shape)) for mm in c_mats]
+        if g.peel:
+            nyq_r, nyq_i = _nyq_partial_chain(
+                nyq_raw[..., 0], nyq_planes, reg_mode, x, groups_eff, avg,
+                pad,
+            )
+            avg_p = nyq_r.shape[1]
+            c_args += [nyq_r, nyq_i]
+            c_specs += [
+                pl.BlockSpec((gpp, avg_p, z), lambda gb, t: (gb, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ] * 2
+        return pl.pallas_call(
+            partial(_lerp_irfft_xzy_kernel, prec=prec, avg=avg, peel=g.peel,
+                    radix_x=g.radix_x, gpp=gpp),
+            grid=(n_gb, n_xt),
+            in_specs=c_specs,
+            out_specs=pl.BlockSpec((xt, gpp, x), lambda gb, t: (t, gb, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((x_out, groups_eff, x),
+                                           jnp.float32),
+            interpret=g.interpret,
+            **vmem_params,
+        )(*c_args)
+
     if g.radix_x:
         imats = _radix_x_inv_mats(x, g.radix_x)
         prct, pict = (jnp.asarray(mm.T.copy()) for mm in imats[:2])
@@ -667,13 +894,8 @@ def deconvolve_deskew_zyx_spectral(
                      memory_space=pltpu.VMEM),
     ] + [_full_spec(tuple(mm.shape)) for mm in c_mats]
     if g.peel:
-        planes = (
-            prepared.nyq
-            if prepared is not None
-            else tuple(f[..., -1] for f in filter_arrays)
-        )
         nyq_r, nyq_i = _nyq_partial_chain(
-            nyq_raw[..., 0], planes, reg_mode, x, groups, avg, pad
+            nyq_raw[..., 0], nyq_planes, reg_mode, x, groups, avg, pad
         )
         avg_p = nyq_r.shape[1]
         c_args += [nyq_r, nyq_i]

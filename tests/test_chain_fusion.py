@@ -181,6 +181,62 @@ def test_deconvolve_then_deskew_matches_naive(monkeypatch):
     jax.clear_caches()
 
 
+@pytest.mark.parametrize("avg,keep_overhang", [(3, False), (2, True)])
+def test_deconvolve_deskew_warp_spectral_route(avg, keep_overhang, monkeypatch):
+    """On a spectral-supported geometry with an in-plane warp, the chain
+    routes through the xzy spectral engine (the deconvolved AND deskewed
+    volumes never hit HBM in the standard layout) and matches
+    deconvolve -> deskew -> warp through the standard contracts, including
+    the padded group slices masked by the warp's logical domain."""
+    import jax
+
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")
+    jax.clear_caches()
+
+    from biahub_tpu.kernels.affine import affine_warp_auto
+    from biahub_tpu.kernels.chain import deconvolve_deskew_warp
+    from biahub_tpu.kernels.deconvolve import (
+        compute_transfer_function,
+        deconvolve_zyx,
+    )
+    from biahub_tpu.kernels.deskew import deskew_zyx
+    from biahub_tpu.kernels.pallas_spectral import spectral_deskew_supported
+
+    shape, angle, ratio = (16, 16, 64), 30.0, 0.4
+    assert spectral_deskew_supported(shape, angle, ratio, keep_overhang,
+                                     avg, out_layout="xzy")
+    rng = np.random.default_rng(37)
+    vol = rng.random(shape, dtype=np.float32)
+    psf = np.zeros((3, 3, 3), np.float32)
+    psf[1, 1, 1] = 1.0
+    tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
+    theta = np.deg2rad(2.0)
+    m = np.eye(4)
+    m[1:3, 1:3] = 1.01 * np.array(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+    )
+    m[:3, 3] = [0.3, -0.6, 0.9]
+
+    fusedv = np.asarray(
+        deconvolve_deskew_warp(
+            vol, tf_half, 1e-3, angle, ratio, m, average_window=avg,
+            keep_overhang=keep_overhang,
+        )
+    )
+    decon = deconvolve_zyx(vol, tf_half, regularization_strength=1e-3)
+    deskewed = deskew_zyx(
+        decon, ls_angle_deg=angle, px_to_scan_ratio=ratio,
+        keep_overhang=keep_overhang, average_window=avg,
+    )
+    naive = np.asarray(affine_warp_auto(deskewed, m, tuple(deskewed.shape)))
+    assert fusedv.shape == naive.shape
+    np.testing.assert_allclose(
+        fusedv, naive, atol=2e-4 * np.abs(naive).max()
+    )
+    jax.clear_caches()
+
+
 def test_deconvolve_then_deskew_spectral_route(monkeypatch):
     """On a spectral-supported geometry, deconvolve_then_deskew routes
     through the fused spectral engine and still matches the composition

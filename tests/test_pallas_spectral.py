@@ -140,6 +140,56 @@ def test_prepared_filter_and_table_paths_agree(monkeypatch):
     np.testing.assert_allclose(hoisted, base, atol=1e-4 * scale, rtol=0)
 
 
+@pytest.mark.parametrize(
+    "shape,window,keep_overhang",
+    [
+        ((8, 8, 32), 3, False),     # ragged groups (3 -> padded to 8)
+        ((8, 8, 32), 2, True),      # overhang + padded groups
+        ((16, 16, 256), 2, False),  # Nyquist peel + radix-4 X, full block
+    ],
+)
+def test_xzy_layout_matches_zyx(shape, window, keep_overhang, monkeypatch):
+    """out_layout='xzy' (the chain/warp handoff) is the transposed zyx
+    result with the group axis zero-padded to the store-block width."""
+    from biahub_tpu.kernels.pallas_spectral import _deskew_geom, _groups_pad
+
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")
+    rng = np.random.default_rng(17)
+    vol = rng.standard_normal(shape, dtype=np.float32)
+    tf_half = _tf_half(shape, rng)
+    assert spectral_deskew_supported(
+        shape, LS_ANGLE, PX_TO_SCAN, keep_overhang, window, out_layout="xzy"
+    )
+    kwargs = dict(
+        ls_angle_deg=LS_ANGLE, px_to_scan_ratio=PX_TO_SCAN,
+        keep_overhang=keep_overhang, average_window=window,
+    )
+    zyx = np.asarray(
+        deconvolve_deskew_zyx_spectral(
+            jnp.asarray(vol), jnp.asarray(tf_half), 1e-3, **kwargs
+        )
+    )
+    xzy = np.asarray(
+        deconvolve_deskew_zyx_spectral(
+            jnp.asarray(vol), jnp.asarray(tf_half), 1e-3,
+            out_layout="xzy", **kwargs,
+        )
+    )
+    groups = _deskew_geom(shape, LS_ANGLE, PX_TO_SCAN, keep_overhang,
+                          window)[2]
+    gp = _groups_pad(groups)
+    assert xzy.shape == (zyx.shape[2], gp, zyx.shape[1])
+    scale = np.abs(zyx).max()
+    np.testing.assert_allclose(
+        xzy[:, :groups, :], np.transpose(zyx, (2, 0, 1)),
+        atol=1e-5 * scale, rtol=0,
+    )
+    # Pad groups' table rows are zero -> the junk z' slices are defined 0s.
+    if gp > groups:
+        assert np.abs(xzy[:, groups:, :]).max() == 0.0
+
+
 def test_gate_rejects_unsupported_geometry(monkeypatch):
     monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
     # z not divisible by 8 -> pass B'2 blocks cannot form

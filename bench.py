@@ -441,16 +441,32 @@ def main() -> None:
             skip_flip=True, deskew_table=table,
         )
 
-    from biahub_tpu.kernels.chain import deconvolve_deskew_warp
+    from biahub_tpu.kernels.chain import (
+        chain_warp_spectral_route,
+        deconvolve_deskew_warp,
+    )
 
-    def full_chain(v, tf, prep):
-        # The fully fused chain (kernels/chain.py): deconvolve's pass C
-        # emits deskew's tilt-major padded input layout directly, the
-        # deskew Y-flip rides the warp's affine, and reg_stab is concrete
-        # so the warp runs the transposed-output Pallas kernels.
+    # The chain's spectral xzy table (group axis padded to the store block)
+    # differs from the no-warp zyx one; hoist it the same way.
+    chain_table_d = None
+    if chain_warp_spectral_route(shape, ls_angle_deg, px_to_scan_ratio,
+                                 False, 3, reg_stab):
+        chain_table_d = jax.device_put(
+            prepare_spectral_deskew(shape, ls_angle_deg, px_to_scan_ratio,
+                                    False, 3, out_layout="xzy")
+        )
+
+    def full_chain(v, tf, prep, table):
+        # The fully fused chain (kernels/chain.py): the spectral engine
+        # emits the deskewed volume straight out of the frequency domain in
+        # the warp's (X', Z', Y') input layout (neither the deconvolved nor
+        # the deskewed volume materializes in a standard layout), and the
+        # deskew Y-flip rides the warp's affine. Where the spectral gates
+        # fail, the pass-C xzy handoff engages instead.
         return deconvolve_deskew_warp(
             v, tf, 1e-3, ls_angle_deg, px_to_scan_ratio, reg_stab,
             keep_overhang=False, average_window=3, prepared=prep,
+            deskew_table=table,
         )
 
     def step_with_probe(v, tf, prep, table):
@@ -508,16 +524,18 @@ def main() -> None:
     elapsed = time.perf_counter() - t0
 
     # End-to-end chain (deconvolve + deskew + register∘stabilize warp)
-    def chain_with_probe(v, tf, prep):
-        out = jax.vmap(full_chain, in_axes=(0, None, None))(v, tf, prep)
+    def chain_with_probe(v, tf, prep, table):
+        out = jax.vmap(full_chain, in_axes=(0, None, None, None))(
+            v, tf, prep, table
+        )
         return out, jnp.sum(out[:, 0, 0, :8])
 
     chain = _pinned_jit(chain_with_probe)
-    out, probe = chain(vol_d, tf_d, prep_d)
+    out, probe = chain(vol_d, tf_d, prep_d, chain_table_d)
     float(probe)
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out, probe = chain(vol_d, tf_d, prep_d)
+        out, probe = chain(vol_d, tf_d, prep_d, chain_table_d)
     float(probe)
     chain_elapsed = time.perf_counter() - t0
 

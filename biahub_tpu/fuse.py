@@ -581,18 +581,34 @@ def fuse(
         # rides the warp's affine inside deconvolve_deskew_warp /
         # deskew_then_warp; static Pallas window plans apply).
         if settings.deconvolve is not None and dk is not None and not fill_needed:
-            from biahub_tpu.kernels.chain import deconvolve_deskew_warp
+            from biahub_tpu.kernels.chain import (
+                chain_warp_spectral_route,
+                deconvolve_deskew_warp,
+            )
+            from biahub_tpu.kernels.pallas_spectral import (
+                prepare_spectral_deskew,
+            )
 
-            # The fused warp chain rides the pass-C xzy handoff (zero
-            # transposes into the warp); the spectral table is not used.
+            # The chain rides the spectral xzy engine when the warp is
+            # in-plane (the table layout differs from the no-warp zyx one);
+            # otherwise the pass-C xzy handoff and no table is needed.
             broadcast.pop("deskew_table", None)
+            if chain_warp_spectral_route(
+                (Z, Y, X), dk.ls_angle_deg, dk.px_to_scan_ratio,
+                dk.keep_overhang, dk.average_n_slices, m_single,
+            ):
+                broadcast["deskew_table"] = prepare_spectral_deskew(
+                    (Z, Y, X), dk.ls_angle_deg, dk.px_to_scan_ratio,
+                    dk.keep_overhang, dk.average_n_slices, out_layout="xzy",
+                )
 
-            def kernel(zyx, tf_half=None, prepared=None):
+            def kernel(zyx, tf_half=None, prepared=None, deskew_table=None):
                 return deconvolve_deskew_warp(
                     zyx, tf_half, reg_strength,
                     dk.ls_angle_deg, dk.px_to_scan_ratio, m_single,
                     output_shape=out_zyx, keep_overhang=dk.keep_overhang,
                     average_window=dk.average_n_slices, prepared=prepared,
+                    deskew_table=deskew_table,
                 )
         elif dk is not None and settings.deconvolve is None and not fill_needed:
             from biahub_tpu.kernels.chain import deskew_then_warp

@@ -32,7 +32,50 @@ __all__ = [
     "deskew_then_warp",
     "deconvolve_then_deskew",
     "deconvolve_deskew_warp",
+    "chain_warp_spectral_route",
 ]
+
+
+def chain_warp_spectral_route(
+    zyx_shape: tuple[int, int, int],
+    ls_angle_deg: float,
+    px_to_scan_ratio: float,
+    keep_overhang: bool,
+    average_window: int,
+    matrix,
+) -> bool:
+    """True when :func:`deconvolve_deskew_warp` will ride the spectral
+    ``out_layout='xzy'`` engine for this geometry + warp matrix.
+
+    Callers that jit the chain use this to hoist the per-acquisition lerp
+    table (``prepare_spectral_deskew(..., out_layout='xzy')``) and thread it
+    through as a traced argument — a lazily-built table becomes a
+    multi-hundred-MB HLO constant that remote compile relays reject.
+    """
+    from biahub_tpu.kernels.affine import is_inplane_matrix
+    from biahub_tpu.kernels.deskew import get_deskewed_data_shape
+    from biahub_tpu.kernels.pallas_spectral import spectral_deskew_supported
+
+    Z, Y, X = (int(s) for s in zyx_shape)
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        or os.environ.get("BIAHUB_TPU_FORCE_PALLAS") == "1"
+    ) and os.environ.get("BIAHUB_TPU_NO_PALLAS") != "1"
+    if not (
+        use_pallas
+        and spectral_deskew_supported(
+            (Z, Y, X), ls_angle_deg, px_to_scan_ratio, keep_overhang,
+            int(average_window), out_layout="xzy",
+        )
+    ):
+        return False
+    dshape_full, _ = get_deskewed_data_shape(
+        (Z, Y, X), ls_angle_deg, px_to_scan_ratio, keep_overhang
+    )
+    m = flip_y_matrix(int(dshape_full[1])) @ np.asarray(
+        matrix, dtype=np.float64
+    )
+    return bool(is_inplane_matrix(m))
 
 
 def _handoff_gate(zyx_shape, avg, ls_angle_deg, px_to_scan_ratio,
@@ -237,23 +280,15 @@ def deconvolve_deskew_warp(
     Z, Y, X = (int(s) for s in volume.shape)
     avg = int(average_window)
 
-    from biahub_tpu.kernels.affine import (
-        inplane_affine_warp_zyx_pallas,
-        is_inplane_matrix,
-    )
+    from biahub_tpu.kernels.affine import inplane_affine_warp_zyx_pallas
     from biahub_tpu.kernels.deskew import get_deskewed_data_shape
     from biahub_tpu.kernels.pallas_spectral import (
         deconvolve_deskew_zyx_spectral,
-        spectral_deskew_supported,
     )
 
-    use_pallas = (
-        jax.default_backend() == "tpu"
-        or os.environ.get("BIAHUB_TPU_FORCE_PALLAS") == "1"
-    ) and os.environ.get("BIAHUB_TPU_NO_PALLAS") != "1"
-    if use_pallas and spectral_deskew_supported(
+    if chain_warp_spectral_route(
         (Z, Y, X), ls_angle_deg, px_to_scan_ratio, keep_overhang, avg,
-        out_layout="xzy",
+        matrix,
     ):
         dshape_full, _ = get_deskewed_data_shape(
             (Z, Y, X), ls_angle_deg, px_to_scan_ratio, keep_overhang
@@ -263,23 +298,22 @@ def deconvolve_deskew_warp(
         m = flip_y_matrix(int(dshape_full[1])) @ np.asarray(
             matrix, dtype=np.float64
         )
-        if is_inplane_matrix(m):
-            xzy = deconvolve_deskew_zyx_spectral(
-                volume, transfer_function_half, regularization_strength,
-                ls_angle_deg=ls_angle_deg,
-                px_to_scan_ratio=px_to_scan_ratio,
-                keep_overhang=keep_overhang, average_window=avg,
-                prepared=prepared, deskew_table=deskew_table,
-                out_layout="xzy",
-            )  # (X', Z'_pad, Y') — zero slices beyond `groups`
-            out_shape = tuple(
-                int(s) for s in
-                (output_shape if output_shape is not None else d_zyx_shape)
-            )
-            return inplane_affine_warp_zyx_pallas(
-                xzy, m, out_shape, fill=fill, input_xzy=True,
-                logical_zyx_shape=d_zyx_shape,
-            )
+        xzy = deconvolve_deskew_zyx_spectral(
+            volume, transfer_function_half, regularization_strength,
+            ls_angle_deg=ls_angle_deg,
+            px_to_scan_ratio=px_to_scan_ratio,
+            keep_overhang=keep_overhang, average_window=avg,
+            prepared=prepared, deskew_table=deskew_table,
+            out_layout="xzy",
+        )  # (X', Z'_pad, Y') — zero slices beyond `groups`
+        out_shape = tuple(
+            int(s) for s in
+            (output_shape if output_shape is not None else d_zyx_shape)
+        )
+        return inplane_affine_warp_zyx_pallas(
+            xzy, m, out_shape, fill=fill, input_xzy=True,
+            logical_zyx_shape=d_zyx_shape,
+        )
 
     ok, dshape = _handoff_gate((Z, Y, X), avg, ls_angle_deg,
                                px_to_scan_ratio, keep_overhang)

@@ -78,6 +78,17 @@ def chain_warp_spectral_route(
     return bool(is_inplane_matrix(m))
 
 
+def _route_echo(helper: str, engine: str, why: str = "") -> None:
+    """One-line route note under BIAHUB_TPU_PROFILE (trace-time, once per
+    compiled program) — prevents silent perf cliffs when a production shape
+    slips past a fusion gate (e.g. the 64 MiB fused-handoff bound)."""
+    if os.environ.get("BIAHUB_TPU_PROFILE"):
+        import sys
+
+        note = f" ({why})" if why else ""
+        print(f"[biahub-tpu] {helper}: {engine}{note}", file=sys.stderr)
+
+
 def _handoff_gate(zyx_shape, avg, ls_angle_deg, px_to_scan_ratio,
                   keep_overhang):
     """(fused_ok, deskewed_unaveraged_shape) for the pass-C layout handoff.
@@ -155,6 +166,7 @@ def deconvolve_then_deskew(
     if use_pallas and spectral_deskew_supported(
         (Z, Y, X), ls_angle_deg, px_to_scan_ratio, keep_overhang, avg
     ):
+        _route_echo("deconvolve_then_deskew", "spectral engine")
         out = deconvolve_deskew_zyx_spectral(
             volume, transfer_function_half, regularization_strength,
             ls_angle_deg=ls_angle_deg, px_to_scan_ratio=px_to_scan_ratio,
@@ -166,6 +178,11 @@ def deconvolve_then_deskew(
     ok, _ = _handoff_gate((Z, Y, X), avg, ls_angle_deg, px_to_scan_ratio,
                           keep_overhang)
     if not ok:
+        _route_echo(
+            "deconvolve_then_deskew", "standard composition",
+            "spectral + pass-C handoff gates failed for "
+            f"shape={(Z, Y, X)} avg={avg}",
+        )
         decon = deconvolve_zyx(
             volume, transfer_function_half,
             regularization_strength=regularization_strength,
@@ -181,6 +198,7 @@ def deconvolve_then_deskew(
     from biahub_tpu.kernels.pallas_deskew import deskew_zyx_pallas
     from biahub_tpu.kernels.pallas_fft import deconvolve_zyx_pallas
 
+    _route_echo("deconvolve_then_deskew", "pass-C layout handoff")
     groups = -(-Y // avg)
     pad_front = groups * avg - Y
     decon_yzx = deconvolve_zyx_pallas(
@@ -290,6 +308,7 @@ def deconvolve_deskew_warp(
         (Z, Y, X), ls_angle_deg, px_to_scan_ratio, keep_overhang, avg,
         matrix,
     ):
+        _route_echo("deconvolve_deskew_warp", "spectral engine (xzy)")
         dshape_full, _ = get_deskewed_data_shape(
             (Z, Y, X), ls_angle_deg, px_to_scan_ratio, keep_overhang
         )
@@ -318,6 +337,11 @@ def deconvolve_deskew_warp(
     ok, dshape = _handoff_gate((Z, Y, X), avg, ls_angle_deg,
                                px_to_scan_ratio, keep_overhang)
     if not ok:
+        _route_echo(
+            "deconvolve_deskew_warp", "standard composition",
+            "spectral + pass-C handoff gates failed for "
+            f"shape={(Z, Y, X)} avg={avg}",
+        )
         decon = deconvolve_zyx(
             volume, transfer_function_half,
             regularization_strength=regularization_strength,
@@ -339,6 +363,10 @@ def deconvolve_deskew_warp(
     # negates in-plane entries).
     m = flip_y_matrix(int(dshape[1])) @ np.asarray(matrix, dtype=np.float64)
     xzy = is_inplane_matrix(m)
+    _route_echo(
+        "deconvolve_deskew_warp",
+        "pass-C layout handoff" + (" (xzy)" if xzy else ""),
+    )
     groups = -(-Y // avg)
     pad_total = ((-(-groups // 8) * 8) if xzy else groups) * avg - Y
 

@@ -565,8 +565,20 @@ def spectral_deskew_supported(
     out_layout: str = "zyx",
 ) -> bool:
     """True when the fused spectral deconvolve+deskew engine handles this
-    geometry. Falls back to the pass-C handoff composition otherwise."""
-    if os.environ.get("BIAHUB_TPU_SPECTRAL_DESKEW", "1") == "0":
+    geometry AND the engine is opted in (``BIAHUB_TPU_SPECTRAL_DESKEW=1``).
+
+    OPT-IN, not the default: on TPU v5e the engine measured ~0.5 ms/volume
+    SLOWER than the pass-C handoff composition at the flagship FOV (device
+    trace 2026-08: A 1.43 + B'1 0.98 + B'2 0.79 + C' 2.27 = 5.52 ms/vol vs
+    the composition's 5.0). Structural accounting: splitting pass B into
+    B'1/B'2 adds a full-spectrum HBM round trip (+0.58 ms) and C' reads the
+    255 MB lerp table every volume, while C' only saves 0.11 ms vs
+    pass C + the one-hot deskew — the composition's z-chain (DFT_z, filter,
+    iDFT_z) cancels locally per ky and needs no kz transpose, which the
+    spectral fold fundamentally cannot avoid (the lerp consumes kz per
+    tilt row). Kept for hardware generations with a different
+    compute/bandwidth balance."""
+    if os.environ.get("BIAHUB_TPU_SPECTRAL_DESKEW") != "1":
         return False
     if not deconvolve_pallas_supported(shape):
         return False

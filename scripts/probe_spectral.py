@@ -5,7 +5,11 @@ flagship FOV (parity + steady-state per-volume time at batch 4). Run on the
 TPU: `python scripts/probe_spectral.py`.
 """
 
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp

@@ -28,8 +28,7 @@ psf = np.exp(-np.sum(np.square(np.mgrid[-4:5, -4:5, -4:5] / 1.5), axis=0)).astyp
 tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
 
 
-@jax.jit
-def step(v, tf, prep, table):
+def _step(v, tf, prep, table):
     out = jax.vmap(
         lambda vv: deconvolve_then_deskew(
             vv, tf, 1e-3, ANGLE, PX, keep_overhang=False, average_window=AVG,
@@ -37,6 +36,18 @@ def step(v, tf, prep, table):
         )
     )(v)
     return out, jnp.sum(out[:, 0, 0, :8])
+
+
+# Pin the result layout to row-major (as bench.py / the BatchRunner do) so
+# the trace matches production: XLA otherwise copies the final Pallas output
+# into a zero-padding layout.
+from jax.experimental.layout import Format, Layout
+
+_sds = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+step = jax.jit(
+    _step,
+    out_shardings=(Format(Layout((0, 1, 2, 3)), _sds), Format(None, _sds)),
+)
 
 
 vol_d = jax.device_put(vol)

@@ -69,6 +69,7 @@ def test_deconvolve_deskew_warp_matches_naive(avg, monkeypatch):
 
     monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
     monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")
+    monkeypatch.setenv("BIAHUB_TPU_SPECTRAL_DESKEW", "1")  # opt-in engine
     jax.clear_caches()
 
     from biahub_tpu.kernels.affine import affine_warp_auto
@@ -192,6 +193,7 @@ def test_deconvolve_deskew_warp_spectral_route(avg, keep_overhang, monkeypatch):
 
     monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
     monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")
+    monkeypatch.setenv("BIAHUB_TPU_SPECTRAL_DESKEW", "1")  # opt-in engine
     jax.clear_caches()
 
     from biahub_tpu.kernels.affine import affine_warp_auto
@@ -238,14 +240,15 @@ def test_deconvolve_deskew_warp_spectral_route(avg, keep_overhang, monkeypatch):
 
 
 def test_deconvolve_then_deskew_spectral_route(monkeypatch):
-    """On a spectral-supported geometry, deconvolve_then_deskew routes
-    through the fused spectral engine and still matches the composition
-    (flipped and skip_flip frames); BIAHUB_TPU_SPECTRAL_DESKEW=0 falls back
-    to the handoff path with the same answer."""
+    """With the opt-in BIAHUB_TPU_SPECTRAL_DESKEW=1, deconvolve_then_deskew
+    routes through the fused spectral engine and still matches the
+    composition (flipped and skip_flip frames); without the opt-in it falls
+    back to the handoff path with the same answer."""
     import jax
 
     monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
     monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")
+    monkeypatch.setenv("BIAHUB_TPU_SPECTRAL_DESKEW", "1")
     jax.clear_caches()
 
     from biahub_tpu.kernels.chain import deconvolve_then_deskew

@@ -21,6 +21,14 @@ from biahub_tpu.kernels.pallas_spectral import (
 LS_ANGLE, PX_TO_SCAN = 36.0, 0.387
 
 
+@pytest.fixture(autouse=True)
+def _opt_in_spectral(monkeypatch):
+    """The engine is opt-in (slower than the pass-C handoff on v5e, see
+    spectral_deskew_supported); tests pin it on. Tests that assert the
+    fallback override this with their own setenv."""
+    monkeypatch.setenv("BIAHUB_TPU_SPECTRAL_DESKEW", "1")
+
+
 def _composed_reference(vol, tf_half, reg, keep_overhang, window):
     """numpy deconvolve + the XLA deskew kernel (CPU backend -> XLA path)."""
     from biahub_tpu.kernels.deskew import deskew_zyx
@@ -194,8 +202,10 @@ def test_gate_rejects_unsupported_geometry(monkeypatch):
     monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
     # z not divisible by 8 -> pass B'2 blocks cannot form
     assert not spectral_deskew_supported((9, 8, 32), LS_ANGLE, PX_TO_SCAN, False, 1)
-    # env kill switch
+    # opt-in gate: anything but "1" (including unset/""/"0") disables
     monkeypatch.setenv("BIAHUB_TPU_SPECTRAL_DESKEW", "0")
+    assert not spectral_deskew_supported((8, 8, 32), LS_ANGLE, PX_TO_SCAN, False, 1)
+    monkeypatch.delenv("BIAHUB_TPU_SPECTRAL_DESKEW")
     assert not spectral_deskew_supported((8, 8, 32), LS_ANGLE, PX_TO_SCAN, False, 1)
 
 

@@ -62,7 +62,9 @@ def _plot_psf_slices(plots_dir, beads, scale, indices):
 
     n = len(beads)
     fig, axes = plt.subplots(3, max(n, 1), figsize=(3 * max(n, 1), 9))
-    axes = np.atleast_2d(axes)
+    # n == 1 gives a 1-D (3,) axes array that atleast_2d would orient as
+    # (1, 3); reshape keeps (row, bead) indexing valid for every n.
+    axes = np.asarray(axes).reshape(3, max(n, 1))
     for i, bead in enumerate(beads):
         mid = [s // 2 for s in bead.shape]
         for row, (plane, title) in enumerate(

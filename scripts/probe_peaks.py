@@ -41,5 +41,20 @@ def main():
           np.abs(gv - wv).max() / max(np.abs(wv).max(), 1e-12), flush=True)
     print("idx mismatches:", int((gi != wi).sum()), "/", gi.size, flush=True)
 
+def main_big():
+    print("device:", jax.devices()[0], flush=True)
+    rng = np.random.default_rng(0)
+    shape = (64, 2048, 2048)
+    vol = (10.0 * rng.random(shape)).astype(np.float32)
+    vol_d = jax.device_put(jnp.asarray(vol))
+    float(vol_d[0, 0, 0])
+    gv, gi = run(lambda v: block_max_candidates_pallas(v, blur_kernel_size=3),
+                 vol_d, "pallas 2048^2")
+    wv, wi = run(lambda v: _block_max_candidates_xla(v, (8, 8, 8), 3),
+                 vol_d, "xla    2048^2")
+    print("idx mismatches:", int((gi != wi).sum()), "/", gi.size, flush=True)
+
+
 if __name__ == "__main__":
     main()
+    main_big()

@@ -16,7 +16,7 @@ from biahub_tpu.kernels.pallas_peaks import peaks_pallas_supported
 from biahub_tpu.kernels.peaks import _block_max_candidates_xla
 
 
-def _parity(shape, blur, seed, monkeypatch):
+def _parity(shape, blur, seed, monkeypatch, ty=None):
     monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
     from biahub_tpu.kernels.pallas_peaks import block_max_candidates_pallas
 
@@ -27,7 +27,7 @@ def _parity(shape, blur, seed, monkeypatch):
         jnp.asarray(vol), (8, 8, 8), blur
     )
     got_v, got_i = block_max_candidates_pallas(
-        jnp.asarray(vol), blur_kernel_size=blur
+        jnp.asarray(vol), blur_kernel_size=blur, _ty_override=ty
     )
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
@@ -44,6 +44,21 @@ def _parity(shape, blur, seed, monkeypatch):
 )
 def test_pallas_matches_xla_exact(shape, blur, monkeypatch):
     _parity(shape, blur, 7, monkeypatch)
+
+
+@pytest.mark.parametrize(
+    "shape,blur,ty",
+    [
+        ((16, 32, 128), 3, 16),  # 2 y tiles: cross-tile halo + straddle row
+        ((16, 48, 128), 3, 16),  # 3 y tiles
+        ((16, 32, 128), 0, 8),   # minimal tiles, no blur
+    ],
+)
+def test_y_tiled_matches_xla_exact(shape, blur, ty, monkeypatch):
+    """Multi-tile y grid (production path for large camera frames): the
+    left-halo refs, the global-coordinate masks, and the straddle-row
+    ownership must reproduce the single-tile answer exactly."""
+    _parity(shape, blur, 11, monkeypatch, ty=ty)
 
 
 def test_tie_breaking_min_flat_index(monkeypatch):

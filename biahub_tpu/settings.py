@@ -376,7 +376,10 @@ class DeskewSettings(MyBaseModel):
     px_to_scan_ratio: PositiveFloat | None = None
     scan_step_um: PositiveFloat | None = None
     keep_overhang: bool = False
-    overhang_fill: Literal["mean"] | float = 0
+    # Default must be a float literal: field_validator does not run on
+    # defaults, and an int 0 trips a Pydantic serializer warning on every
+    # model_dump (provenance stamping) against the Literal["mean"] arm.
+    overhang_fill: Literal["mean"] | float = 0.0
     average_n_slices: PositiveInt = 3
 
     @field_validator("overhang_fill")

@@ -1,0 +1,136 @@
+"""Route-gate canaries: flagship geometries must stay on the fast paths.
+
+Every hot kernel dispatches through a cheap host-side gate (Pallas kernel
+when supported, XLA formulation otherwise). A gate regression — an
+alignment bound tightened, a default flipped — silently reroutes the
+flagship FOV to a path several times slower while every parity test stays
+green (VERDICT round 3 flagged exactly this failure mode for the 64 MiB
+handoff bound). These tests pin the routing decision itself at the
+production geometry so a perf cliff fails CI instead of showing up in the
+next driver bench.
+
+Flagship FOV: a mantis light-sheet acquisition, raw (Z=256 scan steps,
+Y=256 tilted, X=1024 coverslip), ls_angle 36.17 deg, px_to_scan 0.371,
+3-slice averaging (bench.py's configuration; reference calibration:
+biahub/deskew.py:691-697).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+FLAGSHIP = (256, 256, 1024)
+LS_ANGLE = 36.17
+PX_TO_SCAN = 0.371
+AVG = 3
+
+
+@pytest.fixture(autouse=True)
+def _force_pallas(monkeypatch):
+    """The gates require a TPU backend OR the explicit CPU override."""
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.delenv("BIAHUB_TPU_NO_PALLAS", raising=False)
+    monkeypatch.delenv("BIAHUB_TPU_SPECTRAL_DESKEW", raising=False)
+
+
+def _bench_warp_matrix() -> np.ndarray:
+    """bench.py's composed register+stabilize matrix (in-plane rot+scale
+    plus translation)."""
+    theta = np.deg2rad(2.0)
+    m = np.eye(4, dtype=np.float32)
+    m[1:3, 1:3] = 1.01 * np.array(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]],
+        np.float32,
+    )
+    m[:3, 3] = [0.5, -1.25, 2.0]
+    return m
+
+
+def test_deconvolve_rides_pallas_fft():
+    from biahub_tpu.kernels.pallas_fft import deconvolve_pallas_supported
+
+    assert deconvolve_pallas_supported(FLAGSHIP)
+
+
+def test_chain_rides_pass_c_handoff():
+    # The default chain route: spectral is opt-in (measured slower on v5e),
+    # so deconvolve_then_deskew must land on the pass-C layout handoff.
+    from biahub_tpu.kernels.chain import _handoff_gate
+
+    ok, _ = _handoff_gate(FLAGSHIP, AVG, LS_ANGLE, PX_TO_SCAN, False)
+    assert ok
+
+
+def test_spectral_engine_is_opt_in(monkeypatch):
+    from biahub_tpu.kernels.pallas_spectral import spectral_deskew_supported
+
+    # Default OFF at the flagship geometry (kernels/pallas_spectral.py:
+    # measured ~0.5 ms/vol slower than the handoff on v5e) ...
+    assert not spectral_deskew_supported(
+        FLAGSHIP, LS_ANGLE, PX_TO_SCAN, False, AVG
+    )
+    # ... and the geometry itself stays supported behind the opt-in.
+    monkeypatch.setenv("BIAHUB_TPU_SPECTRAL_DESKEW", "1")
+    assert spectral_deskew_supported(
+        FLAGSHIP, LS_ANGLE, PX_TO_SCAN, False, AVG
+    )
+
+
+def test_chain_warp_spectral_route_is_opt_in(monkeypatch):
+    from biahub_tpu.kernels.chain import chain_warp_spectral_route
+
+    m = _bench_warp_matrix()
+    assert not chain_warp_spectral_route(
+        FLAGSHIP, LS_ANGLE, PX_TO_SCAN, False, AVG, m
+    )
+    monkeypatch.setenv("BIAHUB_TPU_SPECTRAL_DESKEW", "1")
+    assert chain_warp_spectral_route(
+        FLAGSHIP, LS_ANGLE, PX_TO_SCAN, False, AVG, m
+    )
+
+
+def test_peaks_rides_fused_kernel():
+    from biahub_tpu.kernels.pallas_peaks import peaks_pallas_supported
+
+    # The flagship detection volume (bench.py peaks_kernel) ...
+    assert peaks_pallas_supported(FLAGSHIP, (8, 8, 8), 3)
+    # ... and a large camera frame (the y-tile grid path, e.g. a full
+    # 2048x2048 sensor stack).
+    assert peaks_pallas_supported((64, 2048, 2048), (8, 8, 8), 3)
+    # Non-default knobs fall back to the XLA formulation by design.
+    assert not peaks_pallas_supported(FLAGSHIP, (4, 4, 4), 3)
+
+
+def test_sharded_fft_supports_flagship_on_8_devices():
+    from biahub_tpu.parallel.sharded_fft import sharded_fft_supported
+
+    assert sharded_fft_supported(FLAGSHIP, 8)
+
+
+def test_bench_warp_matrix_is_inplane_not_exact_gather():
+    # affine_warp_auto dispatches in-plane matrices to the banded one-hot
+    # MXU kernels; the exact 8-corner gather fallback is ~180x slower
+    # (CLAUDE.md). The bench/production register+stabilize composition must
+    # classify as in-plane.
+    from biahub_tpu.kernels.affine import (
+        is_inplane_matrix,
+        is_translation_matrix,
+    )
+
+    m = _bench_warp_matrix()
+    assert is_inplane_matrix(m)
+    assert not is_translation_matrix(m)
+
+
+def test_deskew_handoff_shapes_consistent():
+    # The handoff gate's deskewed shape must agree with the verb's public
+    # shape math — a drift here would mis-size the pass-C slab stores.
+    from biahub_tpu.kernels.chain import _handoff_gate
+    from biahub_tpu.kernels.deskew import get_deskewed_data_shape
+
+    _, dshape = _handoff_gate(FLAGSHIP, AVG, LS_ANGLE, PX_TO_SCAN, False)
+    expected, _ = get_deskewed_data_shape(
+        FLAGSHIP, LS_ANGLE, PX_TO_SCAN, False
+    )
+    assert tuple(dshape) == tuple(expected)

@@ -198,7 +198,14 @@ def detail_benchmarks(budget_seconds: float = 900.0) -> dict:
         """Flagship-FOV dense detection kernel alone (device probe sync, no
         host NMS / unravel / tunnel fetch): peaks_device_ms uses a 16x
         smaller volume and is dominated by the host tail + tunnel latency,
-        so dense-kernel regressions are invisible in it."""
+        so dense-kernel regressions are invisible in it.
+
+        iters=20 keeps the dispatch queue deep: at shallow depth the
+        ~3 ms/dispatch tunnel overhead does not pipeline away and the
+        number reads 7-9 ms for a program whose device time is 1.03 ms
+        (kernel 0.74 + top-k sort 0.20, device trace 2026-08; the
+        round-3 9.46-vs-7.5 doc discrepancy was exactly this queue-depth
+        sensitivity). Production detection batches the same way."""
         from biahub_tpu.kernels.peaks import _block_max_topk
 
         vol_d = jax.device_put(
@@ -208,6 +215,7 @@ def detail_benchmarks(budget_seconds: float = 900.0) -> dict:
         return _timed_ms(
             lambda: _block_max_topk(vol_d, (8, 8, 8), 3, 500),
             lambda r: float(r[0][0]),
+            iters=20,
         )
 
     def bench_optimizer_iter():
@@ -375,7 +383,9 @@ def detail_benchmarks(budget_seconds: float = 900.0) -> dict:
         (64 x 2048 x 2048 — the estimate-psf acquisition geometry): the
         multi-y-tile grid path of kernels/pallas_peaks.py, which the
         flagship-FOV peaks_kernel_ms (single-tile fast path) never enters.
-        Recorded LAST so a budget overrun skips only this new metric."""
+        Recorded LAST so a budget overrun skips only this new metric.
+        iters=10: deep dispatch queue for the same tunnel-pipelining
+        reason as peaks_kernel_ms (1 GB volume, so 10 in flight)."""
         from biahub_tpu.kernels.peaks import _block_max_topk
 
         vol_d = jax.device_put(
@@ -385,7 +395,7 @@ def detail_benchmarks(budget_seconds: float = 900.0) -> dict:
         return _timed_ms(
             lambda: _block_max_topk(vol_d, (8, 8, 8), 3, 500),
             lambda r: float(r[0][0]),
-            iters=3,
+            iters=10,
         )
 
     record("deskew_ms", bench_deskew)

@@ -134,3 +134,14 @@ def test_deskew_handoff_shapes_consistent():
         FLAGSHIP, LS_ANGLE, PX_TO_SCAN, False
     )
     assert tuple(dshape) == tuple(expected)
+    # Pin the concrete flagship values too: the consistency assertion above
+    # is satisfied by construction today (the gate calls the shape math),
+    # so a regression in get_deskewed_data_shape itself would slip through
+    # it. Deskewed Z' = ceil(Y / px_to_scan_ratio * cos(theta)) - style
+    # math at (256, 256, 1024)/36.17 deg/0.371 gives (256, 1024, 484)
+    # before slice averaging (reference: biahub/deskew.py:216-277).
+    assert tuple(expected) == (256, 1024, 484)
+    averaged, _ = get_deskewed_data_shape(
+        FLAGSHIP, LS_ANGLE, PX_TO_SCAN, False, average_n_slices=AVG
+    )
+    assert tuple(averaged) == (86, 1024, 484)

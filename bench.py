@@ -53,6 +53,121 @@ def _min_window_s(fn, sync, iters: int, windows: int = 5) -> float:
     return best
 
 
+def sustained_benchmark() -> dict:
+    """Zarr->zarr production throughput THROUGH the real BatchRunner.
+
+    Every reference baseline is a wall-clock that includes the zarr data
+    plane (reference: biahub/deskew.py:691-697 — 0.24 min/volume measured on
+    production runs); the headline metric times a jitted step on
+    pre-resident device arrays. This drives the fused deconvolve+deskew
+    chain (the fuse verb's kernel composition) over a 16-volume uint16
+    plate staged on tmpfs, with the runner's real prefetch-ahead reads,
+    native-dtype host->device transfer + device-side f32 cast, async
+    writes, and post-fetch flip — and reports the wall split so
+    I/O-boundness is visible rather than hidden. Over the axon tunnel the
+    host->device hop dominates; on a locally-attached deployment the same
+    code path is PCIe-fed (see docs/pipeline.md).
+    """
+    import os
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from biahub_tpu.io.ngff import open_ome_zarr
+    from biahub_tpu.kernels.chain import deconvolve_then_deskew
+    from biahub_tpu.kernels.deconvolve import compute_transfer_function
+    from biahub_tpu.kernels.deskew import get_deskewed_data_shape
+    from biahub_tpu.kernels.pallas_fft import (
+        deconvolve_pallas_supported,
+        prepare_fourier_filter,
+    )
+    from biahub_tpu.runtime.executor import BatchRunner
+
+    shape = (256, 256, 1024)
+    T = 8
+    ls_angle, px_to_scan, reg = 36.17, 0.371, 1e-3
+    dshape, _ = get_deskewed_data_shape(
+        shape, ls_angle, px_to_scan, False, average_n_slices=3
+    )
+
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(dir=tmp_root) as td:
+        plate = open_ome_zarr(
+            f"{td}/in.zarr", layout="hcs", mode="w", channel_names=["raw"]
+        )
+        pos = plate.create_position("A", "1", "0")
+        # Random uint16 = incompressible: the zstd-1 store codec can't
+        # flatter the I/O number.
+        rng = np.random.default_rng(1)
+        vol = rng.integers(0, 60000, size=shape, dtype=np.uint16)
+        arr = pos.create_zeros("0", (T, 1) + shape, np.uint16)
+        for t in range(T):
+            arr[t, 0] = vol
+        in_pos = open_ome_zarr(f"{td}/in.zarr")["A/1/0"]
+        out = open_ome_zarr(
+            f"{td}/out.zarr", layout="hcs", mode="w", channel_names=["recon"]
+        )
+        out_pos = out.create_position("A", "1", "0")
+        out_pos.create_zeros("0", (T, 1) + tuple(dshape), np.float32)
+
+        r = 4
+        psf = np.exp(
+            -np.sum(
+                np.square(np.mgrid[-r : r + 1, -r : r + 1, -r : r + 1] / 1.5),
+                axis=0,
+            )
+        ).astype(np.float32)
+        tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
+        prepared = None
+        if deconvolve_pallas_supported(shape):
+            prepared = jax.jit(
+                lambda tf: prepare_fourier_filter(shape, (tf,), reg)
+            )(jnp.asarray(tf_half))
+
+        def kernel(zyx, tf_half=None, prepared=None):
+            return deconvolve_then_deskew(
+                zyx, tf_half, reg, ls_angle, px_to_scan,
+                keep_overhang=False, average_window=3,
+                prepared=prepared, skip_flip=True,
+            )
+
+        # 5 GiB -> a 2.5 GiB per-chunk budget in pipelined mode -> two clean
+        # 4-volume chunks (uint16 in + f32 cast + f32 out = 572 MB/unit),
+        # exercising the dispatch-ahead overlap with bounded HBM.
+        runner = BatchRunner(cluster="local", max_batch_bytes=5 * 2**30)
+        kwargs = dict(
+            broadcast_params={"tf_half": tf_half, "prepared": prepared},
+            post_fetch=lambda a: a[:, ::-1],
+        )
+        # Warm-up pass: pays the chain compile; the timed pass below is
+        # pure steady-state pipeline.
+        runner.run_zyx(kernel, [in_pos], [out_pos], **kwargs)
+        runner.run_zyx(kernel, [in_pos], [out_pos], **kwargs)
+        s = runner.last_stats
+        wall = s["wall_s"]
+        blocked = s["read_wait_s"] + s["write_wait_s"]
+        return {
+            "sustained_ms_per_volume": round(wall * 1e3 / s["n_units"], 2),
+            # Fraction of wall NOT blocked on the zarr store (reads are
+            # prefetched a chunk ahead; writes drain asynchronously).
+            "io_overlap_frac": round(1.0 - blocked / wall, 3),
+            # Fraction of wall blocked on the device round trip:
+            # dispatch (host->device put + async jit call) + fetch
+            # (device->host result transfer; compute of the NEXT chunk
+            # overlaps it via dispatch-ahead). Over the axon tunnel the
+            # transfers dominate this bucket at ~35 MB/s; a PCIe-attached
+            # production host moves the same bytes ~300x faster — see
+            # docs/pipeline.md for the projection.
+            "device_step_frac": round(
+                (s["dispatch_s"] + s["fetch_s"]) / wall, 3
+            ),
+            "host_io_gbps": round(
+                (s["bytes_read"] + s["bytes_written"]) / wall / 1e9, 2
+            ),
+        }
+
+
 def detail_benchmarks(budget_seconds: float = 900.0) -> dict:
     """Per-kernel steady-state numbers for every hot path the headline chain
     does not cover: PCC drift estimation, peak detection, one registration-
@@ -68,6 +183,17 @@ def detail_benchmarks(budget_seconds: float = 900.0) -> dict:
 
     detail: dict = {}
     rng = np.random.default_rng(1)
+
+    # The sustained zarr->zarr number is the round-5 marquee artifact —
+    # recorded FIRST (before the budget clock starts: it carries its own
+    # multi-minute chain compile + tunnel-bound passes, ~5 min, and must
+    # never crowd out the per-kernel metrics below or vice versa).
+    try:
+        detail.update(sustained_benchmark())
+    except Exception as exc:  # pragma: no cover - diagnostic path
+        detail["sustained_ms_per_volume"] = None
+        print(f"# detail bench sustained failed: {exc!r}")
+
     deadline = time.perf_counter() + budget_seconds
 
     def record(name, fn):
@@ -155,12 +281,23 @@ def detail_benchmarks(budget_seconds: float = 900.0) -> dict:
         return _timed_ms(lambda: runp(vols, h), lambda r: float(r[1])) / 4
 
     def bench_pcc():
+        """Routed through the fused matmul-DFT cross-power engine
+        (kernels/pallas_fft.py::pcc_corr_pallas) on supported shapes.
+        Device time is 0.48 ms/pair (trace 2026-08: 4 Pallas passes 0.34 +
+        copies 0.10 + argmax) vs ~1.2 ms for the XLA rfftn path; iters=20
+        keeps the dispatch queue deep so the ~3 ms/dispatch tunnel overhead
+        pipelines away (the peaks_kernel_ms lesson — shallow-queue walls
+        read 4+ ms for sub-ms programs). Production estimate-stabilization
+        dispatches ALL T pairs of a position in one call, so deep queues
+        are the production configuration."""
         from biahub_tpu.kernels.fft import pcc_shifts_pairwise
 
         refs = jnp.asarray(rng.random((2, 64, 256, 256), np.float32))
         movs = jnp.asarray(rng.random((2, 64, 256, 256), np.float32))
         return _timed_ms(
-            lambda: pcc_shifts_pairwise(refs, movs), lambda r: np.asarray(r)
+            lambda: pcc_shifts_pairwise(refs, movs),
+            lambda r: np.asarray(r),
+            iters=20,
         ) / 2  # per volume pair
 
     def _peaks_volume():

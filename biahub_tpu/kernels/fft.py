@@ -63,10 +63,29 @@ def _pcc_core(ref_img: jax.Array, mov_img: jax.Array, normalization: str | None)
     return corr
 
 
+def _corr_surface(ref_img: jax.Array, mov_img: jax.Array,
+                  normalization: str | None):
+    """PCC correlation volume, routed through the fused matmul-DFT engine
+    for supported 3D shapes (XLA's TPU FFT runs far below HBM speed —
+    docs/kernels.md; the engine computes both forward transforms, the
+    normalized cross-power, and the inverse in ~6 HBM round trips).
+    Falls back to the XLA rfftn path for 2D inputs / unsupported shapes.
+    The route decision is trace-time (static shape + env gates)."""
+    if ref_img.ndim == 3 and ref_img.shape == mov_img.shape:
+        from biahub_tpu.kernels.pallas_fft import (
+            pcc_corr_pallas,
+            pcc_pallas_supported,
+        )
+
+        if pcc_pallas_supported(tuple(int(s) for s in ref_img.shape)):
+            return pcc_corr_pallas(ref_img, mov_img, normalization)
+    return _pcc_core(ref_img, mov_img, normalization)
+
+
 @partial(jax.jit, static_argnames=("normalization",))
 def _pcc_peak_index_device(ref_img, mov_img, normalization: str | None = None):
     """Unshifted argmax index of |corr| computed on device (int32 (ndim,))."""
-    corr = _pcc_core(ref_img, mov_img, normalization)
+    corr = _corr_surface(ref_img, mov_img, normalization)
     flat = jnp.argmax(jnp.abs(corr))
     idx = []
     rem = flat
@@ -84,7 +103,7 @@ def _pcc_shift_device(ref_img, mov_img, normalization: str | None = None):
     needs the correlation volume, and pulling it to the host costs a full
     volume transfer per pair.
     """
-    corr = _pcc_core(ref_img, mov_img, normalization)
+    corr = _corr_surface(ref_img, mov_img, normalization)
     a = jnp.abs(corr)
     flat = jnp.argmax(a)
     maxima = []

@@ -62,6 +62,8 @@ __all__ = [
     "fourier_filter_zyx_pallas",
     "prepare_fourier_filter",
     "PreparedFilter",
+    "pcc_corr_pallas",
+    "pcc_pallas_supported",
 ]
 
 _VMEM_BUDGET_BYTES = 96 * 1024 * 1024
@@ -1116,6 +1118,29 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
         )(*b_args)
 
     # -- Pass C ------------------------------------------------------------
+    return _run_pass_c(filtered, g, m, prec, slab_b, nyq_plane, yzx_pad)
+
+
+def _run_pass_c(filtered, g: _Geom, m: _Mats, prec: str, slab_b: bool,
+                nyq_plane, yzx_pad):
+    """Pass C (iDFT_y + irfft_x) shared by the filter pipeline and the PCC
+    cross-correlation driver: consumes pass B's nspec z-major (slab) or
+    ky-major (row-mode, transposed here) spectrum arrays and emits the real
+    volume — or the chain's (Y + pad, Z, X) handoff layout."""
+    z, y, x = g.z, g.y, g.x
+    nspec = g.nz * g.ny * 2
+    peel, radix_x, radix_y, radix_z, interpret = (
+        g.peel, g.radix_x, g.radix_y, g.radix_z, g.interpret,
+    )
+    zb, z2, y2, yw, xw = g.zb, g.z2, g.y2, g.yw, g.xw
+    iyr, iyi = m.iyr, m.iyi
+    ax, bx, x_inv_extra = m.ax, m.bx, m.x_inv_extra
+    if radix_y:
+        ctwr, ctwi = m.y_inv_tw
+    full = _full_spec
+    t01 = _t01
+    vmem_params = _vmem_params(interpret)
+
     yzx = yzx_pad is not None and z % 8 == 0
     if yzx:
         # Chain mode: 8 (or 16) real-z slices per program, output written
@@ -1241,3 +1266,232 @@ def fourier_filter_zyx_pallas(
             filter_half_imag.astype(jnp.float32),
         )
     return _run_fourier_pipeline(zyx_data, filt, prepared=prepared)
+
+
+# ---------------------------------------------------------------------------
+# Phase cross-correlation through the matmul-DFT engine
+# ---------------------------------------------------------------------------
+
+_F32_EPS = float(np.finfo(np.float32).eps)
+
+
+def _cross_power(h1r, h1i, h2r, h2i, normalization):
+    """Elementwise H1 * conj(H2), optionally normalized (PCC semantics of
+    kernels/fft.py::_pcc_core; reference:
+    biahub/estimate_stabilization.py:169-255). For spectra of real volumes
+    |H1 H2*| == |H1||H2|, so 'magnitude' and 'classic' differ only in the
+    eps clamp placement — both are kept for exact parity with the XLA
+    path."""
+    cr = h1r * h2r + h1i * h2i
+    ci = h1i * h2r - h1r * h2i
+    if normalization == "magnitude":
+        denom = jnp.maximum(jnp.sqrt(cr * cr + ci * ci), _F32_EPS)
+        return cr / denom, ci / denom
+    if normalization == "classic":
+        denom = jnp.maximum(
+            jnp.sqrt((h1r * h1r + h1i * h1i) * (h2r * h2r + h2i * h2i)),
+            _F32_EPS,
+        )
+        return cr / denom, ci / denom
+    return cr, ci
+
+
+def _pass_b_cross_kernel(*refs, normalization, prec, radix_z, ny, rows=1,
+                         slab=False):
+    """Pass B for PCC: per ky row, z-DFT BOTH volumes' spectra, take the
+    (normalized) cross-power, and inverse-z-DFT — the same chain as
+    :func:`_pass_b_kernel` with the filter multiply replaced by the
+    two-stream cross product. Ref order: spectra1 (nspec) + spectra2
+    (nspec) + z matrices (4 dense / 6 radix) + outs (nspec)."""
+    nz = 2 if radix_z else 1
+    nspec = nz * ny * 2
+    ins1 = refs[:nspec]
+    ins2 = refs[nspec : 2 * nspec]
+    mats = refs[2 * nspec : -nspec]
+    outs = refs[-nspec:]
+
+    def store(idx, r, val):
+        if slab:
+            outs[idx][:, r, :] = val
+        else:
+            outs[idx][0] = val
+
+    for r in range(rows):
+        for kpar in range(ny):
+            if radix_z:
+                wzr, wzi, izr, izi, twr, twi = (m[:] for m in mats)
+
+                def fwd(ins, _k=kpar, _r=r):
+                    er = ins[(0 * ny + _k) * 2][_r]
+                    ei = ins[(0 * ny + _k) * 2 + 1][_r]
+                    or_ = ins[(1 * ny + _k) * 2][_r]
+                    oi = ins[(1 * ny + _k) * 2 + 1][_r]
+                    ehr, ehi = _cdot(wzr, wzi, er, ei, prec)
+                    ohr, ohi = _cdot(wzr, wzi, or_, oi, prec)
+                    tr = twr * ohr - twi * ohi
+                    ti = twr * ohi + twi * ohr
+                    return ehr + tr, ehi + ti, ehr - tr, ehi - ti
+
+                l1r, l1i, h1r, h1i = fwd(ins1)
+                l2r, l2i, h2r, h2i = fwd(ins2)
+                lo_r, lo_i = _cross_power(l1r, l1i, l2r, l2i, normalization)
+                hi_r, hi_i = _cross_power(h1r, h1i, h2r, h2i, normalization)
+                sr, si = lo_r + hi_r, lo_i + hi_i
+                dr0, di0 = lo_r - hi_r, lo_i - hi_i
+                dr = twr * dr0 + twi * di0  # conj(tw) * (lo - hi)
+                di = twr * di0 - twi * dr0
+                xer, xei = _cdot(izr, izi, sr, si, prec)
+                xor_, xoi = _cdot(izr, izi, dr, di, prec)
+                store((0 * ny + kpar) * 2, r, xer)
+                store((0 * ny + kpar) * 2 + 1, r, xei)
+                store((1 * ny + kpar) * 2, r, xor_)
+                store((1 * ny + kpar) * 2 + 1, r, xoi)
+            else:
+                wzr, wzi, izr, izi = (m[:] for m in mats)
+                h1r, h1i = _cdot(
+                    wzr, wzi, ins1[kpar * 2][r], ins1[kpar * 2 + 1][r], prec
+                )
+                h2r, h2i = _cdot(
+                    wzr, wzi, ins2[kpar * 2][r], ins2[kpar * 2 + 1][r], prec
+                )
+                cr, ci = _cross_power(h1r, h1i, h2r, h2i, normalization)
+                xr_, xi_ = _cdot(izr, izi, cr, ci, prec)
+                store(kpar * 2, r, xr_)
+                store(kpar * 2 + 1, r, xi_)
+
+
+def _run_pass_b_cross(s1, s2, g: _Geom, m: _Mats, prec: str, normalization):
+    """Pass-B driver for PCC (slab and row modes mirroring
+    :func:`_run_fourier_pipeline`'s dispatch). Returns (filtered, slab_b)."""
+    nspec = g.nz * g.ny * 2
+    zw, yw, xw = g.zw, g.yw, g.xw
+    vmem_params = _vmem_params(g.interpret)
+    b_kernel = partial(
+        _pass_b_cross_kernel,
+        normalization=normalization, prec=prec, radix_z=g.radix_z, ny=g.ny,
+    )
+
+    slab_b = yw % 8 == 0
+    xt = xw
+    if slab_b:
+        def b_vmem(cand):
+            # Two input spectrum streams + outputs, double-buffered.
+            return (nspec * 8 * zw * cand * 3) * 4 * 2
+
+        xt = None
+        cand = xw
+        while cand >= 1:
+            ok_align = g.interpret or (
+                cand % 128 == 0 and cand * 8 * 4 >= 16384
+            )
+            if xw % cand == 0 and ok_align and (
+                b_vmem(cand) < _VMEM_BUDGET_BYTES - 6 * 1024 * 1024
+            ):
+                xt = cand
+                break
+            cand //= 2
+        if xt is None:
+            slab_b = False
+
+    b_args = (*s1, *s2, *m.b_mats_v)
+    if slab_b:
+        def fullb(shape):
+            return pl.BlockSpec(
+                shape, lambda i, jx: (0,) * len(shape),
+                memory_space=pltpu.VMEM,
+            )
+
+        spec_in = pl.BlockSpec((8, zw, xt), lambda i, jx: (i, 0, jx),
+                               memory_space=pltpu.VMEM)
+        filtered = pl.pallas_call(
+            partial(b_kernel, rows=8, slab=True),
+            grid=(yw // 8, xw // xt),
+            in_specs=(
+                [spec_in] * (2 * nspec)
+                + [fullb(tuple(mm.shape)) for mm in m.b_mats_v]
+            ),
+            out_specs=(
+                pl.BlockSpec((zw, 8, xt), lambda i, jx: (0, i, jx),
+                             memory_space=pltpu.VMEM),
+            ) * nspec,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((zw, yw, xw), jnp.float32)
+                for _ in range(nspec)
+            ),
+            interpret=g.interpret,
+            **vmem_params,
+        )(*b_args)
+    else:
+        spec_row = pl.BlockSpec((1, zw, xw), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        filtered = pl.pallas_call(
+            b_kernel,
+            grid=(yw,),
+            in_specs=[spec_row] * (2 * nspec)
+            + [_full_spec(tuple(mm.shape)) for mm in m.b_mats_v],
+            out_specs=(spec_row,) * nspec,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((yw, zw, xw), jnp.float32)
+                for _ in range(nspec)
+            ),
+            # The first volume's forward spectrum is dead after this pass.
+            input_output_aliases={i: i for i in range(nspec)},
+            interpret=g.interpret,
+            **vmem_params,
+        )(*b_args)
+    return filtered, slab_b
+
+
+def _nyq_cross_chain(nyq1, nyq2, normalization, x):
+    """XLA cross-power chain for the peeled Nyquist-kx plane (the 2D analog
+    of :func:`_nyq_filter_chain`): the plane is ~1000x smaller than the main
+    spectrum, so XLA f32 FFTs handle it exactly."""
+    s1 = jnp.fft.fftn(nyq1.astype(jnp.complex64), axes=(0, 1))
+    s2 = jnp.fft.fftn(nyq2.astype(jnp.complex64), axes=(0, 1))
+    spec = s1 * jnp.conj(s2)
+    if normalization == "magnitude":
+        spec = spec / jnp.maximum(jnp.abs(spec), _F32_EPS)
+    elif normalization == "classic":
+        spec = spec / jnp.maximum(jnp.abs(s1) * jnp.abs(s2), _F32_EPS)
+    plane = jnp.real(jnp.fft.ifftn(spec, axes=(0, 1))) / x
+    return plane.astype(jnp.float32)
+
+
+def pcc_pallas_supported(shape: tuple[int, int, int]) -> bool:
+    """True when the fused PCC should handle volume pairs of this shape."""
+    if not deconvolve_pallas_supported(shape):
+        return False
+    z, y, x = shape
+    xh = x // 2 + 1
+    # Pass B carries TWO spectrum streams: 2 inputs + 1 output per parity
+    # row, double-buffered, plus the z matrices and chain temporaries.
+    pass_b = (3 * 2 * 2 * z * xh + 8 * z * xh + 4 * z * z) * 4
+    return pass_b < _VMEM_BUDGET_BYTES
+
+
+def pcc_corr_pallas(ref: jax.Array, mov: jax.Array,
+                    normalization: str | None = None) -> jax.Array:
+    """Phase-cross-correlation surface via the fused matmul-DFT engine:
+    ``real(ifftn(fftn(ref) * conj(fftn(mov)) / norm))`` for two equal-shape
+    real volumes (kernels/fft.py::_pcc_core semantics; reference:
+    biahub/estimate_stabilization.py:128-255).
+
+    Both forward transforms ride pass A, the cross-power + normalization
+    fuses into the z-DFT chain of a two-stream pass B, and pass C emits the
+    correlation volume — ~6 HBM round trips total instead of one per FFT
+    axis per volume (the XLA rfftn path runs far below HBM speed on TPU)."""
+    if ref.shape != mov.shape:
+        raise ValueError(f"shape mismatch: {ref.shape} vs {mov.shape}")
+    z, y, x = (int(s) for s in ref.shape)
+    g = _geometry(z, y, x)
+    m = _build_mats(g)
+    prec = _precision()
+    s1, nyq1 = _run_pass_a(ref.astype(jnp.float32), g, m, prec)
+    s2, nyq2 = _run_pass_a(mov.astype(jnp.float32), g, m, prec)
+    nyq_plane = None
+    if g.peel:
+        nyq_plane = _nyq_cross_chain(
+            nyq1[..., 0], nyq2[..., 0], normalization, x
+        )
+    filtered, slab_b = _run_pass_b_cross(s1, s2, g, m, prec, normalization)
+    return _run_pass_c(filtered, g, m, prec, slab_b, nyq_plane, None)

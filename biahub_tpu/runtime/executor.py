@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import threading
+import time as _time
 import traceback
 import warnings
 from dataclasses import dataclass, field
@@ -248,6 +249,9 @@ class BatchRunner:
         self._jit_cache: dict[int, Callable] = {}
         self.jobs: dict[int, PositionJob] = {}
         self._cancel = threading.Event()
+        # Wall-time split of the last run_units call (read/device/write, byte
+        # counts) — the sustained-throughput bench's data source.
+        self.last_stats: dict | None = None
         _enable_compilation_cache()
 
     # -- planning ------------------------------------------------------------
@@ -262,14 +266,28 @@ class BatchRunner:
         n_units: int,
         out_bytes: int = 0,
         workspace_bytes: int = 0,
+        in_itemsize: int = 4,
     ) -> int:
         # Budget the input AND output footprint: outputs can dwarf inputs
         # (keep-overhang deskew emits ~9x the input voxels), and sizing on
         # input alone exhausts HBM at production volume sizes. Kernels with
         # large internal working sets (the multipass warp's common frame)
         # declare them via workspace_bytes — invisible to shape tracing.
-        unit_bytes = int(np.prod(unit_shape)) * 4 + int(out_bytes) + int(workspace_bytes)
-        by_mem = max(1, self.max_batch_bytes // max(unit_bytes, 1))
+        # Non-f32 inputs ship to the device in their native dtype (half the
+        # transfer bytes for uint16 camera data) and are cast to f32 on
+        # device; the cast copy materializes before the first Pallas call,
+        # so such units cost itemsize + 4 bytes/voxel of input-side HBM.
+        in_bpv = in_itemsize + (4 if in_itemsize != 4 else 0)
+        unit_bytes = (
+            int(np.prod(unit_shape)) * in_bpv + int(out_bytes) + int(workspace_bytes)
+        )
+        # Pipelined mode dispatches one chunk ahead of the blocking result
+        # fetch, so up to two chunks' footprints coexist in HBM — halve the
+        # per-chunk budget there. 'debug' flushes synchronously (one chunk).
+        budget = self.max_batch_bytes
+        if self.cluster != "debug":
+            budget //= 2
+        by_mem = max(1, budget // max(unit_bytes, 1))
         b = int(min(n_units, by_mem))
         # Round up to a multiple of the device count so sharding stays even;
         # padding units are dropped after compute.
@@ -324,6 +342,12 @@ class BatchRunner:
 
             def batched(volumes, *args):
                 params, bs = args[:n_p], args[n_p:]
+                # Device-side ingest cast: volumes arrive in the store's
+                # native dtype (uint16 for mantis camera data — half the
+                # host->device bytes of a host-side f32 cast; reference
+                # reads camera dtype natively, biahub/deskew.py:554-582).
+                # Exact for uint16 -> f32; a no-op for f32 input.
+                volumes = volumes.astype(np.float32)
                 return jax.vmap(
                     lambda v, *p: kernel(
                         v,
@@ -334,6 +358,10 @@ class BatchRunner:
 
             # Donating the input batch lets XLA reuse its HBM for outputs —
             # material headroom when outputs are larger than inputs (deskew).
+            # Donation only helps (and only avoids a compile warning) when
+            # the ingest dtype matches the f32 compute dtype, so it is keyed
+            # per input dtype: uint16 camera batches skip it (their HBM is
+            # freed at the cast instead).
             # On TPU the jit RESULT layouts are pinned to row-major default:
             # left to itself, XLA's layout assignment picks a zero-padding
             # result layout for non-128-multiple minor dims and inserts a
@@ -343,7 +371,8 @@ class BatchRunner:
             cell: dict = {}
 
             def lazy_jit(volumes, *params):
-                fn = cell.get("fn")
+                donate = (0,) if volumes.dtype == np.float32 else ()
+                fn = cell.get(donate)
                 if fn is None:
                     if jax.default_backend() == "tpu":
                         try:
@@ -366,14 +395,14 @@ class BatchRunner:
                             )
                             fn = jax.jit(
                                 batched,
-                                donate_argnums=(0,),
+                                donate_argnums=donate,
                                 out_shardings=outs,
                             )
                         except Exception:
                             fn = None
                     if fn is None:
-                        fn = jax.jit(batched, donate_argnums=(0,))
-                    cell["fn"] = fn
+                        fn = jax.jit(batched, donate_argnums=donate)
+                    cell[donate] = fn
                 return fn(volumes, *params)
 
             self._jit_cache[key] = lazy_jit
@@ -541,41 +570,112 @@ class BatchRunner:
     ) -> int:
         broadcast = self._put_broadcast(broadcast_params)
         b_names = tuple(sorted(broadcast))
-        # Group by input volume shape — ragged positions can't share a batch.
-        groups: dict[tuple[int, ...], _Group] = {}
+        # Group by input volume shape AND dtype — ragged positions can't
+        # share a batch, and the device-side ingest cast means dtype is part
+        # of the compiled program's signature.
+        groups: dict[tuple, _Group] = {}
         for u in units:
             shape = _unit_shape(input_positions[u.pos_idx], u)
-            groups.setdefault(shape, _Group(shape)).units.append(u)
+            dtype = np.dtype(input_positions[u.pos_idx].data.dtype)
+            groups.setdefault((shape, dtype), _Group(shape)).units.append(u)
 
         sharding = batch_sharding(self.mesh) if self.n_devices > 1 else None
         n_done = 0
         pending_writes: list[tuple[Any, WorkUnit]] = []
+        # Pipeline stats for the sustained-throughput bench: wall split into
+        # time blocked on store reads, dispatch (host->device put + async
+        # jit call), fetch (blocking device->host result transfer), and time
+        # blocked on store writes; byte counts for host-I/O bandwidth.
+        # Exposed as self.last_stats after every run.
+        stats = {
+            "read_wait_s": 0.0, "dispatch_s": 0.0, "fetch_s": 0.0,
+            "write_wait_s": 0.0,
+            "bytes_read": 0, "bytes_written": 0, "wall_s": 0.0, "n_units": 0,
+        }
+        # Back-compat alias consumed as "time in the device step".
+        self.last_stats = stats
+        wall_t0 = _time.perf_counter()
 
-        for group in groups.values():
+        def _flush(inflight):
+            """Complete one dispatched chunk: blocking result fetch, host
+            post-processing, async store writes, bounded write drain."""
+            nonlocal n_done, pending_writes
+            result, f_chunk, f_pad, f_B, f_n_chunks, f_ci, f_bytes = inflight
+            t_fetch = _time.perf_counter()
+            with batch_timer(
+                f"batch {f_ci + 1}/{f_n_chunks}", len(f_chunk), f_bytes
+            ):
+                result_np = np.asarray(result)
+            stats["fetch_s"] += _time.perf_counter() - t_fetch
+            if f_pad:
+                result_np = result_np[: len(f_chunk)]
+            for i, u in enumerate(f_chunk):
+                out_pos = output_positions[u.pos_idx]
+                out_arr = out_pos["0"]
+                data = result_np[i]
+                if post_fetch is not None:
+                    data = post_fetch(data)
+                if out_dtype is not None:
+                    data = data.astype(out_dtype)
+                else:
+                    data = data.astype(out_arr.dtype)
+                future = out_arr.write_async((u.out_t, _c_index(u.c_out)), data)
+                stats["bytes_written"] += data.nbytes
+                pending_writes.append((future, u))
+            n_done += len(f_chunk)
+
+            # Bounded write window: in pipelined mode keep at most one
+            # batch of writes in flight; everything older is drained NOW
+            # and its resume record committed, so a crash mid-run loses at
+            # most the in-flight batches of progress (not the whole run).
+            keep = f_B if self.cluster != "debug" else 0
+            t_write = _time.perf_counter()
+            pending_writes = self._drain(
+                pending_writes, progress, resume, keep=keep
+            )
+            stats["write_wait_s"] += _time.perf_counter() - t_write
+
+        for (_, in_dtype), group in groups.items():
             B = self._batch_size(
                 group.shape,
                 len(group.units),
                 self._unit_output_bytes(kernel, group, per_unit_params,
                                         broadcast),
                 unit_workspace_bytes,
+                in_itemsize=int(in_dtype.itemsize),
             )
             chunks = [
                 group.units[i : i + B] for i in range(0, len(group.units), B)
             ]
             # Prefetch: start reads for the next chunk before computing this one.
             read_futures = _start_reads(chunks[0], input_positions)
-            unit_bytes = int(np.prod(group.shape)) * 4
+            unit_bytes = int(np.prod(group.shape)) * int(in_dtype.itemsize)
+            # Dispatch-ahead pipelining: chunk i+1 is put + dispatched BEFORE
+            # chunk i's blocking result fetch, so the host->device transfer
+            # and compute of i+1 overlap the device->host fetch of i (jit
+            # calls are async; device execution is ordered). Transfer is the
+            # production bottleneck — at PCIe rates a flagship volume moves
+            # in ~13 ms against 5.2 ms of compute — so the overlap, not the
+            # kernel, sets the sustained zarr->zarr rate. 'debug' mode
+            # flushes synchronously (tests, bit-stable ordering).
+            inflight = None
             for ci, chunk in enumerate(chunks):
                 if self._cancel.is_set():
+                    if inflight is not None:
+                        _flush(inflight)
                     self._drain(pending_writes, progress, resume)
                     raise RunCancelled("batch run cancelled")
                 for u in chunk:
                     job = self.jobs.get(u.pos_idx)
                     if job is not None and job.state == "PENDING":
                         job.state = "RUNNING"
-                volumes = np.stack(
-                    [np.asarray(f.result(), dtype=np.float32) for f in read_futures]
-                )
+                # Stack in the store's NATIVE dtype: the f32 cast happens on
+                # device (see _jitted), halving host->device transfer bytes
+                # for uint16 camera data and skipping a host copy per batch.
+                t_read = _time.perf_counter()
+                volumes = np.stack([np.asarray(f.result()) for f in read_futures])
+                stats["read_wait_s"] += _time.perf_counter() - t_read
+                stats["bytes_read"] += volumes.nbytes
                 if ci + 1 < len(chunks):
                     read_futures = _start_reads(chunks[ci + 1], input_positions)
 
@@ -601,42 +701,31 @@ class BatchRunner:
                 fn = self._jitted(kernel, tuple(sorted(params)), b_names)
                 args = [params[k] for k in sorted(params)]
                 args += [broadcast[k] for k in b_names]
-                with batch_timer(f"batch {ci + 1}/{len(chunks)}", len(chunk), unit_bytes):
-                    # Always materialize on device: input donation only frees
-                    # HBM for a device-resident committed array (and donating
-                    # a host numpy arg would just warn).
-                    volumes = jax.device_put(
-                        volumes, sharding if sharding is not None else None
-                    )
-                    result = fn(volumes, *args)
-                    result_np = np.asarray(result)
-                if pad:
-                    result_np = result_np[: len(chunk)]
-
-                for i, u in enumerate(chunk):
-                    out_pos = output_positions[u.pos_idx]
-                    out_arr = out_pos["0"]
-                    data = result_np[i]
-                    if post_fetch is not None:
-                        data = post_fetch(data)
-                    if out_dtype is not None:
-                        data = data.astype(out_dtype)
-                    else:
-                        data = data.astype(out_arr.dtype)
-                    future = out_arr.write_async((u.out_t, _c_index(u.c_out)), data)
-                    pending_writes.append((future, u))
-                n_done += len(chunk)
-
-                # Bounded write window: in pipelined mode keep at most one
-                # batch of writes in flight; everything older is drained NOW
-                # and its resume record committed, so a crash mid-run loses at
-                # most the current batch of progress (not the whole run).
-                keep = B if self.cluster != "debug" else 0
-                pending_writes = self._drain(
-                    pending_writes, progress, resume, keep=keep
+                t_dev = _time.perf_counter()
+                # Always materialize on device: input donation only frees
+                # HBM for a device-resident committed array (and donating
+                # a host numpy arg would just warn).
+                volumes = jax.device_put(
+                    volumes, sharding if sharding is not None else None
                 )
+                result = fn(volumes, *args)
+                stats["dispatch_s"] += _time.perf_counter() - t_dev
 
+                if inflight is not None:
+                    _flush(inflight)
+                inflight = (result, chunk, pad, B, len(chunks), ci, unit_bytes)
+                if self.cluster == "debug":
+                    _flush(inflight)
+                    inflight = None
+
+            if inflight is not None:
+                _flush(inflight)
+
+        t_write = _time.perf_counter()
         self._drain(pending_writes, progress, resume)
+        stats["write_wait_s"] += _time.perf_counter() - t_write
+        stats["wall_s"] = _time.perf_counter() - wall_t0
+        stats["n_units"] = n_done
         return n_done
 
     def _drain(self, pending, progress, resume, keep: int = 0):

@@ -268,3 +268,59 @@ def test_yzx_chain_output_matches_transposed_pad(shape, monkeypatch):
             mode="edge",
         )
         np.testing.assert_allclose(yzx, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    # Each engine geometry paired with one normalization mode (cycled, not
+    # crossed: the normalization is elementwise and mode-independent of the
+    # pass structure, and the full 5x3 product costs ~9 min of interpret
+    # time on a 1-vCPU host).
+    "shape,normalization",
+    [
+        ((16, 24, 40), None),  # radix-2 z, no peel
+        ((8, 7, 16), "magnitude"),  # odd Y, dense z
+        ((9, 12, 33), "classic"),  # odd Z and odd X
+        ((16, 16, 256), "magnitude"),  # peel + radix-2 z + radix-2 y (+ radix X)
+        ((16, 12, 40), None),  # yw % 8 != 0: per-ky-row pass B
+    ],
+)
+def test_pcc_corr_pallas_matches_xla(shape, normalization, monkeypatch):
+    """The fused PCC engine (two-stream pass B cross-power) matches the XLA
+    rfftn cross-correlation to the engine's bf16-split envelope."""
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")
+    from biahub_tpu.kernels.fft import _pcc_core
+    from biahub_tpu.kernels.pallas_fft import (
+        pcc_corr_pallas,
+        pcc_pallas_supported,
+    )
+
+    rng = np.random.default_rng(11)
+    a = rng.random(shape).astype(np.float32)
+    b = rng.random(shape).astype(np.float32)
+    assert pcc_pallas_supported(shape)
+    got = np.asarray(pcc_corr_pallas(jnp.asarray(a), jnp.asarray(b), normalization))
+    want = np.asarray(_pcc_core(jnp.asarray(a), jnp.asarray(b), normalization))
+    scale = max(np.abs(want).max(), 1e-12)
+    np.testing.assert_allclose(got, want, atol=2e-4 * scale, rtol=0)
+
+
+def test_pcc_shift_recovery_through_pallas_route(monkeypatch):
+    """Integer shifts recovered exactly through the routed (vmapped) device
+    path — the estimate-stabilization production call (reference:
+    biahub/estimate_stabilization.py:198-255)."""
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")
+    import scipy.ndimage as ndi
+
+    from biahub_tpu.kernels.fft import pcc_shifts_pairwise
+
+    rng = np.random.default_rng(3)
+    base = ndi.gaussian_filter(rng.random((16, 32, 64)).astype(np.float32), 2)
+    shifts = [(2, -3, 5), (-1, 4, -7)]
+    movs = np.stack([np.roll(base, s, axis=(0, 1, 2)) for s in shifts])
+    refs = np.stack([base, base])
+    got = np.asarray(
+        pcc_shifts_pairwise(jnp.asarray(refs), jnp.asarray(movs), "magnitude")
+    )
+    np.testing.assert_array_equal(got, -np.asarray(shifts, np.float32))

@@ -102,6 +102,16 @@ def test_peaks_rides_fused_kernel():
     assert not peaks_pallas_supported(FLAGSHIP, (4, 4, 4), 3)
 
 
+def test_pcc_rides_matmul_dft_engine():
+    # estimate-stabilization's PCC pairs (bench geometry 64x256x256, and
+    # typical stabilization FOVs) must route through the fused two-stream
+    # cross-power engine, not XLA's rfftn (far below HBM speed on TPU).
+    from biahub_tpu.kernels.pallas_fft import pcc_pallas_supported
+
+    assert pcc_pallas_supported((64, 256, 256))
+    assert pcc_pallas_supported(FLAGSHIP)
+
+
 def test_sharded_fft_supports_flagship_on_8_devices():
     from biahub_tpu.parallel.sharded_fft import sharded_fft_supported
 

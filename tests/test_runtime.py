@@ -150,11 +150,12 @@ def test_batch_size_accounts_for_output_footprint():
 
 def test_bounded_drain_commits_progress_mid_run(tmp_path):
     """Pipelined mode drains writes within a bounded window during the run, so
-    a crash loses at most the in-flight batch of resume records — not the
+    a crash loses at most the in-flight batches of resume records (the
+    dispatch-ahead chunk + the kept write window, ~2 batches) — not the
     whole run (VERDICT r1 weak #5)."""
     import pytest
 
-    T = 32
+    T = 64
     in_pos = _plate(tmp_path, "in.zarr", shape=(T, 1, 2, 8, 16), channels=("a",))
     out_plate = open_ome_zarr(
         tmp_path / "o.zarr", layout="hcs", mode="w", channel_names=["a"]
@@ -162,15 +163,22 @@ def test_bounded_drain_commits_progress_mid_run(tmp_path):
     out_pos = out_plate.create_position("A", "1", "0")
     out_pos.create_zeros("0", (T, 1, 2, 8, 16), np.float32)
 
-    # Unit = 2*8*16*4 B in + same out -> 2048 B; budget of 8 units/batch.
+    # Unit = 2*8*16*4 B in + same out -> 2048 B.
     runner = BatchRunner(cluster="local", max_batch_bytes=8 * 2048)
     units = [WorkUnit(0, t, 0, 0) for t in range(T)]
+    unit_bytes = 2 * 8 * 16 * 4
+    B_run = runner._batch_size((2, 8, 16), T, out_bytes=unit_bytes)
+    assert B_run * 6 <= T  # the crash leaves most of the run unfinished
 
     calls = {"n": 0}
 
     def param_fn(u):
         calls["n"] += 1
-        if calls["n"] > 2 * runner._batch_size((2, 8, 16), T):
+        # +1: _unit_output_bytes' eval_shape consumes one call. Crash while
+        # building chunk 4's params: chunks 0-2 are flushed by then (chunk 3
+        # dispatched, in flight), and the keep-one-batch write window leaves
+        # at most B_run of the flushed units unrecorded.
+        if calls["n"] > 4 * B_run + 1:
             raise RuntimeError("simulated crash mid-run")
         return {"gain": np.float32(2.0)}
 
@@ -185,10 +193,11 @@ def test_bounded_drain_commits_progress_mid_run(tmp_path):
             per_unit_params=param_fn,
         )
 
-    # At least the first batch must be durably recorded already.
+    # At least the first two flushed batches minus the kept window must be
+    # durably recorded already.
     store = ProgressStore(out_pos.path, "tok")
     done_before = sum(store.is_done(t, 0) for t in range(T))
-    assert done_before >= runner._batch_size((2, 8, 16), T) // 2
+    assert done_before >= B_run
     assert done_before < T
 
     # Resuming skips the recorded units and completes the rest.
@@ -354,3 +363,84 @@ def test_progress_records_do_not_leak_across_prefix_positions(tmp_path):
     # and the long position still sees its own records on reload
     reloaded = ProgressStore(plate / "A" / "1" / "01", token="tok")
     assert reloaded.is_done(0, 0) and reloaded.is_done(1, 0)
+
+
+def test_uint16_ingest_casts_on_device_bit_parity(tmp_path):
+    """uint16 plates ship to the device in native dtype (half the transfer
+    bytes of a host-side f32 cast; reference reads camera dtype natively,
+    biahub/deskew.py:554-582) and are cast to f32 on device. uint16 -> f32
+    is exact, so the result must be bit-identical to running the same
+    kernel over a pre-cast f32 plate."""
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 65535, size=(3, 2, 4, 8, 16)).astype(np.uint16)
+
+    stores = {}
+    for name, arr in (("u16.zarr", raw), ("f32.zarr", raw.astype(np.float32))):
+        plate = open_ome_zarr(
+            tmp_path / name, layout="hcs", mode="w", channel_names=["a", "b"]
+        )
+        plate.create_position("A", "1", "0").create_image("0", arr)
+        stores[name] = open_ome_zarr(tmp_path / name)["A/1/0"]
+
+    outs = {}
+    for name in stores:
+        out_plate = open_ome_zarr(
+            tmp_path / f"out-{name}", layout="hcs", mode="w",
+            channel_names=["a", "b"],
+        )
+        out_pos = out_plate.create_position("A", "1", "0")
+        out_pos.create_zeros("0", (3, 2, 4, 8, 16), np.float32)
+        runner = BatchRunner(cluster="debug")
+        n = runner.run_zyx(
+            lambda v: jnp.sqrt(v) * 0.5 + 1.0, [stores[name]], [out_pos]
+        )
+        assert n == 6
+        assert runner.last_stats is not None
+        assert runner.last_stats["n_units"] == 6
+        outs[name] = np.asarray(out_pos.data[...])
+
+    # Ingest bytes halve for the uint16 plate (native-dtype reads) ...
+    np.testing.assert_array_equal(outs["u16.zarr"], outs["f32.zarr"])
+
+
+def test_run_stats_account_pipeline_split(tmp_path):
+    """last_stats carries the read/device/write wall split and byte counts
+    the sustained bench reports."""
+    in_pos = _plate(tmp_path, "in.zarr")
+    out_plate = open_ome_zarr(
+        tmp_path / "out.zarr", layout="hcs", mode="w", channel_names=["a", "b"]
+    )
+    out_pos = out_plate.create_position("A", "1", "0")
+    out_pos.create_zeros("0", (3, 2, 4, 8, 16), np.float32)
+
+    runner = BatchRunner(cluster="local")
+    runner.run_zyx(lambda v: v * 2.0, [in_pos], [out_pos])
+    s = runner.last_stats
+    assert s["wall_s"] > 0
+    assert s["bytes_read"] == 6 * 4 * 8 * 16 * 4  # f32 plate
+    assert s["bytes_written"] == 6 * 4 * 8 * 16 * 4
+    for key in ("dispatch_s", "fetch_s", "read_wait_s", "write_wait_s"):
+        assert s[key] >= 0
+    assert s["wall_s"] >= s["fetch_s"]
+
+
+def test_pipelined_dispatch_ahead_matches_debug(tmp_path):
+    """Pipelined mode dispatches chunk i+1 before fetching chunk i's result;
+    outputs must be bit-identical to the synchronous debug mode across
+    multiple chunks (forced via a tiny batch budget)."""
+    in_pos = _plate(tmp_path, "in.zarr", shape=(6, 2, 4, 8, 16))
+    outs = {}
+    for mode in ("debug", "local"):
+        out_plate = open_ome_zarr(
+            tmp_path / f"out-{mode}.zarr", layout="hcs", mode="w",
+            channel_names=["a", "b"],
+        )
+        out_pos = out_plate.create_position("A", "1", "0")
+        out_pos.create_zeros("0", (6, 2, 4, 8, 16), np.float32)
+        # ~3 units per chunk in debug, fewer in pipelined (halved budget):
+        # both see several chunks.
+        runner = BatchRunner(cluster=mode, max_batch_bytes=3 * 4 * 8 * 16 * 4 * 2)
+        n = runner.run_zyx(lambda v: jnp.cumsum(v, axis=0), [in_pos], [out_pos])
+        assert n == 12
+        outs[mode] = np.asarray(out_pos.data[...])
+    np.testing.assert_array_equal(outs["debug"], outs["local"])

@@ -132,6 +132,10 @@ def sustained_benchmark() -> dict:
                 prepared=prepared, skip_flip=True,
             )
 
+        # uint16 rides all the way into pass A (in-VMEM convert): no
+        # device-side cast pass, half the pass-A read bytes.
+        kernel.native_ingest_dtypes = ("uint16",)
+
         # 5 GiB -> a 2.5 GiB per-chunk budget in pipelined mode -> two clean
         # 4-volume chunks (uint16 in + f32 cast + f32 out = 572 MB/unit),
         # exercising the dispatch-ahead overlap with bounded HBM.
@@ -540,6 +544,65 @@ def detail_benchmarks(budget_seconds: float = 900.0) -> dict:
 
         return _timed_ms(run, lambda r: None, iters=3)
 
+    def bench_estimate_psf():
+        """Flagship ESTIMATION flow end-to-end, wall per acquisition
+        (reference: biahub/estimate_psf.py:23-121 feeding
+        characterize_psf.py:562-710): detect beads on a full camera frame,
+        extract + peak-normalize + average the patches (the estimate-psf
+        verb), then Gaussian-characterize every bead (the characterize-psf
+        fits). Peaks/PCC/fit improvements land invisibly unless an
+        estimation-verb number sits next to the compute-verb ones.
+
+        The frame is device-resident up front: the zarr->host data plane is
+        sustained_*'s metric, and a 1 GiB host->device put over the axon
+        tunnel (~30 s) would drown the ~100 ms flow being measured."""
+        from biahub_tpu.kernels.peaks import detect_peaks
+        from biahub_tpu.psf.analysis import analyze_psf, extract_beads
+
+        shape = (64, 2048, 2048)
+        frame = (5.0 * rng.standard_normal(shape, dtype=np.float32)) + 100.0
+        # Fixed synthetic bead lattice: 48 beads >= 230 px apart, airy-ish
+        # 7px-sigma-1.2 blobs, amplitude well over the 200.0 threshold.
+        zz, yy, xx = np.mgrid[-3:4, -3:4, -3:4].astype(np.float32)
+        blob = 3000.0 * np.exp(-(zz**2 + yy**2 + xx**2) / (2 * 1.2**2))
+        bead_rng = np.random.default_rng(42)
+        coords = []
+        for gy in range(8):
+            for gx in range(6):
+                coords.append((
+                    int(bead_rng.integers(12, 52)),
+                    gy * 250 + 130 + int(bead_rng.integers(-20, 20)),
+                    gx * 330 + 180 + int(bead_rng.integers(-20, 20)),
+                ))
+        for cz, cy, cx in coords:
+            frame[cz - 3 : cz + 4, cy - 3 : cy + 4, cx - 3 : cx + 4] += blob
+        frame_d = jax.device_put(jnp.asarray(frame))
+        float(frame_d[0, 0, 0])
+
+        detection = dict(
+            block_size=(64, 64, 32), blur_kernel_size=3, nms_distance=32,
+            min_distance=50, threshold_abs=200.0, max_num_peaks=2000,
+            exclude_border=(5, 10, 5),
+        )
+        scale = (1.0, 1.0, 1.0)
+
+        def run():
+            peaks = detect_peaks(frame_d, **detection)
+            beads, offsets = extract_beads(
+                frame, peaks, scale, patch_size=(15, 18, 18)
+            )
+            beads = [b for b in beads if b.shape == beads[0].shape]
+            stack = np.stack(beads)
+            normalized = stack / stack.max(axis=(-3, -2, -1), keepdims=True)
+            average_psf = normalized.mean(axis=0)
+            average_psf -= average_psf.min()
+            average_psf /= average_psf.max()
+            df_fit, df_1d = analyze_psf(beads, peaks[: len(beads)], scale)
+            assert len(df_fit) >= len(coords) // 2, len(df_fit)
+            return average_psf
+
+        return _timed_ms(run, lambda r: None, iters=2)
+
     def bench_peaks_kernel_camera():
         """Dense detection kernel on a full camera frame stack
         (64 x 2048 x 2048 — the estimate-psf acquisition geometry): the
@@ -571,6 +634,7 @@ def detail_benchmarks(budget_seconds: float = 900.0) -> dict:
     record("stitch_io_gbps", bench_stitch_io_gbps)
     record("stitch_blend_ms", bench_stitch_blend)
     record("stitch_blend_host_ms", bench_stitch_blend_host)
+    record("estimate_psf_ms", bench_estimate_psf)
     record("peaks_kernel_camera_ms", bench_peaks_kernel_camera)
     return detail
 

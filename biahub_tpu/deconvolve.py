@@ -125,6 +125,10 @@ def deconvolve(
         deconvolve_zyx,
         regularization_strength=float(settings.regularization_strength),
     )
+    # Camera-dtype plates skip the device-side f32 cast: the fused engine's
+    # pass A converts uint16 in VMEM (kernels/pallas_fft.py), and
+    # deconvolve_zyx casts itself on the routes that need f32.
+    kernel.native_ingest_dtypes = ("uint16",)
     broadcast = {"transfer_function_half": tf_half, "prepared": prepared}
 
     input_positions = [open_ome_zarr(p, mode="r") for p in input_position_dirpaths]

@@ -690,6 +690,14 @@ def fuse(
     else:
         kernel_ff = kernel
 
+    # Camera-dtype plates skip the device-side f32 cast when the chain's
+    # FIRST stage is the deconvolve engine (its pass A converts uint16 in
+    # VMEM — half the read bytes, no cast pass; every deconvolve route
+    # casts itself where it needs f32). Flat-field and deskew-first chains
+    # keep the runner's cast.
+    if settings.deconvolve is not None and ff is None:
+        kernel_ff.native_ingest_dtypes = ("uint16",)
+
     # -- run -------------------------------------------------------------------
     output_position_paths = get_output_paths(input_position_dirpaths, output_dirpath)
     input_positions = [open_ome_zarr(p, mode="r") for p in input_position_dirpaths]

@@ -65,14 +65,20 @@ def deconvolve_zyx(
     from biahub_tpu.kernels.pallas_fft import (
         deconvolve_pallas_supported,
         deconvolve_zyx_pallas,
+        pass_a_native_dtype_ok,
     )
 
-    zyx_data = zyx_data.astype(jnp.float32)
     if deconvolve_pallas_supported(zyx_data.shape):
+        # Camera-dtype volumes stay native into the fused engine: pass A
+        # converts uint16 -> f32 in VMEM (half the read bytes, no cast
+        # pass in front of the pipeline).
+        if not pass_a_native_dtype_ok(zyx_data.shape, zyx_data.dtype):
+            zyx_data = zyx_data.astype(jnp.float32)
         return deconvolve_zyx_pallas(
             zyx_data, transfer_function_half, regularization_strength,
             prepared=prepared,
         )
+    zyx_data = zyx_data.astype(jnp.float32)
     data_hat = jnp.fft.rfftn(zyx_data)
     tf = transfer_function_half.astype(jnp.float32)
     filt = tf / (tf * tf + regularization_strength)

@@ -64,6 +64,7 @@ __all__ = [
     "PreparedFilter",
     "pcc_corr_pallas",
     "pcc_pallas_supported",
+    "pass_a_native_dtype_ok",
 ]
 
 _VMEM_BUDGET_BYTES = 96 * 1024 * 1024
@@ -320,6 +321,11 @@ def _fwd_yx_kernel(
     wyi = wyi_ref[:]
     for j in range(zb):
         v = v_ref[j]  # (Y, X)
+        if v.dtype != jnp.float32:
+            # Native camera-dtype ingest (pass_a_native_dtype_ok): the
+            # uint16 -> f32 convert runs in VMEM — exact, and half the HBM
+            # read bytes of a pre-cast f32 copy.
+            v = v.astype(jnp.float32)
         if radix_x:
             mh = txc_ref.shape[1]  # M = X/2
             s = v[:, :mh] + v[:, mh:]
@@ -654,6 +660,23 @@ def deconvolve_pallas_supported(shape: tuple[int, int, int]) -> bool:
     pass_b = (6 * 2 * z * xh + 4 * z * xh + 4 * z * z) * f32
     pass_c = (6 * y * xh + 2 * y * y + 2 * x * xh + y * x) * f32 * 2
     return max(pass_a, pass_b, pass_c) < _VMEM_BUDGET_BYTES
+
+
+def pass_a_native_dtype_ok(shape: tuple[int, int, int], dtype) -> bool:
+    """True when pass A can ingest this dtype natively (converting to f32
+    in VMEM) instead of requiring a materialized f32 copy in HBM.
+
+    uint16 is the mantis camera dtype (reference reads it natively,
+    biahub/deskew.py:554-582): reading it raw halves pass A's input bytes
+    AND removes the XLA cast pass (a full read+write of the volume) in
+    front of the pipeline. Gated on 16-bit Mosaic tiling: the (zb, Y, X)
+    input blocks need the sublane axis a multiple of the 16-row 16-bit
+    tile and the lane axis a 128 multiple.
+    """
+    z, y, x = (int(s) for s in shape)
+    if jnp.dtype(dtype) != jnp.uint16:
+        return False
+    return y % 16 == 0 and x % 128 == 0
 
 
 def _pipeline_flags(z: int, y: int, x: int):
@@ -1005,7 +1028,10 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
     if radix_y:
         ctwr, ctwi = m.y_inv_tw
 
-    v = zyx_data.astype(jnp.float32)
+    if pass_a_native_dtype_ok((z, y, x), zyx_data.dtype):
+        v = zyx_data  # pass A converts in VMEM; no f32 copy in HBM
+    else:
+        v = zyx_data.astype(jnp.float32)
     full = _full_spec
     vmem_params = _vmem_params(interpret)
 

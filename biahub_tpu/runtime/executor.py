@@ -340,6 +340,15 @@ class BatchRunner:
         if key not in self._jit_cache:
             n_p = len(param_names)
 
+            # Kernels that ingest camera dtypes natively (their Pallas
+            # pass converts in VMEM — e.g. the fused deconvolve chain's
+            # pass A) declare it via a `native_ingest_dtypes` attribute;
+            # everything else gets the device-side f32 cast here.
+            native = tuple(
+                np.dtype(d)
+                for d in getattr(kernel, "native_ingest_dtypes", ())
+            )
+
             def batched(volumes, *args):
                 params, bs = args[:n_p], args[n_p:]
                 # Device-side ingest cast: volumes arrive in the store's
@@ -347,7 +356,8 @@ class BatchRunner:
                 # host->device bytes of a host-side f32 cast; reference
                 # reads camera dtype natively, biahub/deskew.py:554-582).
                 # Exact for uint16 -> f32; a no-op for f32 input.
-                volumes = volumes.astype(np.float32)
+                if np.dtype(volumes.dtype) not in native:
+                    volumes = volumes.astype(np.float32)
                 return jax.vmap(
                     lambda v, *p: kernel(
                         v,

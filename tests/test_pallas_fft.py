@@ -270,6 +270,30 @@ def test_yzx_chain_output_matches_transposed_pad(shape, monkeypatch):
         np.testing.assert_allclose(yzx, ref, atol=1e-5)
 
 
+def test_uint16_native_ingest_bit_exact(monkeypatch):
+    """Camera-dtype (uint16) volumes ride pass A natively — the in-VMEM
+    convert is exact, so the result must be bit-identical to pre-casting
+    the volume to f32 on the host (reference reads camera dtype natively:
+    biahub/deskew.py:554-582)."""
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")
+    from biahub_tpu.kernels.deconvolve import deconvolve_zyx
+    from biahub_tpu.kernels.pallas_fft import pass_a_native_dtype_ok
+
+    shape = (16, 16, 128)
+    assert pass_a_native_dtype_ok(shape, np.uint16)
+    assert not pass_a_native_dtype_ok((16, 12, 128), np.uint16)  # y % 16
+    assert not pass_a_native_dtype_ok(shape, np.float32)
+    rng = np.random.default_rng(5)
+    raw = rng.integers(0, 65535, size=shape).astype(np.uint16)
+    tf = np.abs(rng.standard_normal((16, 16, 65))).astype(np.float32)
+    got = np.asarray(deconvolve_zyx(jnp.asarray(raw), jnp.asarray(tf)))
+    want = np.asarray(
+        deconvolve_zyx(jnp.asarray(raw.astype(np.float32)), jnp.asarray(tf))
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize(
     # Each engine geometry paired with one normalization mode (cycled, not
     # crossed: the normalization is elementwise and mode-independent of the

@@ -16,7 +16,7 @@ from biahub_tpu.kernels.pallas_peaks import peaks_pallas_supported
 from biahub_tpu.kernels.peaks import _block_max_candidates_xla
 
 
-def _parity(shape, blur, seed, monkeypatch, ty=None):
+def _parity(shape, blur, seed, monkeypatch, ty=None, kz=None):
     monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
     from biahub_tpu.kernels.pallas_peaks import block_max_candidates_pallas
 
@@ -27,7 +27,8 @@ def _parity(shape, blur, seed, monkeypatch, ty=None):
         jnp.asarray(vol), (8, 8, 8), blur
     )
     got_v, got_i = block_max_candidates_pallas(
-        jnp.asarray(vol), blur_kernel_size=blur, _ty_override=ty
+        jnp.asarray(vol), blur_kernel_size=blur, _ty_override=ty,
+        _kz_override=kz,
     )
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
@@ -59,6 +60,21 @@ def test_y_tiled_matches_xla_exact(shape, blur, ty, monkeypatch):
     left-halo refs, the global-coordinate masks, and the straddle-row
     ownership must reproduce the single-tile answer exactly."""
     _parity(shape, blur, 11, monkeypatch, ty=ty)
+
+
+@pytest.mark.parametrize(
+    "shape,blur,kz,ty",
+    [
+        ((32, 16, 128), 3, 1, None),   # 4 z chunks: thin z halo + straddle
+        ((32, 16, 128), 0, 2, None),   # 2 z chunks, no blur
+        ((32, 32, 128), 3, 2, 16),     # z chunks x y tiles: corner halo ref
+    ],
+)
+def test_z_chunked_matches_xla_exact(shape, blur, kz, ty, monkeypatch):
+    """Multi-chunk z grid (thin 8-row z-halo refs + pl.when straddle
+    ownership): cross-chunk blur rows and the z straddle block must
+    reproduce the single-chunk answer exactly."""
+    _parity(shape, blur, 13, monkeypatch, ty=ty, kz=kz)
 
 
 def test_tie_breaking_min_flat_index(monkeypatch):

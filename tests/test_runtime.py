@@ -403,6 +403,45 @@ def test_uint16_ingest_casts_on_device_bit_parity(tmp_path):
     np.testing.assert_array_equal(outs["u16.zarr"], outs["f32.zarr"])
 
 
+def test_native_ingest_kernel_skips_runner_cast(tmp_path):
+    """A kernel declaring `native_ingest_dtypes` receives the store's raw
+    dtype (the fused deconvolve chain converts uint16 in its Pallas pass A);
+    results must match the default runner-cast path bit-for-bit."""
+    rng = np.random.default_rng(9)
+    raw = rng.integers(0, 65535, size=(2, 1, 4, 8, 16)).astype(np.uint16)
+    plate = open_ome_zarr(
+        tmp_path / "in.zarr", layout="hcs", mode="w", channel_names=["a"]
+    )
+    plate.create_position("A", "1", "0").create_image("0", raw)
+    in_pos = open_ome_zarr(tmp_path / "in.zarr")["A/1/0"]
+
+    seen = {}
+
+    def native_kernel(v):
+        seen["dtype"] = v.dtype
+        return jnp.sqrt(v.astype(jnp.float32)) * 0.5
+
+    native_kernel.native_ingest_dtypes = ("uint16",)
+
+    def cast_kernel(v):
+        return jnp.sqrt(v) * 0.5
+
+    outs = {}
+    for name, kern in (("native", native_kernel), ("cast", cast_kernel)):
+        out_plate = open_ome_zarr(
+            tmp_path / f"out-{name}.zarr", layout="hcs", mode="w",
+            channel_names=["a"],
+        )
+        out_pos = out_plate.create_position("A", "1", "0")
+        out_pos.create_zeros("0", (2, 1, 4, 8, 16), np.float32)
+        runner = BatchRunner(cluster="debug")
+        assert runner.run_zyx(kern, [in_pos], [out_pos]) == 2
+        outs[name] = np.asarray(out_pos.data[...])
+
+    assert seen["dtype"] == jnp.uint16  # the raw dtype reached the kernel
+    np.testing.assert_array_equal(outs["native"], outs["cast"])
+
+
 def test_run_stats_account_pipeline_split(tmp_path):
     """last_stats carries the read/device/write wall split and byte counts
     the sustained bench reports."""

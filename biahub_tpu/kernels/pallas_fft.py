@@ -321,10 +321,20 @@ def _fwd_yx_kernel(
     wyi = wyi_ref[:]
     for j in range(zb):
         v = v_ref[j]  # (Y, X)
-        if v.dtype != jnp.float32:
-            # Native camera-dtype ingest (pass_a_native_dtype_ok): the
-            # uint16 -> f32 convert runs in VMEM — exact, and half the HBM
-            # read bytes of a pre-cast f32 copy.
+        if v.dtype in (jnp.uint16, jnp.int16):
+            # Native camera-dtype ingest (pass_a_native_dtype_ok): the u16
+            # operand rides into VMEM untouched (half the HBM read bytes of
+            # a pre-cast f32 copy) and the bitcast to int16 happens HERE, in
+            # registers — an XLA-level bitcast_convert before the
+            # pallas_call materializes a full-volume HBM copy (0.41 ms/vol,
+            # scripts/trace_u16.py). Mosaic has no unsigned converts, so:
+            # sign-extend convert + wraparound fix, exact for the full u16
+            # range.
+            if v.dtype == jnp.uint16:
+                v = jax.lax.bitcast_convert_type(v, jnp.int16)
+            f = v.astype(jnp.float32)
+            v = jnp.where(f < 0.0, f + 65536.0, f)
+        elif v.dtype != jnp.float32:
             v = v.astype(jnp.float32)
         if radix_x:
             mh = txc_ref.shape[1]  # M = X/2
@@ -1029,7 +1039,10 @@ def _run_fourier_pipeline(zyx_data: jax.Array, filter_arrays, reg=None,
         ctwr, ctwi = m.y_inv_tw
 
     if pass_a_native_dtype_ok((z, y, x), zyx_data.dtype):
-        v = zyx_data  # pass A converts in VMEM; no f32 copy in HBM
+        # Pass A bitcasts + converts in VMEM registers; no f32 copy in HBM
+        # and no XLA-level bitcast (which materializes a full-volume copy —
+        # scripts/trace_u16.py).
+        v = zyx_data
     else:
         v = zyx_data.astype(jnp.float32)
     full = _full_spec

@@ -41,10 +41,21 @@ def full_chain(v, tf, prep):
     )
 
 
-@jax.jit
-def chain_with_probe(v, tf, prep):
+def _chain_with_probe(v, tf, prep):
     out = jax.vmap(full_chain, in_axes=(0, None, None))(v, tf, prep)
     return out, jnp.sum(out[:, 0, 0, :8])
+
+
+# Pin result layouts to row-major like bench.py/BatchRunner: XLA otherwise
+# picks a zero-padding layout and adds a ~1 ms/vol copy after the last
+# Pallas kernel (scripts/probe_outlayout.py).
+from jax.experimental.layout import Format, Layout
+
+_sds = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+chain_with_probe = jax.jit(
+    _chain_with_probe,
+    out_shardings=(Format(Layout((0, 1, 2, 3)), _sds), Format(None, _sds)),
+)
 
 
 vol_d = jax.device_put(vol)

@@ -661,6 +661,34 @@ def detail_benchmarks(budget_seconds: float = 900.0) -> dict:
                 ms for name, ms, _ in rows if name.startswith("jit_")
             ) / n
 
+    def bench_cpnet_seg():
+        """CPnet (cellpose-schema) network forward on one full-resolution
+        2048 x 2048 2-channel frame at the production width
+        (nbase 2,32,64,128,256) — the MXU stage of the native segmentation
+        engine (segmentation/engine.py; reference runs cellpose CUDA torch,
+        biahub/segment.py:92-99). Mask reconstruction (flow dynamics) is a
+        host stage benched implicitly by the verb tests."""
+        from biahub_tpu.models.cpnet import CPnet
+
+        model = CPnet(nbase=(2, 32, 64, 128, 256))
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 2, 64, 64))
+        )
+
+        @jax.jit
+        def apply(v, x):
+            with jax.default_matmul_precision("bfloat16"):
+                return model.apply(v, x)
+
+        x = jax.device_put(
+            jnp.asarray(rng.random((1, 2, 2048, 2048), dtype=np.float32))
+        )
+        return _timed_ms(
+            lambda: apply(variables, x),
+            lambda r: float(r[0][0, 0, 0, 0]),
+            iters=3,
+        )
+
     record("deskew_ms", bench_deskew)
     record("phase_recon_ms", bench_phase_recon)
     record("pcc_ms_per_pair", bench_pcc)
@@ -675,6 +703,11 @@ def detail_benchmarks(budget_seconds: float = 900.0) -> dict:
     record("estimate_psf_ms", bench_estimate_psf)
     record("peaks_kernel_camera_ms", bench_peaks_kernel_camera)
     record("peaks_camera_device_ms", bench_peaks_camera_device)
+    # Model inference goes LAST so a budget overrun skips only it. CPnet
+    # compiles in ~30 s; UNeXt2's remote compile runs 8-18 min, so its
+    # metric lives in scripts/bench_models.py instead of the driver bench
+    # (measured real-chip numbers recorded in docs/models.md).
+    record("cpnet_seg_ms", bench_cpnet_seg)
     return detail
 
 

@@ -875,10 +875,19 @@ def main() -> None:
         args.iters,
     )
 
-    # End-to-end chain (deconvolve + deskew + register∘stabilize warp)
+    # End-to-end chain (deconvolve + deskew + register∘stabilize warp).
+    # Batched entry, not vmap: the handoff route's deskew stage runs the
+    # manually double-buffered batched kernel (DMA/MXU overlap, 0.99 ->
+    # 0.67 ms/vol; kernels/pallas_deskew.py _deskew_kernel_manual), which
+    # Pallas cannot express under vmap (ANY-space inputs must be
+    # whole-array). Falls back to an internal vmap on other routes.
+    from biahub_tpu.kernels.chain import deconvolve_deskew_warp_batched
+
     def chain_with_probe(v, tf, prep, table):
-        out = jax.vmap(full_chain, in_axes=(0, None, None, None))(
-            v, tf, prep, table
+        out = deconvolve_deskew_warp_batched(
+            v, tf, 1e-3, ls_angle_deg, px_to_scan_ratio, reg_stab,
+            keep_overhang=False, average_window=3, prepared=prep,
+            deskew_table=table,
         )
         return out, jnp.sum(out[:, 0, 0, :8])
 

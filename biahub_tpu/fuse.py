@@ -610,6 +610,29 @@ def fuse(
                     average_window=dk.average_n_slices, prepared=prepared,
                     deskew_table=deskew_table,
                 )
+
+            # Single-device batches enter the chain through the batched
+            # helper instead of vmap: its handoff route runs the deskew and
+            # first warp pass through the manually double-buffered
+            # manual-DMA kernels (DMA/MXU overlap the automatic kernels
+            # cannot express under vmap; kernels/chain.py). The runner uses
+            # this only when n_devices == 1 — the batch grid axis cannot be
+            # SPMD-partitioned.
+            from biahub_tpu.kernels.chain import (
+                deconvolve_deskew_warp_batched,
+            )
+
+            def _batched_impl(volumes, tf_half=None, prepared=None,
+                              deskew_table=None):
+                return deconvolve_deskew_warp_batched(
+                    volumes, tf_half, reg_strength,
+                    dk.ls_angle_deg, dk.px_to_scan_ratio, m_single,
+                    output_shape=out_zyx, keep_overhang=dk.keep_overhang,
+                    average_window=dk.average_n_slices, prepared=prepared,
+                    deskew_table=deskew_table,
+                )
+
+            kernel.batched_impl = _batched_impl
         elif dk is not None and settings.deconvolve is None and not fill_needed:
             from biahub_tpu.kernels.chain import deskew_then_warp
 

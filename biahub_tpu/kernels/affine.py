@@ -399,6 +399,63 @@ def inplane_affine_warp_zyx_pallas(
     )  # (Zo, Yo, Xo)
 
 
+def inplane_affine_warp_zyx_pallas_batched(
+    volumes: jax.Array,
+    matrix,
+    output_shape: tuple[int, int, int],
+    fill: float = 0.0,
+    input_xzy: bool = False,
+    logical_zyx_shape: tuple[int, int, int] | None = None,
+) -> jax.Array:
+    """Batched :func:`inplane_affine_warp_zyx_pallas` — bit-identical to
+    vmapping it, with both fused passes run through the manually
+    double-buffered batched kernels (pallas_resample.py
+    ``shear_resample*_pallas_t_batched``): their o8-block DMA chains
+    overlap the banded MXU dots that the automatic kernels serialize
+    (measured at the no-overlap bound; scripts/probe_deskew_overlap.py
+    methodology). Each pass falls back internally to the vmapped automatic
+    kernel when its gates fail, so the composition is always valid.
+    Single-device batches only (the batch grid axis cannot be
+    SPMD-partitioned)."""
+    from biahub_tpu.kernels.pallas_resample import (
+        shear_resample2_pallas_t_batched,
+        shear_resample_pallas_t_batched,
+    )
+
+    Zo, Yo, Xo = output_shape
+    m = np.asarray(matrix, dtype=np.float64)
+    mzz, tz = m[0, 0], m[0, 3]
+    myy, myx, ty = m[1, 1], m[1, 2], m[1, 3]
+    mxy, mxx, tx = m[2, 1], m[2, 2], m[2, 3]
+    b1 = myx / mxx
+    b0 = myy - b1 * mxy
+    b2 = ty - b1 * tx
+
+    v = volumes.astype(jnp.float32)
+    if logical_zyx_shape is not None:
+        in_zyx_shape = tuple(int(s) for s in logical_zyx_shape)
+    elif input_xzy:
+        in_zyx_shape = (volumes.shape[2], volumes.shape[3], volumes.shape[1])
+    else:
+        in_zyx_shape = tuple(int(s) for s in volumes.shape[1:])
+    d = v if input_xzy else jnp.transpose(v, (0, 3, 1, 2))  # (B, Xi, Zi, Yi)
+    d = shear_resample2_pallas_t_batched(
+        d, Zo, Yo,
+        (float(mzz), 0.0, float(tz)),
+        (float(b0), float(b1), float(b2)),
+        order=1,
+    )  # (B, Yo, Xi, Zo)
+    a_flat = tuple(
+        float(c)
+        for i in range(3)
+        for c in (m[i, 1], m[i, 0], m[i, 2], m[i, 3])
+    )
+    return shear_resample_pallas_t_batched(
+        d, Xo, float(mxx), float(mxy), float(tx), order=1,
+        mask=(a_flat, in_zyx_shape, float(fill)),
+    )  # (B, Zo, Yo, Xo)
+
+
 def make_batched_inplane_kernel(
     matrices,
     in_shape: tuple[int, int, int],

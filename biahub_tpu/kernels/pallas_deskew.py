@@ -26,6 +26,7 @@ exactly (the padded rows replicate tilt row 0 = output z slice Z_out - 1).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -36,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from biahub_tpu.kernels.deskew import get_deskewed_data_shape
 
-__all__ = ["deskew_zyx_pallas"]
+__all__ = ["deskew_zyx_pallas", "deskew_zyx_pallas_batched"]
 
 TILE_X = 128
 
@@ -131,6 +132,254 @@ def _deskew_kernel_t(raw_ref, out_ref, *, params):
             slab = raw_ref[(7 - s) * avg + j, pl.ds(start, K), :]  # (K, Y)
             acc = acc + _banded_dot_left(w, slab)
         out_ref[:, s, :] = acc if avg == 1 else acc * (1.0 / avg)
+
+
+def _deskew_kernel_manual(hbm_ref, out_ref, slab_ref, sem_ref, *, params):
+    """Manually double-buffered xzy deskew: batch on the grid, input in HBM.
+
+    Mosaic's automatic pipeline prefetches changed input blocks one program
+    ahead; with 4 x-tile programs per 25 MB group block the fetch for block
+    g+1 starts at (g, t=3) and must hide behind ONE ~15 us tile program —
+    it cannot, so the automatic kernel runs at DMA + compute (measured
+    0.99 ms/vol vs a 0.66 ms/vol DMA floor, scripts/probe_deskew_overlap.py).
+    Here the DMA chain advances only at tile 0: the fetch for group block
+    i+1 overlaps all of block i's tile programs (~60 us of MXU work vs a
+    ~40 us fetch) and the kernel measures at the DMA floor with exact bit
+    parity. Pallas requires ANY-space inputs be whole-array with a trivial
+    index map, so the batch axis rides the grid (callers must NOT vmap —
+    see :func:`deskew_zyx_pallas_batched`).
+    """
+    (Z_in, X_in, X_out, K, ct, px, offset, avg, yp, Z_out, groups8, n_g8,
+     batch, n_tiles) = params
+    from biahub_tpu.kernels.pallas_resample import _banded_dot_left
+
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    tile = pl.program_id(2)
+    rows = 8 * avg
+    i = b * n_g8 + g
+
+    def dma(slot, bb, blk):
+        # Natural group-block order is reversed (tilt rows arrive in
+        # natural order, z runs in reverse).
+        return pltpu.make_async_copy(
+            hbm_ref.at[bb, pl.ds((n_g8 - 1 - blk) * rows, rows)],
+            slab_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    @pl.when(tile == 0)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            dma(0, 0, 0).start()
+
+        nxt = i + 1
+
+        @pl.when(nxt < batch * n_g8)
+        def _():
+            dma(nxt % 2, nxt // n_g8, nxt % n_g8).start()
+
+        dma(i % 2, b, g).wait()
+
+    slot = i % 2
+    xo = (
+        tile * TILE_X
+        + jax.lax.broadcasted_iota(jnp.int32, (TILE_X, 1), 0)
+    ).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_X, K), 1)
+    for s in range(8):
+        kprime = groups8 - 1 - (g * 8 + s)
+        acc = jnp.zeros((TILE_X, X_in), jnp.float32)
+        for j in range(avg):
+            zo_val = yp - 1 - j - kprime * avg
+            zo_f = jnp.minimum(zo_val, Z_out - 1).astype(jnp.float32)
+            in_z = px * xo - px * ct * zo_f + offset
+            i0 = jnp.floor(in_z)
+            frac = in_z - i0
+            i0 = i0.astype(jnp.int32)
+            start = jnp.clip(i0[0, 0], 0, max(Z_in - K, 0))
+            start = pl.multiple_of((start // 8) * 8, 8)
+            offs = i0 - start
+            w = (1.0 - frac) * (cols == offs) + frac * (cols == offs + 1)
+            slab = slab_ref[slot, (7 - s) * avg + j, pl.ds(start, K), :]
+            acc = acc + _banded_dot_left(w, slab)
+        out_ref[:, s, :] = acc if avg == 1 else acc * (1.0 / avg)
+
+
+# Double-buffered manual slab scratch budget: 2 x (8 * avg * Z_in * X_in)
+# f32 rows must fit VMEM next to the pipelined output blocks (the flagship
+# is 2 x 25 MB). Past this the automatic kernel takes over.
+_MANUAL_SCRATCH_BYTES = 56 * 1024 * 1024
+
+
+def manual_dma_deskew_supported(
+    zyx_shape: tuple[int, int, int],
+    average_window: int,
+    out_layout: str,
+    tpu: bool | None = None,
+) -> bool:
+    """Gate for the manually pipelined batched xzy kernel."""
+    if os.environ.get("BIAHUB_TPU_NO_MANUAL_DMA") == "1":
+        return False
+    if out_layout != "xzy":
+        return False
+    Z_in, Y_in, X_in = zyx_shape
+    # Mosaic requires the dynamic (slot, row) scratch slices' LANE extent
+    # (X_in) be 128-aligned on TPU (pallas_resample._manual_batched_ok has
+    # the full note); interpret mode (CPU tests) is exempt.
+    if tpu is None:
+        tpu = jax.default_backend() == "tpu"
+    if tpu and X_in % 128 != 0:
+        return False
+    scratch = 2 * 8 * int(average_window) * Z_in * X_in * 4
+    return scratch <= _MANUAL_SCRATCH_BYTES
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "ls_angle_deg",
+        "px_to_scan_ratio",
+        "keep_overhang",
+        "average_window",
+        "skip_flip",
+        "pre_transposed_zyx_shape",
+        "out_layout",
+        "pad_groups8",
+    ),
+)
+def deskew_zyx_pallas_batched(
+    raw_data: jax.Array,
+    ls_angle_deg: float,
+    px_to_scan_ratio: float,
+    keep_overhang: bool,
+    average_window: int = 1,
+    skip_flip: bool = False,
+    pre_transposed_zyx_shape: tuple[int, int, int] | None = None,
+    out_layout: str = "zyx",
+    pad_groups8: bool = False,
+) -> jax.Array:
+    """Deskew a BATCH of ZYX volumes — batch axis on the Pallas grid.
+
+    Semantically ``jax.vmap(deskew_zyx_pallas)(raw_data)`` (bit-exact), but
+    the xzy path runs :func:`_deskew_kernel_manual`, whose double-buffered
+    HBM DMAs overlap the banded matmuls (0.99 -> 0.67 ms/vol measured on
+    v5e, scripts/probe_deskew_overlap.py). Pallas forbids non-trivial block
+    indexing of ANY-space inputs, which a vmapped kernel would need — hence
+    the explicit batch entry point. Falls back to the vmapped automatic
+    kernel off this path (zyx layout, oversized working sets,
+    BIAHUB_TPU_NO_MANUAL_DMA=1).
+
+    ``pad_groups8``: emit the z-groups axis padded up to a multiple of 8
+    (physical ``groups8`` slices instead of ``groups``). The pad slices are
+    finite clamped-edge resamples, never NaN; a downstream batched warp
+    needs the 8-aligned sublane extent for its manual-DMA slab slices
+    (pallas_resample._manual_batched_ok) and masks the pad through its
+    logical-domain mask — the same contract as the spectral engine's
+    z-padded xzy handoff.
+
+    Single-device only: the batch grid axis cannot be partitioned by SPMD;
+    multi-device callers keep ``jax.vmap(deskew_zyx_pallas)``.
+    """
+    assert raw_data.ndim == 4, raw_data.shape
+    zyx_shape = (
+        pre_transposed_zyx_shape
+        if pre_transposed_zyx_shape is not None
+        else tuple(int(s) for s in raw_data.shape[1:])
+    )
+    if not manual_dma_deskew_supported(
+        zyx_shape, average_window, out_layout
+    ):
+        out = jax.vmap(
+            lambda v: deskew_zyx_pallas(
+                v, ls_angle_deg, px_to_scan_ratio, keep_overhang,
+                average_window=average_window, skip_flip=skip_flip,
+                pre_transposed_zyx_shape=pre_transposed_zyx_shape,
+                out_layout=out_layout,
+            )
+        )(raw_data)
+        if pad_groups8:
+            g = out.shape[2]
+            out = jnp.pad(
+                out, ((0, 0), (0, 0), (0, -g % 8), (0, 0))
+            )
+        return out
+
+    assert skip_flip, "out_layout='xzy' requires skip_flip=True"
+    Z_in, Y_in, X_in = zyx_shape
+    output_shape, _ = get_deskewed_data_shape(
+        (Z_in, Y_in, X_in), ls_angle_deg, px_to_scan_ratio, keep_overhang
+    )
+    Z_out, Y_out, X_out = Y_in, X_in, output_shape[2]
+
+    ct = float(np.cos(ls_angle_deg * np.pi / 180))
+    px = float(px_to_scan_ratio)
+    offset = px * ct * (Z_out - 1) / 2 - px * (X_out - 1) / 2 + (Z_in - 1) / 2
+
+    K = int(np.ceil(TILE_X * px)) + 2 + 8
+    K = min(-(-K // 8) * 8, Z_in)
+    n_tiles = -(-X_out // TILE_X)
+
+    avg = int(average_window)
+    groups = -(-Y_in // avg)
+    groups8 = -(-groups // 8) * 8
+    pad_front = groups8 * avg - Y_in
+    yp = Y_in + pad_front
+    n_g8 = groups8 // 8
+    batch = int(raw_data.shape[0])
+
+    if pre_transposed_zyx_shape is not None:
+        assert raw_data.shape == (batch, yp, Z_in, X_in), (
+            raw_data.shape, (batch, yp, Z_in, X_in)
+        )
+        data = raw_data.astype(jnp.float32)
+    else:
+        data = jnp.transpose(raw_data.astype(jnp.float32), (0, 2, 1, 3))
+        if pad_front:
+            data = jnp.pad(
+                data, ((0, 0), (pad_front, 0), (0, 0), (0, 0)), mode="edge"
+            )
+
+    interpret = jax.default_backend() != "tpu"
+    kernel = partial(
+        _deskew_kernel_manual,
+        params=(Z_in, X_in, X_out, K, ct, px, offset, avg, yp, Z_out,
+                groups8, n_g8, batch, n_tiles),
+    )
+    vmem_params = (
+        {}
+        if interpret
+        else {
+            "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024
+            )
+        }
+    )
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(batch, n_g8, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        # Batch dim squeezed out of the block: the kernel sees a 3D out ref
+        # (a leading-1 block + [0, ...] indexing lowers to a memref_slice
+        # whose ragged lane extent Mosaic rejects on other geometries —
+        # see pallas_resample.shear_resample2_pallas_t_batched).
+        out_specs=pl.BlockSpec(
+            (None, TILE_X, 8, Y_out),
+            lambda b, g, t: (b, t, g, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, X_out, groups8 if pad_groups8 else groups, Y_out),
+            jnp.float32,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8 * avg, Z_in, X_in), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        **vmem_params,
+    )(data)
 
 
 @partial(

@@ -362,7 +362,8 @@ def shear_resample_pallas_dyn(
 O8 = 8
 
 
-def _resample_t_body(data_ref, out_ref, coeffs, params, starts, mask):
+def _resample_t_body(data_ref, out_ref, coeffs, params, starts, mask,
+                     o8=None, read_row=None):
     """Transposed-output resample: 8 o-rows per program, blocks written
     directly in (T, O, R_out) order.
 
@@ -372,10 +373,20 @@ def _resample_t_body(data_ref, out_ref, coeffs, params, starts, mask):
     blocks at 8-Yo granularity makes that layout native. Requires STATIC
     window starts (a dynamic slab slice per (o-row, tile) would cost 8x the
     already-measured dynamic-slice penalty).
+
+    ``o8``/``read_row`` override the o8-block program id and the slab read
+    (``(oo, row_slice) -> (K, T) array``) for the manually double-buffered
+    batched kernel, whose slab lives in scratch VMEM. Reads must stay a
+    SINGLE indexer expression: a chained ``.at[oo][slice]`` lowers through
+    an intermediate memref_slice whose ragged lane extent Mosaic rejects
+    (needs 128-aligned; measured, real chip).
     """
     R_in, T, R_out, K, n_tiles, order, mask_oob = params
     cr, co, tau = coeffs
-    o8 = pl.program_id(0)
+    if o8 is None:
+        o8 = pl.program_id(0)
+    if read_row is None:
+        read_row = lambda oo, sl: data_ref[oo, sl, :]  # noqa: E731
     for oo in range(O8):
         o_val = (o8 * O8 + oo).astype(jnp.float32)
         for tile in range(n_tiles):
@@ -391,7 +402,7 @@ def _resample_t_body(data_ref, out_ref, coeffs, params, starts, mask):
             w = _band_weights(coords, i0 - start, cols, order, K)
             if mask_oob:
                 w = w * ((coords >= 0) & (coords <= R_in - 1)).astype(w.dtype)
-            slab = data_ref[oo, start : start + K, :]  # (K, T)
+            slab = read_row(oo, slice(start, start + K))  # (K, T)
             res = _banded_dot(slab, w)  # (T, tile_w)
             if mask is not None:
                 a_flat, in_shape, fill = mask
@@ -780,7 +791,8 @@ def shear_resample2_pallas_dyn(
     )(coeffs.astype(jnp.float32).reshape(1, 6), data_ort.astype(jnp.float32))
 
 
-def _resample2_t_body(data_ref, out_ref, res_ref, coeffs, params, t_starts):
+def _resample2_t_body(data_ref, out_ref, res_ref, coeffs, params, t_starts,
+                      o8=None, rt=None, read_row=None):
     """Transposed-output fused two-axis resample: 8 o-rows per program,
     blocks written directly in (T_out, O, R_out) order.
 
@@ -790,11 +802,20 @@ def _resample2_t_body(data_ref, out_ref, res_ref, coeffs, params, t_starts):
     full-volume transpose (~1.5 ms/volume; scripts/probe_fused8.py measures
     the 8-o body FASTER than the regular fused kernel, 2.51 vs 2.88 ms,
     bit-exact). Pass 2 requires STATIC window starts.
+
+    ``o8``/``rt``/``read_row`` override the program ids and the slab read
+    (``(oo, row_slice) -> (K_r, T_in) array``) for the manually
+    double-buffered batched kernel, whose slab lives in scratch VMEM (the
+    read must stay a single indexer — see :func:`_resample_t_body`).
     """
     (R_in, T_in, R_out, T_out, K_r, K_t, n_t_tiles, order, mask_oob) = params
     cr, co, tau, dr, do_, dtau = coeffs
-    o8 = pl.program_id(0)
-    rt = pl.program_id(1)
+    if o8 is None:
+        o8 = pl.program_id(0)
+    if rt is None:
+        rt = pl.program_id(1)
+    if read_row is None:
+        read_row = lambda oo, sl: data_ref[oo, sl, :]  # noqa: E731
 
     ro = (
         rt * TILE_R + jax.lax.broadcasted_iota(jnp.int32, (TILE_R, 1), 0)
@@ -810,7 +831,7 @@ def _resample2_t_body(data_ref, out_ref, res_ref, coeffs, params, t_starts):
         w = _band_weights(coords, i0 - start, cols, order, K_r)
         if mask_oob:
             w = w * ((coords >= 0) & (coords <= R_in - 1)).astype(w.dtype)
-        slab = data_ref[oo, pl.ds(start, K_r), :]
+        slab = read_row(oo, pl.ds(start, K_r))
         res_ref[:, oo * TILE_R : (oo + 1) * TILE_R] = _banded_dot(slab, w)
 
     for t_i in range(n_t_tiles):
@@ -960,6 +981,246 @@ def shear_resample2_pallas_t_dyn(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
     )(coeffs.astype(jnp.float32).reshape(1, 6), data_ort.astype(jnp.float32))
+
+
+# Double-buffered manual slab scratch budget (2 x O8 x R_in x T_in f32).
+_MANUAL_SLAB_BYTES = 56 * 1024 * 1024
+
+
+def _manual_dma_chain(hbm_ref, slab_ref, sem_ref, i, n_blocks, n_o8, O):
+    """Double-buffered o8-block DMA chain over the (batch x o8) linear
+    index ``i``.
+
+    Mosaic's automatic pipeline prefetches changed input blocks one program
+    ahead, which cannot hide a multi-MB o8-block fetch behind one short
+    tile program — the banded kernels measured AT their no-overlap bound
+    (traffic + compute) while a DMA-only body hit the traffic floor
+    (scripts/probe_deskew_overlap.py). Starting block i+1's copy before
+    block i's compute hides the fetch behind the whole block's MXU work.
+    Ragged last block: the slice start clamps to O - O8 (rows re-read; the
+    duplicate rows are masked by the out spec's ragged store).
+    """
+
+    def dma(slot, idx):
+        bb = idx // n_o8
+        blk = idx % n_o8
+        row0 = jnp.minimum(blk * O8, O - O8)
+        return pltpu.make_async_copy(
+            hbm_ref.at[bb, pl.ds(row0, O8)],
+            slab_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        dma((i + 1) % 2, i + 1).start()
+
+    dma(i % 2, i).wait()
+
+
+def _slab_read_of(slab_ref, slot, o8, O):
+    """Slab read mapping logical o-row ``o8*8 + oo`` into the clamped
+    slab block (see :func:`_manual_dma_chain`); rows past the ragged end
+    clamp to the last slab row (their stores are masked). Single-indexer
+    expression by construction (see :func:`_resample_t_body`)."""
+    off = o8 * O8 - jnp.minimum(o8 * O8, O - O8)
+    return lambda oo, sl: slab_ref[slot, jnp.minimum(oo + off, O8 - 1), sl, :]
+
+
+def _resample2_kernel_t_manual(hbm_ref, out_ref, res_ref, slab_ref, sem_ref,
+                               *, params, coeffs, t_starts, n_o8, n_blocks,
+                               O):
+    b = pl.program_id(0)
+    o8 = pl.program_id(1)
+    rt = pl.program_id(2)
+    i = b * n_o8 + o8
+
+    @pl.when(rt == 0)
+    def _():
+        # The DMA chain advances once per o8 block; the grid is sequential,
+        # so later r-tile programs of the same block read the settled slab.
+        _manual_dma_chain(hbm_ref, slab_ref, sem_ref, i, n_blocks, n_o8, O)
+
+    _resample2_t_body(
+        None, out_ref, res_ref, coeffs, params, t_starts,
+        o8=o8, rt=rt, read_row=_slab_read_of(slab_ref, i % 2, o8, O),
+    )
+
+
+def _resample_kernel_t_manual(hbm_ref, out_ref, slab_ref, sem_ref, *,
+                              params, coeffs, starts, mask, n_o8, n_blocks,
+                              O):
+    b = pl.program_id(0)
+    o8 = pl.program_id(1)
+    i = b * n_o8 + o8
+    _manual_dma_chain(hbm_ref, slab_ref, sem_ref, i, n_blocks, n_o8, O)
+    _resample_t_body(
+        None, out_ref, coeffs, params, starts, mask,
+        o8=o8, read_row=_slab_read_of(slab_ref, i % 2, o8, O),
+    )
+
+
+def _manual_batched_ok(O: int, R_in: int, T_in: int, plan,
+                       tpu: bool | None = None) -> bool:
+    # Mosaic constraint (measured, real chip): the manual kernels' dynamic
+    # (slot, row) scratch slices lower to tpu.memref_slice, whose LANE
+    # extent must be 128-aligned and SUBLANE extent 8-aligned — the
+    # automatic kernels' static row indices are exempt. The chain's first
+    # warp pass qualifies once the batched deskew pads the z-groups axis to
+    # 8 (pad_groups8); the x pass (lane = Zo) does not and keeps the
+    # vmapped automatic kernel. Interpret mode (CPU tests) is exempt.
+    if tpu is None:
+        tpu = jax.default_backend() == "tpu"
+    lane_ok = not tpu or (T_in % 128 == 0 and R_in % 8 == 0)
+    return (
+        plan is not None
+        and O >= O8
+        and lane_ok
+        and os.environ.get("BIAHUB_TPU_NO_MANUAL_DMA") != "1"
+        and 2 * O8 * R_in * T_in * 4 <= _MANUAL_SLAB_BYTES
+    )
+
+
+@partial(jax.jit, static_argnames=("r_out", "t_out", "rc", "tc", "order",
+                                   "mask_oob"))
+def shear_resample2_pallas_t_batched(
+    data_bort: jax.Array,
+    r_out: int,
+    t_out: int,
+    rc: tuple[float, float, float],
+    tc: tuple[float, float, float],
+    order: int = 3,
+    mask_oob: bool = False,
+) -> jax.Array:
+    """Batched :func:`shear_resample2_pallas_t` — bit-identical to vmapping
+    it, with the input in HBM and a manually double-buffered o8-block DMA
+    chain overlapping the banded MXU dots (the automatic kernel measures at
+    its no-overlap bound; see :func:`_manual_dma_chain`). Pallas forbids
+    the non-trivial ANY-space indexing a vmapped manual kernel would need,
+    hence the explicit batch entry point (single-device batches only)."""
+    B, O, R_in, T_in = data_bort.shape
+    support = 2 if order == 1 else 4
+    K_r = _k_window(int(np.ceil(TILE_R * abs(rc[0]))) + support, R_in)
+    K_t_dyn = _k_window(int(np.ceil(TILE_R * abs(tc[0]))) + support, T_in)
+    t_plan = static_window_plan(
+        [tuple(float(c) for c in tc)], O, t_out, T_in, order, k_dyn=K_t_dyn
+    )
+    if not _manual_batched_ok(O, R_in, T_in, t_plan):
+        return jax.vmap(
+            lambda v: shear_resample2_pallas_t(
+                v, r_out, t_out, rc, tc, order=order, mask_oob=mask_oob
+            )
+        )(data_bort)
+    K_t, t_starts = t_plan
+    n_t_tiles = -(-t_out // TILE_R)
+    n_o8 = -(-O // O8)
+    n_r_tiles = -(-r_out // TILE_R)
+    kernel = partial(
+        _resample2_kernel_t_manual,
+        params=(R_in, T_in, r_out, t_out, K_r, K_t, n_t_tiles, int(order),
+                bool(mask_oob)),
+        coeffs=tuple(float(c) for c in rc) + tuple(float(c) for c in tc),
+        t_starts=t_starts,
+        n_o8=n_o8,
+        n_blocks=B * n_o8,
+        O=O,
+    )
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(B, n_o8, n_r_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        # The batch axis is MERGED into the leading out dim (3D array,
+        # block index b -> offset b*t_out): a 4D out would need Mosaic to
+        # slice the batch dim of a ragged-lane (r_out % 128 != 0) memref,
+        # which it rejects (measured, real chip); the 3D form is tiled
+        # exactly like the automatic kernel's. The reshape after the call
+        # splits the leading dim back out — row-major, zero data movement.
+        out_specs=pl.BlockSpec(
+            (t_out, O8, TILE_R),
+            lambda b, o, r: (b, o, r),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * t_out, O, r_out), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((T_in, O8 * TILE_R), jnp.float32),
+            pltpu.VMEM((2, O8, R_in, T_in), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(data_bort.astype(jnp.float32)).reshape(B, t_out, O, r_out)
+
+
+@partial(jax.jit, static_argnames=("r_out", "cr", "co", "tau", "order",
+                                   "mask"))
+def shear_resample_pallas_t_batched(
+    data_bort: jax.Array,
+    r_out: int,
+    cr: float,
+    co: float,
+    tau: float,
+    order: int = 3,
+    mask=None,
+) -> jax.Array:
+    """Batched :func:`shear_resample_pallas_t` with the manual o8-block DMA
+    chain (see :func:`shear_resample2_pallas_t_batched`)."""
+    B, O, R_in, T = data_bort.shape
+    support = 2 if order == 1 else 4
+    K_dyn = min(
+        -(-(int(np.ceil(TILE_R * abs(cr))) + support + 8) // 8) * 8, R_in
+    )
+    plan = static_window_plan(
+        [(float(cr), float(co), float(tau))], O, r_out, R_in, order,
+        k_dyn=K_dyn,
+    )
+    if not _manual_batched_ok(O, R_in, T, plan):
+        return jax.vmap(
+            lambda v: shear_resample_pallas_t(
+                v, r_out, cr, co, tau, order=order, mask=mask
+            )
+        )(data_bort)
+    K, starts = plan
+    n_tiles = -(-r_out // TILE_R)
+    n_o8 = -(-O // O8)
+    kernel = partial(
+        _resample_kernel_t_manual,
+        params=(R_in, T, r_out, K, n_tiles, int(order), False),
+        coeffs=(float(cr), float(co), float(tau)),
+        starts=starts,
+        mask=mask,
+        n_o8=n_o8,
+        n_blocks=B * n_o8,
+        O=O,
+    )
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(B, n_o8),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        # Batch merged into the leading out dim (see the fused variant's
+        # note above); reshaped back for free after the call.
+        out_specs=pl.BlockSpec(
+            (T, O8, r_out),
+            lambda b, o: (b, o, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * T, O, r_out), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, O8, R_in, T), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(data_bort.astype(jnp.float32)).reshape(B, T, O, r_out)
 
 
 def _resample_kernel_dyn_deriv(coeffs_ref, data_ref, out_ref, *, params):

@@ -349,6 +349,21 @@ class BatchRunner:
                 for d in getattr(kernel, "native_ingest_dtypes", ())
             )
 
+            # Kernels with a `batched_impl` attribute take the whole batch
+            # in one call instead of vmap — the fused chain's manual-DMA
+            # Pallas kernels need the batch axis on their grid (Pallas
+            # forbids the non-trivial ANY-space indexing vmap would need;
+            # kernels/chain.py deconvolve_deskew_warp_batched). Only on a
+            # single device: the batch grid axis cannot be SPMD-partitioned,
+            # so sharded meshes keep the vmapped form. Per-unit traced
+            # params (per-timepoint matrices) never coexist with an impl
+            # today; guard anyway.
+            impl = (
+                getattr(kernel, "batched_impl", None)
+                if self.n_devices == 1 and n_p == 0
+                else None
+            )
+
             def batched(volumes, *args):
                 params, bs = args[:n_p], args[n_p:]
                 # Device-side ingest cast: volumes arrive in the store's
@@ -358,6 +373,8 @@ class BatchRunner:
                 # Exact for uint16 -> f32; a no-op for f32 input.
                 if np.dtype(volumes.dtype) not in native:
                     volumes = volumes.astype(np.float32)
+                if impl is not None:
+                    return impl(volumes, **dict(zip(broadcast_names, bs)))
                 return jax.vmap(
                     lambda v, *p: kernel(
                         v,

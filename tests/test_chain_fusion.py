@@ -112,6 +112,60 @@ def test_deconvolve_deskew_warp_matches_naive(avg, monkeypatch):
 
 
 @pytest.mark.parametrize("avg", [1, 3])
+def test_deconvolve_deskew_warp_batched_matches_vmap(avg, monkeypatch):
+    """The batched chain entry (manual-DMA deskew stage on the handoff
+    route) is bit-identical to vmapping the per-volume chain — the
+    contract bench.py and the BatchRunner rely on."""
+    import jax
+
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")
+    jax.clear_caches()
+
+    from biahub_tpu.kernels.chain import (
+        deconvolve_deskew_warp,
+        deconvolve_deskew_warp_batched,
+    )
+    from biahub_tpu.kernels.deconvolve import compute_transfer_function
+    from biahub_tpu.kernels.pallas_deskew import manual_dma_deskew_supported
+
+    shape = (16, 14, 40)  # Z % 8 == 0 -> the yzx fused path engages
+    assert manual_dma_deskew_supported(shape, avg, "xzy")
+    rng = np.random.default_rng(41)
+    vols = rng.random((3,) + shape, dtype=np.float32)
+    psf = np.zeros((3, 3, 3), np.float32)
+    psf[1, 1, 1] = 1.0
+    tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
+    angle, ratio = 30.0, 0.4
+
+    theta = np.deg2rad(2.0)
+    m = np.eye(4)
+    m[1:3, 1:3] = 1.01 * np.array(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+    )
+    m[:3, 3] = [0.3, -0.6, 0.9]
+
+    want = np.asarray(
+        jax.vmap(
+            lambda v: deconvolve_deskew_warp(
+                v, tf_half, 1e-3, angle, ratio, m, average_window=avg
+            )
+        )(vols)
+    )
+    got = np.asarray(
+        deconvolve_deskew_warp_batched(
+            vols, tf_half, 1e-3, angle, ratio, m, average_window=avg
+        )
+    )
+    # Interpret-mode tolerance: the manual-DMA warp stage's scratch reads
+    # reassociate the bf16-split dots at the ~1e-5 level on CPU (see
+    # tests/test_pallas_resample.py::test_batched_manual_dma_t_kernels...);
+    # the real-chip chain A/B measured probe-equal outputs.
+    np.testing.assert_allclose(got, want, atol=5e-5)
+    jax.clear_caches()
+
+
+@pytest.mark.parametrize("avg", [1, 3])
 def test_deskew_xzy_layout_matches_transposed_zyx(avg, monkeypatch):
     """deskew_zyx_pallas(out_layout='xzy') == transpose((2,0,1)) of the
     zyx result, including ragged group counts (groups % 8 != 0)."""

@@ -32,6 +32,83 @@ def test_pallas_vmap():
         )
 
 
+@pytest.mark.parametrize("window", [1, 3])
+@pytest.mark.parametrize("shape", [(16, 20, 24), (32, 19, 136)])
+def test_batched_manual_dma_matches_vmap(shape, window, monkeypatch):
+    """The manually double-buffered batched xzy kernel (batch on the grid,
+    input in HBM, explicit DMA chain) is bit-identical to vmap of the
+    automatic kernel — the contract the chain helpers rely on when they
+    route batches through it (measured 0.99 -> 0.67 ms/vol on v5e,
+    scripts/probe_deskew_overlap.py)."""
+    import jax
+
+    from biahub_tpu.kernels.pallas_deskew import (
+        deskew_zyx_pallas_batched,
+        manual_dma_deskew_supported,
+    )
+
+    assert manual_dma_deskew_supported(shape, window, "xzy")
+    rng = np.random.default_rng(5)
+    vols = rng.random((3,) + shape, dtype=np.float32)
+    want = np.asarray(
+        jax.vmap(
+            lambda v: deskew_zyx_pallas(
+                v, 36.17, 0.371, False, average_window=window,
+                skip_flip=True, out_layout="xzy",
+            )
+        )(vols)
+    )
+    got = np.asarray(
+        deskew_zyx_pallas_batched(
+            vols, 36.17, 0.371, False, average_window=window,
+            skip_flip=True, out_layout="xzy",
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+    # Env opt-out and non-xzy layouts take the vmapped fallback.
+    monkeypatch.setenv("BIAHUB_TPU_NO_MANUAL_DMA", "1")
+    assert not manual_dma_deskew_supported(shape, window, "xzy")
+
+
+def test_batched_manual_dma_pre_transposed(monkeypatch):
+    """Chain mode: the batched kernel accepts pass C's pre-transposed
+    (Yp, Z, X) layout exactly like the per-volume kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    shape, window = (16, 20, 24), 3
+    from biahub_tpu.kernels.pallas_deskew import deskew_zyx_pallas_batched
+
+    Z, Y, X = shape
+    groups = -(-Y // window)
+    groups8 = -(-groups // 8) * 8
+    pad = groups8 * window - Y
+    rng = np.random.default_rng(6)
+    vols = rng.random((2,) + shape, dtype=np.float32)
+    pre = jnp.pad(
+        jnp.transpose(jnp.asarray(vols), (0, 2, 1, 3)),
+        ((0, 0), (pad, 0), (0, 0), (0, 0)),
+        mode="edge",
+    )
+    want = np.asarray(
+        jax.vmap(
+            lambda v: deskew_zyx_pallas(
+                v, 36.17, 0.371, False, average_window=window,
+                skip_flip=True, out_layout="xzy",
+            )
+        )(vols)
+    )
+    got = np.asarray(
+        deskew_zyx_pallas_batched(
+            pre, 36.17, 0.371, False, average_window=window,
+            skip_flip=True, pre_transposed_zyx_shape=shape,
+            out_layout="xzy",
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("window", [2, 3])
 @pytest.mark.parametrize("shape", [(16, 20, 24), (16, 19, 24)])
 def test_pallas_fused_averaging_matches_posthoc(shape, window):

@@ -340,3 +340,96 @@ def test_transposed_fused_kernels_match_regular(order):
         )
     )
     np.testing.assert_allclose(got_d, ref_d, atol=1e-5)
+
+
+@pytest.mark.parametrize("order", [1, 3])
+def test_batched_manual_dma_t_kernels_match_vmap(order):
+    """The manually double-buffered batched transposed kernels (batch on
+    the grid, input in HBM, explicit o8-block DMA chain) match vmapping the
+    automatic kernels — including ragged O (clamped overlapping last-block
+    fetch) and the final pass's exact-domain mask. Tolerance, not equality:
+    in interpret mode both paths become one XLA:CPU program, and the
+    different slab provenance (dynamic-slice scratch read vs block read)
+    reassociates the 'high'-tier bf16-split accumulation at the ~1e-5
+    level; the real-chip kernels measured bit-exact (probe_warp_manual.py).
+    Measured on v5e: the automatic kernels run at their no-overlap bound,
+    the DMA chain overlaps the fetches (scripts/probe_deskew_overlap.py
+    methodology)."""
+    import jax
+
+    from biahub_tpu.kernels.pallas_resample import (
+        shear_resample2_pallas_t,
+        shear_resample2_pallas_t_batched,
+        shear_resample_pallas_t,
+        shear_resample_pallas_t_batched,
+    )
+
+    rng = np.random.default_rng(17)
+    data = rng.standard_normal((3, 21, 35, 27)).astype(np.float32)  # ragged O
+    r_out = 31
+    cs = (0.98, 0.015, -1.4)
+    a_flat = tuple(float(x) for x in rng.standard_normal(12))
+    mask = (a_flat, (21, 35, 27), -2.5)
+
+    want = np.asarray(
+        jax.vmap(
+            lambda v: shear_resample_pallas_t(v, r_out, *cs, order=order,
+                                              mask=mask)
+        )(data)
+    )
+    got = np.asarray(
+        shear_resample_pallas_t_batched(data, r_out, *cs, order=order,
+                                        mask=mask)
+    )
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+    data2 = rng.standard_normal((2, 13, 26, 37)).astype(np.float32)
+    rc, tc = (0.95, 0.0, 0.8), (1.03, 0.02, -1.1)
+    want2 = np.asarray(
+        jax.vmap(
+            lambda v: shear_resample2_pallas_t(v, 24, 33, rc, tc,
+                                               order=order, mask_oob=True)
+        )(data2)
+    )
+    got2 = np.asarray(
+        shear_resample2_pallas_t_batched(data2, 24, 33, rc, tc, order=order,
+                                         mask_oob=True)
+    )
+    np.testing.assert_allclose(got2, want2, atol=5e-5)
+
+
+def test_batched_inplane_warp_matches_vmap():
+    """inplane_affine_warp_zyx_pallas_batched == vmap of the per-volume
+    composition, xzy input, bit parity."""
+    import jax
+
+    from biahub_tpu.kernels.affine import (
+        inplane_affine_warp_zyx_pallas,
+        inplane_affine_warp_zyx_pallas_batched,
+    )
+
+    theta = np.deg2rad(2.0)
+    m = np.eye(4)
+    m[1:3, 1:3] = 1.01 * np.array(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+    )
+    m[:3, 3] = [0.3, -0.6, 0.9]
+
+    rng = np.random.default_rng(23)
+    vols_xzy = rng.standard_normal((3, 27, 9, 21)).astype(np.float32)
+    out_shape = (9, 21, 27)  # logical (Z, Y, X)
+
+    want = np.asarray(
+        jax.vmap(
+            lambda v: inplane_affine_warp_zyx_pallas(
+                v, m, out_shape, fill=-1.0, input_xzy=True
+            )
+        )(vols_xzy)
+    )
+    got = np.asarray(
+        inplane_affine_warp_zyx_pallas_batched(
+            vols_xzy, m, out_shape, fill=-1.0, input_xzy=True
+        )
+    )
+    # Interpret-mode reassociation tolerance (see the kernel test above).
+    np.testing.assert_allclose(got, want, atol=5e-5)

@@ -155,3 +155,44 @@ def test_deskew_handoff_shapes_consistent():
         FLAGSHIP, LS_ANGLE, PX_TO_SCAN, False, average_n_slices=AVG
     )
     assert tuple(averaged) == (86, 1024, 484)
+
+
+def test_manual_dma_routes_engage_at_flagship():
+    """The manually double-buffered batched kernels (round-5 DMA/MXU
+    overlap: deskew 0.99 -> 0.67 ms/vol) must stay engaged for the
+    flagship geometry ON TPU: the batched deskew xzy stage, and the warp
+    chain's first (fused z+y) pass on the pad_groups8-aligned deskew
+    output. The x pass is structurally excluded (lane = Zo fails Mosaic's
+    128-alignment for dynamic scratch slices) — pin that too so a future
+    'fix' that silently flips it is noticed."""
+    from biahub_tpu.kernels.deskew import get_deskewed_data_shape
+    from biahub_tpu.kernels.pallas_deskew import manual_dma_deskew_supported
+    from biahub_tpu.kernels.pallas_resample import (
+        TILE_R,
+        _k_window,
+        _manual_batched_ok,
+        static_window_plan,
+    )
+
+    assert manual_dma_deskew_supported(FLAGSHIP, AVG, "xzy", tpu=True)
+    assert not manual_dma_deskew_supported(FLAGSHIP, AVG, "zyx", tpu=True)
+
+    dshape, _ = get_deskewed_data_shape(FLAGSHIP, LS_ANGLE, PX_TO_SCAN, False)
+    groups = -(-FLAGSHIP[1] // AVG)
+    groups8 = -(-groups // 8) * 8
+    Zo, Yo, Xo = groups, dshape[1], dshape[2]
+
+    # warp pass 1 (fused z+y): input (Xi, Zi_pad, Yi) = (Xo, groups8, Yo)
+    O1, R1, T1 = Xo, groups8, Yo
+    tc = (1.0, 0.01, -1.2)  # any in-plane y coefficients; plan must exist
+    k_dyn = _k_window(int(np.ceil(TILE_R * abs(tc[0]))) + 2, T1)
+    plan1 = static_window_plan([tc], O1, Yo, T1, 1, k_dyn=k_dyn)
+    assert _manual_batched_ok(O1, R1, T1, plan1, tpu=True)
+
+    # warp pass 2 (x): lane = Zo = 86 fails the 128-alignment -> automatic
+    O2, R2, T2 = Yo, Xo, Zo
+    cs = (1.0, 0.01, -1.2)
+    k2 = _k_window(int(np.ceil(TILE_R * abs(cs[0]))) + 2, R2)
+    plan2 = static_window_plan([cs], O2, Xo, R2, 1, k_dyn=k2)
+    assert plan2 is not None
+    assert not _manual_batched_ok(O2, R2, T2, plan2, tpu=True)

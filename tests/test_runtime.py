@@ -483,3 +483,49 @@ def test_pipelined_dispatch_ahead_matches_debug(tmp_path):
         assert n == 12
         outs[mode] = np.asarray(out_pos.data[...])
     np.testing.assert_array_equal(outs["debug"], outs["local"])
+
+
+def test_batched_impl_kernel_single_device(tmp_path):
+    """A kernel carrying `batched_impl` runs the whole batch through it on a
+    single device (the fused chain's manual-DMA path needs the batch axis on
+    the Pallas grid, not vmap) — and the runner falls back to vmap when a
+    mesh shards the batch."""
+    in_pos = _plate(tmp_path, "in.zarr")
+    out_plate = open_ome_zarr(tmp_path / "out.zarr", layout="hcs", mode="w",
+                              channel_names=["a", "b"])
+    out_pos = out_plate.create_position("A", "1", "0")
+    out_pos.create_zeros("0", (3, 2, 4, 8, 16), np.float32)
+
+    calls = {"batched": 0}
+
+    def kernel(v):
+        return v * 3.0
+
+    def batched_impl(volumes):
+        calls["batched"] += 1
+        return volumes * 3.0
+
+    kernel.batched_impl = batched_impl
+    # The conftest's 8 virtual CPU devices make the default mesh multi-
+    # device; the impl path is single-device by contract.
+    runner = BatchRunner(cluster="debug", mesh=get_mesh(1))
+    n = runner.run_zyx(kernel, [in_pos], [out_pos])
+    assert n == 6
+    assert calls["batched"] >= 1  # the batched entry actually ran
+    np.testing.assert_allclose(
+        out_pos.data[...], in_pos.data[...] * 3.0, rtol=1e-6
+    )
+
+    # Sharded mesh: the impl must NOT be used (batch grid axes cannot be
+    # SPMD-partitioned); the vmapped per-volume kernel takes over.
+    calls["batched"] = 0
+    out2 = open_ome_zarr(tmp_path / "out2.zarr", layout="hcs", mode="w",
+                         channel_names=["a", "b"])
+    out2_pos = out2.create_position("A", "1", "0")
+    out2_pos.create_zeros("0", (3, 2, 4, 8, 16), np.float32)
+    runner2 = BatchRunner(cluster="debug", mesh=get_mesh(8))
+    runner2.run_zyx(kernel, [in_pos], [out2_pos])
+    assert calls["batched"] == 0
+    np.testing.assert_allclose(
+        out2_pos.data[...], in_pos.data[...] * 3.0, rtol=1e-6
+    )

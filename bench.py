@@ -820,8 +820,17 @@ def main() -> None:
             deskew_table=table,
         )
 
+    # Batched entry, not vmap: the handoff route's deskew stage runs the
+    # manually double-buffered zyx kernel (DMA/MXU overlap; see the chain
+    # loop note below). Falls back to an internal vmap on other routes.
+    from biahub_tpu.kernels.chain import deconvolve_then_deskew_batched
+
     def step_with_probe(v, tf, prep, table):
-        out = jax.vmap(fused, in_axes=(0, None, None, None))(v, tf, prep, table)
+        out = deconvolve_then_deskew_batched(
+            v, tf, 1e-3, ls_angle_deg, px_to_scan_ratio,
+            keep_overhang=False, average_window=3, prepared=prep,
+            skip_flip=True, deskew_table=table,
+        )
         # The probe scalar forces real device completion when fetched:
         # block_until_ready is not reliable over remote-attached devices.
         return out, jnp.sum(out[:, 0, 0, :8])

@@ -189,6 +189,20 @@ def deskew(
         overhang_fill=settings.overhang_fill,
         skip_flip=True,
     )
+    # Single-device batches ride the manually double-buffered zyx Pallas
+    # kernel (DMA/MXU overlap vmap cannot express; kernels/deskew.py
+    # deskew_zyx_batched falls back to vmap off that route).
+    from biahub_tpu.kernels.deskew import deskew_zyx_batched
+
+    kernel.batched_impl = partial(
+        deskew_zyx_batched,
+        ls_angle_deg=settings.ls_angle_deg,
+        px_to_scan_ratio=settings.px_to_scan_ratio,
+        keep_overhang=settings.keep_overhang,
+        average_window=settings.average_n_slices,
+        overhang_fill=settings.overhang_fill,
+        skip_flip=True,
+    )
 
     output_position_paths = get_output_paths(input_position_dirpaths, output_dirpath)
     input_positions = [open_ome_zarr(p, mode="r") for p in input_position_dirpaths]

@@ -574,6 +574,31 @@ def fuse(
         def kernel(zyx, **bc):
             return pre_stage(zyx, **bc)
 
+        if (
+            settings.deconvolve is not None
+            and dk is not None
+            and not fill_needed
+        ):
+            # Single-device batches run the manual-DMA zyx deskew stage
+            # (kernels/chain.py deconvolve_then_deskew_batched; same
+            # contract notes as the warp-chain batched_impl below).
+            from biahub_tpu.kernels.chain import (
+                deconvolve_then_deskew_batched,
+            )
+
+            def _batched_pre(volumes, tf_half=None, prepared=None,
+                             deskew_table=None):
+                return deconvolve_then_deskew_batched(
+                    volumes, tf_half, reg_strength,
+                    dk.ls_angle_deg, dk.px_to_scan_ratio,
+                    keep_overhang=dk.keep_overhang,
+                    average_window=dk.average_n_slices,
+                    prepared=prepared, skip_flip=True,
+                    deskew_table=deskew_table,
+                )
+
+            kernel.batched_impl = _batched_pre
+
         if dk is not None:
             post_fetch = lambda a: a[:, ::-1]  # noqa: E731
     elif m_single is not None:

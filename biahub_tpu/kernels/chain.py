@@ -31,6 +31,7 @@ __all__ = [
     "flip_y_matrix",
     "deskew_then_warp",
     "deconvolve_then_deskew",
+    "deconvolve_then_deskew_batched",
     "deconvolve_deskew_warp",
     "deconvolve_deskew_warp_batched",
     "chain_warp_spectral_route",
@@ -211,6 +212,87 @@ def deconvolve_then_deskew(
         decon_yzx, ls_angle_deg, px_to_scan_ratio, keep_overhang,
         average_window=avg, pre_transposed_zyx_shape=(Z, Y, X),
         skip_flip=skip_flip,
+    )
+
+
+def deconvolve_then_deskew_batched(
+    volumes: jax.Array,
+    transfer_function_half: jax.Array,
+    regularization_strength: float,
+    ls_angle_deg: float,
+    px_to_scan_ratio: float,
+    keep_overhang: bool = False,
+    average_window: int = 1,
+    prepared=None,
+    skip_flip: bool = False,
+    deskew_table=None,
+) -> jax.Array:
+    """Batched :func:`deconvolve_then_deskew` — bit-identical to vmapping
+    it, but the pass-C handoff route runs the deskew stage through the
+    manually double-buffered zyx kernel
+    (:func:`~biahub_tpu.kernels.pallas_deskew.deskew_zyx_pallas_batched`
+    with ``out_layout="zyx"``): its explicit DMA chain overlaps the slab
+    fetches with the banded MXU dots, which Mosaic's automatic pipeline
+    cannot (0.99 -> 0.67 ms/vol measured for the xzy twin). Pallas forbids
+    the non-trivial ANY-space indexing a vmapped manual kernel would need,
+    so batched callers (bench's headline step, the deconvolve+deskew fuse
+    config, the BatchRunner via ``batched_impl``) enter here.
+
+    Single-device batches only: the batch grid axis cannot be
+    SPMD-partitioned — multi-device executors keep the vmapped form.
+    """
+    from biahub_tpu.kernels.pallas_deskew import manual_dma_deskew_supported
+    from biahub_tpu.kernels.pallas_spectral import spectral_deskew_supported
+
+    Z, Y, X = (int(s) for s in volumes.shape[1:])
+    avg = int(average_window)
+
+    def per_volume(v):
+        return deconvolve_then_deskew(
+            v, transfer_function_half, regularization_strength,
+            ls_angle_deg, px_to_scan_ratio, keep_overhang=keep_overhang,
+            average_window=avg, prepared=prepared, skip_flip=skip_flip,
+            deskew_table=deskew_table,
+        )
+
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        or os.environ.get("BIAHUB_TPU_FORCE_PALLAS") == "1"
+    ) and os.environ.get("BIAHUB_TPU_NO_PALLAS") != "1"
+    spectral = use_pallas and spectral_deskew_supported(
+        (Z, Y, X), ls_angle_deg, px_to_scan_ratio, keep_overhang, avg
+    )
+    ok, _ = _handoff_gate((Z, Y, X), avg, ls_angle_deg, px_to_scan_ratio,
+                          keep_overhang)
+    if (
+        spectral
+        or not ok
+        or not manual_dma_deskew_supported((Z, Y, X), avg, "zyx")
+    ):
+        return jax.vmap(per_volume)(volumes)
+
+    from biahub_tpu.kernels.pallas_deskew import deskew_zyx_pallas_batched
+    from biahub_tpu.kernels.pallas_fft import deconvolve_zyx_pallas
+
+    _route_echo(
+        "deconvolve_then_deskew_batched",
+        "pass-C layout handoff (manual-DMA zyx deskew)",
+    )
+    # Pass C pads the tilt axis for the manual kernel's 8-aligned group
+    # blocks (groups8 contract — deskew_zyx_pallas_batched docstring).
+    groups = -(-Y // avg)
+    pad_total = (-(-groups // 8) * 8) * avg - Y
+    decon_yzx = jax.vmap(
+        lambda v: deconvolve_zyx_pallas(
+            v, transfer_function_half,
+            regularization_strength=regularization_strength,
+            yzx_pad=pad_total, prepared=prepared,
+        )
+    )(volumes)
+    return deskew_zyx_pallas_batched(
+        decon_yzx, ls_angle_deg, px_to_scan_ratio, keep_overhang,
+        average_window=avg, skip_flip=skip_flip,
+        pre_transposed_zyx_shape=(Z, Y, X), out_layout="zyx",
     )
 
 

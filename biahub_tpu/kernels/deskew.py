@@ -15,6 +15,7 @@ Xp = ceil(Z/px_to_scan_ratio ± Y*cos(theta)).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -25,6 +26,7 @@ __all__ = [
     "get_deskewed_data_shape",
     "deskew_transform_matrix",
     "deskew_zyx",
+    "deskew_zyx_batched",
     "average_n_slices",
     "fill_overhang",
 ]
@@ -264,6 +266,70 @@ def deskew_zyx(
         fill_value = None if overhang_fill == "mean" else float(overhang_fill)
         result = fill_overhang(result, fill_value=fill_value)
 
+    return result
+
+
+def deskew_zyx_batched(
+    volumes: jax.Array,
+    ls_angle_deg: float,
+    px_to_scan_ratio: float,
+    keep_overhang: bool,
+    average_window: int = 1,
+    overhang_fill: str | float = 0,
+    skip_flip: bool = False,
+) -> jax.Array:
+    """Batched :func:`deskew_zyx` — semantically ``jax.vmap(deskew_zyx)``,
+    but on the fused-Pallas route the batch rides the manually
+    double-buffered zyx kernel's grid
+    (:func:`~biahub_tpu.kernels.pallas_deskew.deskew_zyx_pallas_batched`):
+    its explicit DMA chain overlaps the slab fetches with the banded MXU
+    dots, which Mosaic's automatic pipeline cannot. The deskew verb's
+    BatchRunner batches enter here (``batched_impl``); single-device
+    batches only — the batch grid axis cannot be SPMD-partitioned.
+    """
+    Z_in, Y_in, X_in = (int(s) for s in volumes.shape[1:])
+    output_shape, _ = get_deskewed_data_shape(
+        (Z_in, Y_in, X_in), ls_angle_deg, px_to_scan_ratio, keep_overhang
+    )
+    Y_out, X_out = X_in, output_shape[2]
+
+    def per_volume(v):
+        return deskew_zyx(
+            v, ls_angle_deg=ls_angle_deg,
+            px_to_scan_ratio=px_to_scan_ratio,
+            keep_overhang=keep_overhang, average_window=average_window,
+            overhang_fill=overhang_fill, skip_flip=skip_flip,
+        )
+
+    from biahub_tpu.kernels.pallas_deskew import manual_dma_deskew_supported
+
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        or os.environ.get("BIAHUB_TPU_FORCE_PALLAS") == "1"
+    )
+    in_block = average_window * Z_in * X_in * 4
+    out_block = Y_out * X_out * 4
+    fused_ok = 2 * (in_block + out_block) < 64 * 1024 * 1024
+    if not (
+        use_pallas
+        and fused_ok
+        and manual_dma_deskew_supported(
+            (Z_in, Y_in, X_in), average_window, "zyx"
+        )
+    ):
+        return jax.vmap(per_volume)(volumes)
+
+    from biahub_tpu.kernels.pallas_deskew import deskew_zyx_pallas_batched
+
+    result = deskew_zyx_pallas_batched(
+        volumes.astype(jnp.float32), ls_angle_deg, px_to_scan_ratio,
+        keep_overhang, average_window=average_window, skip_flip=skip_flip,
+    )
+    if keep_overhang and overhang_fill != 0:
+        fill_value = None if overhang_fill == "mean" else float(overhang_fill)
+        result = jax.vmap(partial(fill_overhang, fill_value=fill_value))(
+            result
+        )
     return result
 
 

@@ -207,6 +207,75 @@ def _deskew_kernel_manual(hbm_ref, out_ref, slab_ref, sem_ref, *, params):
         out_ref[:, s, :] = acc if avg == 1 else acc * (1.0 / avg)
 
 
+def _deskew_kernel_manual_zyx(hbm_ref, out_ref, slab_ref, sem_ref, *,
+                              params):
+    """Manually double-buffered ZYX deskew — :func:`_deskew_kernel_manual`
+    with the store side in the standard (Z, Y, X) output layout.
+
+    Identical DMA chain and resample math (same zo/kprime mapping, so the
+    8-aligned groups8 front pad lands past the ragged last out block and is
+    masked); the banded dot runs in the automatic zyx kernel's orientation
+    (``_banded_dot(slab, w)`` -> (Y_out, tile_w)) for bit parity with it,
+    and each z slot stores to the out block's static major index
+    ``out_ref[s]``. Out blocks are (8, Y_out, TILE_X): the ragged X_out
+    lane tile and the ragged groups block are both masked by the spec.
+    """
+    (Z_in, X_in, X_out, K, ct, px, offset, avg, yp, Z_out, groups8, n_g8,
+     batch, n_tiles) = params
+    from biahub_tpu.kernels.pallas_resample import _banded_dot
+
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    tile = pl.program_id(2)
+    rows = 8 * avg
+    i = b * n_g8 + g
+
+    def dma(slot, bb, blk):
+        return pltpu.make_async_copy(
+            hbm_ref.at[bb, pl.ds((n_g8 - 1 - blk) * rows, rows)],
+            slab_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    @pl.when(tile == 0)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            dma(0, 0, 0).start()
+
+        nxt = i + 1
+
+        @pl.when(nxt < batch * n_g8)
+        def _():
+            dma(nxt % 2, nxt // n_g8, nxt % n_g8).start()
+
+        dma(i % 2, b, g).wait()
+
+    slot = i % 2
+    xo = (
+        tile * TILE_X
+        + jax.lax.broadcasted_iota(jnp.int32, (TILE_X, 1), 0)
+    ).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_X, K), 1)
+    for s in range(8):
+        kprime = groups8 - 1 - (g * 8 + s)
+        acc = jnp.zeros((X_in, TILE_X), jnp.float32)
+        for j in range(avg):
+            zo_val = yp - 1 - j - kprime * avg
+            zo_f = jnp.minimum(zo_val, Z_out - 1).astype(jnp.float32)
+            in_z = px * xo - px * ct * zo_f + offset
+            i0 = jnp.floor(in_z)
+            frac = in_z - i0
+            i0 = i0.astype(jnp.int32)
+            start = jnp.clip(i0[0, 0], 0, max(Z_in - K, 0))
+            start = pl.multiple_of((start // 8) * 8, 8)
+            offs = i0 - start
+            w = (1.0 - frac) * (cols == offs) + frac * (cols == offs + 1)
+            slab = slab_ref[slot, (7 - s) * avg + j, pl.ds(start, K), :]
+            acc = acc + _banded_dot(slab, w)
+        out_ref[s, :, :] = acc if avg == 1 else acc * (1.0 / avg)
+
+
 # Double-buffered manual slab scratch budget: 2 x (8 * avg * Z_in * X_in)
 # f32 rows must fit VMEM next to the pipelined output blocks (the flagship
 # is 2 x 25 MB). Past this the automatic kernel takes over.
@@ -219,10 +288,12 @@ def manual_dma_deskew_supported(
     out_layout: str,
     tpu: bool | None = None,
 ) -> bool:
-    """Gate for the manually pipelined batched xzy kernel."""
+    """Gate for the manually pipelined batched kernels (xzy and zyx
+    layouts; the zyx form additionally requires ``skip_flip=True`` at the
+    call site — see :func:`deskew_zyx_pallas_batched`)."""
     if os.environ.get("BIAHUB_TPU_NO_MANUAL_DMA") == "1":
         return False
-    if out_layout != "xzy":
+    if out_layout not in ("xzy", "zyx"):
         return False
     Z_in, Y_in, X_in = zyx_shape
     # Mosaic requires the dynamic (slot, row) scratch slices' LANE extent
@@ -271,13 +342,20 @@ def deskew_zyx_pallas_batched(
     kernel off this path (zyx layout, oversized working sets,
     BIAHUB_TPU_NO_MANUAL_DMA=1).
 
-    ``pad_groups8``: emit the z-groups axis padded up to a multiple of 8
-    (physical ``groups8`` slices instead of ``groups``). The pad slices are
-    finite clamped-edge resamples, never NaN; a downstream batched warp
-    needs the 8-aligned sublane extent for its manual-DMA slab slices
-    (pallas_resample._manual_batched_ok) and masks the pad through its
-    logical-domain mask — the same contract as the spectral engine's
+    ``pad_groups8`` (xzy only): emit the z-groups axis padded up to a
+    multiple of 8 (physical ``groups8`` slices instead of ``groups``). The
+    pad slices are finite clamped-edge resamples, never NaN; a downstream
+    batched warp needs the 8-aligned sublane extent for its manual-DMA slab
+    slices (pallas_resample._manual_batched_ok) and masks the pad through
+    its logical-domain mask — the same contract as the spectral engine's
     z-padded xzy handoff.
+
+    ``out_layout="zyx"`` runs :func:`_deskew_kernel_manual_zyx` (same DMA
+    chain, standard output frame; the headline deconvolve+deskew step and
+    the deskew verb's batches). Its pre-transposed input contract is the
+    GROUPS8-padded (B, groups8*avg, Z, X) layout (pass C's ``yzx_pad``
+    sized for 8-group blocks) — the vmap fallback slices the extra front
+    pad back off, so callers pad for the manual contract unconditionally.
 
     Single-device only: the batch grid axis cannot be partitioned by SPMD;
     multi-device callers keep ``jax.vmap(deskew_zyx_pallas)``.
@@ -291,6 +369,18 @@ def deskew_zyx_pallas_batched(
     if not manual_dma_deskew_supported(
         zyx_shape, average_window, out_layout
     ):
+        pre = raw_data
+        if (
+            pre_transposed_zyx_shape is not None
+            and out_layout == "zyx"
+        ):
+            # Batched-zyx callers pad for the manual kernel's groups8
+            # contract; the per-volume kernel wants groups*avg rows.
+            avg_w = int(average_window)
+            groups = -(-zyx_shape[1] // avg_w)
+            extra = int(pre.shape[1]) - groups * avg_w
+            if extra:
+                pre = pre[:, extra:]
         out = jax.vmap(
             lambda v: deskew_zyx_pallas(
                 v, ls_angle_deg, px_to_scan_ratio, keep_overhang,
@@ -298,7 +388,7 @@ def deskew_zyx_pallas_batched(
                 pre_transposed_zyx_shape=pre_transposed_zyx_shape,
                 out_layout=out_layout,
             )
-        )(raw_data)
+        )(pre)
         if pad_groups8:
             g = out.shape[2]
             out = jnp.pad(
@@ -306,7 +396,10 @@ def deskew_zyx_pallas_batched(
             )
         return out
 
-    assert skip_flip, "out_layout='xzy' requires skip_flip=True"
+    if out_layout == "xzy":
+        assert skip_flip, "out_layout='xzy' requires skip_flip=True"
+    else:
+        assert not pad_groups8, "pad_groups8 is an xzy-only contract"
     Z_in, Y_in, X_in = zyx_shape
     output_shape, _ = get_deskewed_data_shape(
         (Z_in, Y_in, X_in), ls_angle_deg, px_to_scan_ratio, keep_overhang
@@ -342,11 +435,8 @@ def deskew_zyx_pallas_batched(
             )
 
     interpret = jax.default_backend() != "tpu"
-    kernel = partial(
-        _deskew_kernel_manual,
-        params=(Z_in, X_in, X_out, K, ct, px, offset, avg, yp, Z_out,
-                groups8, n_g8, batch, n_tiles),
-    )
+    params = (Z_in, X_in, X_out, K, ct, px, offset, avg, yp, Z_out,
+              groups8, n_g8, batch, n_tiles)
     vmem_params = (
         {}
         if interpret
@@ -356,8 +446,34 @@ def deskew_zyx_pallas_batched(
             )
         }
     )
+    if out_layout == "zyx":
+        out = pl.pallas_call(
+            partial(_deskew_kernel_manual_zyx, params=params),
+            interpret=interpret,
+            grid=(batch, n_g8, n_tiles),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            # Batch squeezed out of the block (see the xzy spec note
+            # below); the ragged groups block (major) and ragged X_out
+            # lane tile are masked by the spec.
+            out_specs=pl.BlockSpec(
+                (None, 8, Y_out, TILE_X),
+                lambda b, g, t: (b, g, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (batch, groups, Y_out, X_out), jnp.float32
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, 8 * avg, Z_in, X_in), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            **vmem_params,
+        )(data)
+        # Mirrors the per-volume kernel's epilogue: the unflipped input
+        # lanes leave Y_out reversed (a sublane-axis rev here).
+        return out if skip_flip else jnp.flip(out, axis=2)
     return pl.pallas_call(
-        kernel,
+        partial(_deskew_kernel_manual, params=params),
         interpret=interpret,
         grid=(batch, n_g8, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],

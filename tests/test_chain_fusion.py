@@ -165,6 +165,53 @@ def test_deconvolve_deskew_warp_batched_matches_vmap(avg, monkeypatch):
     jax.clear_caches()
 
 
+@pytest.mark.parametrize("skip_flip", [True, False])
+@pytest.mark.parametrize("avg", [1, 3])
+def test_deconvolve_then_deskew_batched_matches_vmap(avg, skip_flip,
+                                                     monkeypatch):
+    """The batched headline-step entry (manual-DMA zyx deskew stage on the
+    handoff route) is bit-identical to vmapping the per-volume helper —
+    the contract bench.py's headline step, the deconvolve+deskew fuse
+    config, and the BatchRunner rely on."""
+    import jax
+
+    monkeypatch.setenv("BIAHUB_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("BIAHUB_TPU_FFT_RADIX_MIN", "16")
+    jax.clear_caches()
+
+    from biahub_tpu.kernels.chain import (
+        deconvolve_then_deskew,
+        deconvolve_then_deskew_batched,
+    )
+    from biahub_tpu.kernels.deconvolve import compute_transfer_function
+    from biahub_tpu.kernels.pallas_deskew import manual_dma_deskew_supported
+
+    shape = (16, 14, 40)  # Z % 8 == 0 -> the yzx fused path engages
+    assert manual_dma_deskew_supported(shape, avg, "zyx")
+    rng = np.random.default_rng(43)
+    vols = rng.random((3,) + shape, dtype=np.float32)
+    psf = np.zeros((3, 3, 3), np.float32)
+    psf[1, 1, 1] = 1.0
+    tf_half = compute_transfer_function(psf, shape)[..., : shape[-1] // 2 + 1]
+
+    want = np.asarray(
+        jax.vmap(
+            lambda v: deconvolve_then_deskew(
+                v, tf_half, 1e-3, 30.0, 0.4, average_window=avg,
+                skip_flip=skip_flip,
+            )
+        )(vols)
+    )
+    got = np.asarray(
+        deconvolve_then_deskew_batched(
+            vols, tf_half, 1e-3, 30.0, 0.4, average_window=avg,
+            skip_flip=skip_flip,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+    jax.clear_caches()
+
+
 @pytest.mark.parametrize("avg", [1, 3])
 def test_deskew_xzy_layout_matches_transposed_zyx(avg, monkeypatch):
     """deskew_zyx_pallas(out_layout='xzy') == transpose((2,0,1)) of the

@@ -174,8 +174,11 @@ def test_manual_dma_routes_engage_at_flagship():
         static_window_plan,
     )
 
+    # Both output layouts ride the manual kernels: xzy feeds the warp
+    # chain, zyx is the headline deconvolve+deskew step and the deskew
+    # verb (round-5: _deskew_kernel_manual_zyx).
     assert manual_dma_deskew_supported(FLAGSHIP, AVG, "xzy", tpu=True)
-    assert not manual_dma_deskew_supported(FLAGSHIP, AVG, "zyx", tpu=True)
+    assert manual_dma_deskew_supported(FLAGSHIP, AVG, "zyx", tpu=True)
 
     dshape, _ = get_deskewed_data_shape(FLAGSHIP, LS_ANGLE, PX_TO_SCAN, False)
     groups = -(-FLAGSHIP[1] // AVG)

@@ -42,7 +42,14 @@ def full_chain(v, tf, prep):
 
 
 def _chain_with_probe(v, tf, prep):
-    out = jax.vmap(full_chain, in_axes=(0, None, None))(v, tf, prep)
+    # Batched entry (manual-DMA deskew + warp stages), the bench/BatchRunner
+    # route; falls back to an internal vmap off the handoff gate.
+    from biahub_tpu.kernels.chain import deconvolve_deskew_warp_batched
+
+    out = deconvolve_deskew_warp_batched(
+        v, tf, 1e-3, 36.17, 0.371, reg_stab,
+        keep_overhang=False, average_window=3, prepared=prep,
+    )
     return out, jnp.sum(out[:, 0, 0, :8])
 
 
